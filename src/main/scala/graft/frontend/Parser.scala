@@ -425,7 +425,18 @@ final class Parser(tokens: Vector[Token]) {
       expect(TLParen, "(")
       val cols = nonemptyFlexList({ case TIdent(_) => true; case _ => false }) { () =>
         val cn = ident()
-        (cn, parseTy())
+        val ty = parseTy()
+        var pk = false
+        var auto = false
+        var default: Option[Expr] = None
+        var more = true
+        while (more) {
+          if (at("PRIMARY")) { next(); expectKw("KEY"); pk = true }
+          else if (eat("AUTOINCREMENT")) auto = true
+          else if (eat("DEFAULT")) default = Some(parseExpr())
+          else more = false
+        }
+        ColumnDef(cn, ty, pk, auto, default)
       }
       expect(TRParen, ")")
       DeclTable(name, cols)

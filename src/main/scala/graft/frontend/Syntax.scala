@@ -258,8 +258,19 @@ object Syntax {
       args: List[(String, Sty)],
       exprs: List[(String, Expr)])
 
+  /** Table column DDL (reference ddl.ml:19-26): nullability lives in ty;
+    * primaryKey/autoincrement/default feed the INSERT missing-column
+    * check (reference analyze.ml:882-894) and DML key matching.
+    */
+  final case class ColumnDef(
+      name: String,
+      ty: Ty,
+      primaryKey: Boolean = false,
+      autoincrement: Boolean = false,
+      default: Option[Expr] = None)
+
   sealed trait Decl
-  final case class DeclTable(name: String, cols: List[(String, Ty)])
+  final case class DeclTable(name: String, cols: List[ColumnDef])
       extends Decl
   final case class DeclQuery(name: String, query: Query) extends Decl
   final case class DeclFieldset(name: String, fieldset: Fieldset) extends Decl

@@ -148,8 +148,8 @@ class ParserSpec extends AnyFunSuite {
     val DeclTable(tn, cols) = decls(0): @unchecked
     assert(tn == "users")
     assert(cols == List(
-      ("id", Ty(TyName("INT"), nullable = false)),
-      ("name", Ty(TyName("STRING"), nullable = true))))
+      ColumnDef("id", Ty(TyName("INT"), nullable = false)),
+      ColumnDef("name", Ty(TyName("STRING"), nullable = true))))
     assert(decls(1).isInstanceOf[DeclQuery])
     val DeclFieldset(fn, fs) = decls(2): @unchecked
     assert(fn == "info" && fs.args.map(_._1) == List("u"))
