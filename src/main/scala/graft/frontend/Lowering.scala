@@ -1,0 +1,397 @@
+package graft.frontend
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, BooleanType, StringType,
+  LongType, DoubleType, TimestampType, DateType, DayTimeIntervalType}
+
+import Syntax._
+import Analyzer._
+
+/** Lowers an analyzed sqlpp query to a Spark `DataFrame` program.
+  *
+  * Plays the role the SQL printer plays in the reference
+  * (reference printer.ml:167-248), but emits a Catalyst logical plan
+  * instead of SQL text. Design:
+  *
+  *  - Within a SELECT, each FROM source with alias `a` contributes
+  *    columns renamed to `a__col`, so elaborated navigations
+  *    `ENav(a, EName(col))` compile to unambiguous column refs and
+  *    self-joins need no deduplication tricks.
+  *  - Scans are pruned to the analyzer's used-fields (the reference's
+  *    dead-field elimination, analyze.ml:254-269, realized as column
+  *    pruning at the source — on parquet this reaches the reader via
+  *    Catalyst's ColumnPruning).
+  *  - Aggregation compiles to `groupBy(...).agg(...)`; HAVING and
+  *    ORDER BY expressions over aggregates become hidden agg columns
+  *    that are filtered/sorted on and then dropped.
+  *  - Uncorrelated IN subqueries in WHERE conjuncts lower to
+  *    left-semi joins (NOT IN → left-anti); in other boolean
+  *    positions they lower to a distinct left-outer flag join.
+  *    Uncorrelated EXISTS evaluates once to a literal (the inner
+  *    select is limit(1)'d, so this is O(1) at any scale).
+  */
+object Lowering {
+
+  /** Spark type for a dialect type (SURVEY §1.2 mapping). */
+  def toSparkType(ty: Ty): DataType = ty.core match {
+    case TyName("BOOL")     => BooleanType
+    case TyName("STRING")   => StringType
+    case TyName("INT")      => LongType
+    case TyName("FLOAT")    => DoubleType
+    case TyName("DATETIME") => TimestampType
+    case TyName("DATE")     => DateType
+    case TyName("TIME")     => LongType
+    case TyName("INTERVAL") => DayTimeIntervalType()
+    case _ => fail(s"type ${ty.show} must resolve to a concrete type")
+  }
+
+  final case class Ctx(
+      spark: SparkSession,
+      env: Env,
+      load: String => DataFrame,
+      params: Map[String, Any])
+
+  private def ns(alias: String, colName: String): String =
+    s"${alias}__$colName"
+
+  // ---------------- expression compilation ----------------
+
+  def compile(ctx: Ctx, e: Expr): Column = e match {
+    case ENav(a, EName(f)) => col(ns(a, f))
+    case EName(n)          => col(n)
+    case ELit(LitInt(v))    => lit(v)
+    case ELit(LitFloat(v))  => lit(v)
+    case ELit(LitString(v)) => lit(v)
+    case ELit(LitBool(v))   => lit(v)
+    case ENull              => lit(null)
+    case EAscribe(e2, TyVal(ty)) => e2 match {
+      case ENull => lit(null).cast(toSparkType(ty))
+      case _     => compile(ctx, e2)
+    }
+    case EAscribe(e2, _) => compile(ctx, e2)
+    case EParam(name) => ctx.params.get(name) match {
+      case Some(v) => litOf(v)
+      case None    => fail(s"missing value for param ?$name")
+    }
+    case EMatch(_, _) =>
+      fail("MATCH must be resolved at bind time before lowering")
+    case EIn(_, _) =>
+      fail("IN subquery is only supported in WHERE")
+    case EExists(sel) =>
+      // uncorrelated: evaluates once, O(1) via limit(1)
+      val sub = lowerTopSelect(ctx, sel)
+      lit(sub.limit(1).count() > 0)
+    case EApp(f, args) => compileApp(ctx, f, args)
+  }
+
+  private def litOf(v: Any): Column = v match {
+    case None            => lit(null)
+    case Some(x)         => litOf(x)
+    case x: Int          => lit(x.toLong)
+    case x               => lit(x)
+  }
+
+  private def compileApp(ctx: Ctx, f: String, args: List[Expr]): Column = {
+    def a(i: Int): Column = compile(ctx, args(i))
+    (f, args) match {
+      case ("count", List(ELit(_)))   => count(lit(1))
+      case ("count", _)               => count(a(0))
+      case ("sum", _)                 => sum(a(0))
+      case ("min", _)                 => min(a(0))
+      case ("max", _)                 => max(a(0))
+      case ("=", _)                   => a(0) === a(1)
+      case ("!=", _)                  => a(0) =!= a(1)
+      case (">", _)                   => a(0) > a(1)
+      case (">=", _)                  => a(0) >= a(1)
+      case ("<", _)                   => a(0) < a(1)
+      case ("<=", _)                  => a(0) <= a(1)
+      case ("AND", _)                 => a(0) && a(1)
+      case ("OR", _)                  => a(0) || a(1)
+      case ("NOT", _)                 => !a(0)
+      case ("-", List(_))             => negate(a(0))
+      case ("+", _)                   => a(0) + a(1)
+      case ("-", _)                   => a(0) - a(1)
+      case ("*", _)                   => a(0) * a(1)
+      case ("/", _)                   => a(0) / a(1)
+      case ("nullif", _) =>
+        when(a(0) === a(1), lit(null)).otherwise(a(0))
+      case ("coalesce", _)            => coalesce(args.map(compile(ctx, _)): _*)
+      case ("IS NULL", _)             => a(0).isNull
+      case ("IS NOT NULL", _)         => a(0).isNotNull
+      case ("now", _)                 => current_timestamp()
+      case ("toString", _)            => a(0).cast(StringType)
+      case ("datetime", List(ELit(LitString(d)))) =>
+        lit(java.sql.Timestamp.valueOf(d.replace('T', ' ')))
+      case ("datetime", _)            => a(0).cast(TimestampType)
+      case ("date", List(ELit(LitString(d)))) =>
+        lit(java.sql.Date.valueOf(d))
+      case ("date", _)                => a(0).cast(DateType)
+      case _ => fail(s"no such function $f")
+    }
+  }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case EApp(f, _) if Set("count", "sum", "min", "max")(f) => true
+    case EApp(_, args)    => args.exists(containsAgg)
+    case EAscribe(e2, _)  => containsAgg(e2)
+    case ENav(_, e2)      => containsAgg(e2)
+    case _                => false
+  }
+
+  // ---------------- FROM ----------------
+
+  /** Lower a FROM tree; each source's columns arrive as `alias__col`. */
+  private def lowerFrom(ctx: Ctx, scope: Scope, from: From): DataFrame =
+    from match {
+      case FromSingle(one) => lowerFromOne(ctx, scope, one)
+      case FromJoin(left, right, kind, cond) =>
+        val l = lowerFrom(ctx, scope, left)
+        val r = lowerFromOne(ctx, scope, right)
+        val joinType = kind match {
+          case JoinInner => "inner"
+          case JoinLeft  => "left_outer"
+        }
+        l.join(r, compile(ctx, cond), joinType)
+    }
+
+  private def aliasOf(one: FromOne): String = one match {
+    case FromTable(t, a)  => a.getOrElse(t)
+    case FromSelect(_, a) => a
+  }
+
+  private def lowerFromOne(ctx: Ctx, scope: Scope,
+      one: FromOne): DataFrame = {
+    val alias = aliasOf(one)
+    val sub = Scope.subscope(scope, alias).getOrElse(
+      fail(s"lowerFromOne: no scope for $alias"))
+    one match {
+      case FromTable(table, _) =>
+        // prune the scan to used fields (dead-field elimination)
+        val used = sub.fields.values.filter(_.isUsed).map(_.name).toSeq
+        val df = ctx.load(table)
+        val cols = used.map(c => col(c).as(ns(alias, c)))
+        if (cols.isEmpty) df.select() else df.select(cols: _*)
+      case FromSelect(sel, _) =>
+        val inner = lowerSelect(ctx, sub, sel)
+        inner.select(inner.columns.map(c => col(c).as(ns(alias, c))): _*)
+    }
+  }
+
+  // ---------------- WHERE with subquery predicates ----------------
+
+  private def conjuncts(e: Expr): List[Expr] = e match {
+    case EApp("AND", List(x, y)) => conjuncts(x) ++ conjuncts(y)
+    case _                       => List(e)
+  }
+
+  /** Apply WHERE: IN conjuncts become semi/anti joins; nested INs
+    * become flag joins; the remainder compiles to one filter.
+    */
+  private def applyWhere(ctx: Ctx, df0: DataFrame, where: Expr): DataFrame = {
+    var df = df0
+    var flagIdx = 0
+
+    def lowerInDf(es: List[Expr], sel: Select): (DataFrame, Column) = {
+      val sub = lowerTopSelect(ctx, sel)
+      val renamed = sub.toDF(sub.columns.map(c => s"__in${flagIdx}_$c"): _*)
+      val cond = es.zip(renamed.columns).map { case (e, c) =>
+        compile(ctx, e) === col(c)
+      }.reduce(_ && _)
+      (renamed, cond)
+    }
+
+    /** Replace nested IN/EXISTS inside a general boolean expr with
+      * flag columns computed by left-outer joins.
+      */
+    def rewrite(e: Expr): Expr = e match {
+      case EIn(es, sel) =>
+        val (sub, cond) = lowerInDf(es, sel)
+        val flag = s"__in_flag_$flagIdx"
+        flagIdx += 1
+        df = df.join(sub.distinct().withColumn(flag, lit(true)), cond,
+          "left_outer").drop(sub.columns: _*)
+        EName(flag) // compiles to col(flag); null → false via coalesce below
+      case EApp(f, as)     => EApp(f, as.map(rewrite))
+      case EAscribe(x, t)  => EAscribe(rewrite(x), t)
+      case other           => other
+    }
+
+    val parts = conjuncts(where)
+    val plain = List.newBuilder[Expr]
+    parts.foreach {
+      case EIn(es, sel) =>
+        val (sub, cond) = lowerInDf(es, sel)
+        flagIdx += 1
+        df = df.join(sub, cond, "left_semi")
+      case EApp("NOT", List(EIn(es, sel))) =>
+        val (sub, cond) = lowerInDf(es, sel)
+        flagIdx += 1
+        df = df.join(sub, cond, "left_anti")
+      case other => plain += other
+    }
+    val rest = plain.result()
+    if (rest.isEmpty) df
+    else {
+      val flagsBefore = flagIdx
+      val rewritten = rest.map(rewrite)
+      val cond = rewritten.map {
+        case EName(flag) if flag.startsWith("__in_flag_") =>
+          coalesce(col(flag), lit(false))
+        case e2 => compileWithFlags(ctx, e2)
+      }.reduce(_ && _)
+      val out = df.filter(cond)
+      // drop any flag columns introduced for nested INs
+      val flags = (flagsBefore until flagIdx).map(i => s"__in_flag_$i")
+      if (flags.isEmpty) out else out.drop(flags: _*)
+    }
+  }
+
+  private def containsFlag(e: Expr): Boolean = e match {
+    case EName(flag)     => flag.startsWith("__in_flag_")
+    case EApp(_, args)   => args.exists(containsFlag)
+    case EAscribe(x, _)  => containsFlag(x)
+    case ENav(_, x)      => containsFlag(x)
+    case _               => false
+  }
+
+  private def compileWithFlags(ctx: Ctx, e: Expr): Column = e match {
+    case EName(flag) if flag.startsWith("__in_flag_") =>
+      coalesce(col(flag), lit(false))
+    case _ if !containsFlag(e) => compile(ctx, e)
+    case EApp(f, args) =>
+      // recompose boolean structure above flags manually
+      applyCompiled(f, args.map(compileWithFlags(ctx, _)))
+    case other => compile(ctx, other)
+  }
+
+  private def applyCompiled(f: String, cs: List[Column]): Column = f match {
+    case "="   => cs(0) === cs(1)
+    case "!="  => cs(0) =!= cs(1)
+    case ">"   => cs(0) > cs(1)
+    case ">="  => cs(0) >= cs(1)
+    case "<"   => cs(0) < cs(1)
+    case "<="  => cs(0) <= cs(1)
+    case "AND" => cs(0) && cs(1)
+    case "OR"  => cs(0) || cs(1)
+    case "NOT" => !cs(0)
+    case "IS NULL"     => cs(0).isNull
+    case "IS NOT NULL" => cs(0).isNotNull
+    case "nullif" => when(cs(0) === cs(1), lit(null)).otherwise(cs(0))
+    case "coalesce" => coalesce(cs: _*)
+    case "+" => cs(0) + cs(1)
+    case "-" => if (cs.length == 1) negate(cs(0)) else cs(0) - cs(1)
+    case "*" => cs(0) * cs(1)
+    case "/" => cs(0) / cs(1)
+    case "toString" => cs(0).cast(StringType)
+    case other => fail(s"unsupported function with subquery flags: $other")
+  }
+
+  // ---------------- SELECT ----------------
+
+  /** Lower an elaborated select in its scope; output columns are the
+    * emission list's names in order.
+    */
+  def lowerSelect(ctx: Ctx, scope: Scope, sel: Select): DataFrame = {
+    val fields = emission(scope, sel.proj)
+
+    val base: DataFrame = sel.from match {
+      case Some(f) => lowerFrom(ctx, scope, f)
+      case None =>
+        // SELECT without FROM: a single unit row
+        ctx.spark.range(1).select()
+    }
+    val filtered = sel.where match {
+      case Some(w) => applyWhere(ctx, base, w)
+      case None    => base
+    }
+
+    sel.groupBy match {
+      case Some(groups) =>
+        val groupCols = groups.map(compile(ctx, _))
+        val hidden = List.newBuilder[(String, Column)]
+        sel.having.foreach { h =>
+          hidden += ("__having" -> compile(ctx, h))
+        }
+        sel.orderBy.getOrElse(Nil).zipWithIndex.foreach { case ((e, _), i) =>
+          hidden += (s"__ob_$i" -> compile(ctx, e))
+        }
+        val aggCols =
+          fields.map { case (n, e) => compile(ctx, e).as(n) } ++
+            hidden.result().map { case (n, c) => c.as(n) }
+        val agged = aggCols match {
+          case Nil => filtered.groupBy(groupCols: _*)
+            .agg(count(lit(1)).as("__dummy"))
+          case head :: tail =>
+            filtered.groupBy(groupCols: _*).agg(head, tail: _*)
+        }
+        val havinged = sel.having match {
+          case Some(_) => agged.filter(col("__having"))
+          case None    => agged
+        }
+        val ordered = sel.orderBy match {
+          case Some(obs) =>
+            havinged.orderBy(obs.zipWithIndex.map {
+              case ((_, Asc), i)  => col(s"__ob_$i").asc
+              case ((_, Desc), i) => col(s"__ob_$i").desc
+            }: _*)
+          case None => havinged
+        }
+        val limited = applyLimitOffset(ctx, ordered, sel)
+        limited.select(fields.map { case (n, _) => col(n) }: _*)
+
+      case None =>
+        val ordered = sel.orderBy match {
+          case Some(obs) =>
+            filtered.orderBy(obs.map {
+              case (e, Asc)  => compile(ctx, e).asc
+              case (e, Desc) => compile(ctx, e).desc
+            }: _*)
+          case None => filtered
+        }
+        val limited = applyLimitOffset(ctx, ordered, sel)
+        limited.select(fields.map { case (n, e) =>
+          compile(ctx, e).as(n)
+        }: _*)
+    }
+  }
+
+  private def applyLimitOffset(ctx: Ctx, df: DataFrame,
+      sel: Select): DataFrame = {
+    def asInt(e: Expr): Int = e match {
+      case ELit(LitInt(v)) => v.toInt
+      case EParam(n) => ctx.params.get(n) match {
+        case Some(v: Int)  => v
+        case Some(v: Long) => v.toInt
+        case _ => fail(s"limit/offset param ?$n must be an integer")
+      }
+      case EAscribe(e2, _) => asInt(e2)
+      case _ => fail("limit/offset must be an integer literal or param")
+    }
+    val off = sel.offset.map(asInt)
+    val lim = sel.limit.map(asInt)
+    val d1 = off match { case Some(n) => df.offset(n); case None => df }
+    lim match { case Some(n) => d1.limit(n); case None => d1 }
+  }
+
+  /** Lower an IN/EXISTS subselect using the scope the analyzer
+    * recorded for it on the Env.
+    */
+  private def lowerTopSelect(ctx: Ctx, sel: Select): DataFrame = {
+    val scope = ctx.env.subSelectScopes.get(sel)
+    if (scope == null) fail("no recorded scope for subselect")
+    lowerSelect(ctx, scope, sel)
+  }
+
+  // ---------------- queries ----------------
+
+  def lowerQuery(spark: SparkSession, env: Env, info: QueryInfo,
+      load: String => DataFrame,
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    val ctx = Ctx(spark, env, load, params)
+    info.query match {
+      case QSelect(sel) => lowerSelect(ctx, info.scope, sel)
+      case _ => fail("DML lowering is handled by ManagedTables")
+    }
+  }
+}

@@ -128,6 +128,11 @@ object Syntax {
   final case class LitInt(v: Long) extends Lit
   final case class LitString(v: String) extends Lit
   final case class LitBool(v: Boolean) extends Lit
+  /** Deliberate extension: the reference grammar has no float literals
+    * (reference lexer.ml:183-184 lexes integers only); we accept
+    * `12.5` as FLOAT NOT NULL.
+    */
+  final case class LitFloat(v: Double) extends Lit
 
   sealed trait TyOrExpr
   final case class TyVal(ty: Ty) extends TyOrExpr
@@ -167,6 +172,7 @@ object Syntax {
       s"${exprToString(x)} $f ${exprToString(y)}"
     case EApp(f, args)  => s"$f(${args.map(exprToString).mkString(", ")})"
     case ELit(LitInt(v))    => v.toString
+    case ELit(LitFloat(v))  => v.toString
     case ELit(LitString(v)) => s"'$v'"
     case ELit(LitBool(v))   => v.toString.toUpperCase
     case EName(n)           => n
