@@ -1,0 +1,217 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.Encoders
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are expressed as declarative DataFrame programs so
+  * Catalyst/Tungsten handle distribution: shingling and hashing happen
+  * map-side with built-in (codegen'd) functions, aggregations are
+  * partial+final, and candidate generation never materializes an
+  * all-pairs product — pairs meet only through equality joins on
+  * shingles / LSH buckets, which shuffle-partition by key.
+  */
+object Dedup {
+
+  // ---------------- exact dedup ----------------
+
+  /** Exact duplicate grouping by content hash. Returns one row per
+    * distinct content: the kept (minimum) id and the duplicate count.
+    * At scale this is a single hash aggregation on a 128-bit key —
+    * no text comparison, no skew beyond true duplicate mass.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------- shingling ----------------
+
+  /** Distinct word w-shingles per document, one row per (id, shingle).
+    * Built-ins only: split → transform(sequence) → array_distinct →
+    * explode, all inside whole-stage codegen.
+    */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val words = split(col(textCol), " +")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - w, lit(0))),
+      i => concat_ws(" ", (0 until w).map(j =>
+        element_at(words, i + lit(j + 1))): _*)))
+    df.select(col(idCol), explode(shingles).as("shingle"))
+  }
+
+  /** Distinct character n-grams per document (expr form:
+    * `functions.substring` takes only literal positions, the SQL
+    * `substring` accepts a column).
+    */
+  def charShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.filter(length(col(textCol)) >= n)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))"
+      ))).as("shingle"))
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** MinHash signatures: `numHashes` permutations approximated by
+    * seeded xxhash64. One explode + one grouped min-aggregation —
+    * map-side partial aggregation keeps the shuffle at
+    * |docs| × numHashes longs regardless of document length.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 32): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, shingleWidth)
+    val mins = (0 until numHashes).map(h =>
+      min(xxhash64(lit(h), col("shingle"))).as(s"mh_$h"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numHashes / bands` rows, hash each band → (id, band, bucket).
+    */
+  def lshBuckets(sig: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Near-duplicate candidate pairs via MinHash LSH, with the estimated
+    * Jaccard (fraction of agreeing minhashes) computed from the
+    * signatures. Pairs meet only inside an LSH bucket — the join is a
+    * shuffle on (band, bucket), never an all-pairs product.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, shingleWidth, numHashes)
+      .cache()
+    val buckets = lshBuckets(sig, idCol, numHashes, bands)
+    val b1 = buckets.toDF("id1", "band", "bucket")
+    val b2 = buckets.toDF("id2", "band", "bucket")
+    val candidates = b1.join(b2, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val s1 = sig.toDF(sig.columns.map(c => s"${c}_a"): _*)
+    val s2 = sig.toDF(sig.columns.map(c => s"${c}_b"): _*)
+    val agree = (0 until numHashes).map(h =>
+      when(col(s"mh_${h}_a") === col(s"mh_${h}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .join(s1, col("id1") === col(s"${idCol}_a"))
+      .join(s2, col("id2") === col(s"${idCol}_b"))
+      .select(col("id1"), col("id2"),
+        (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  // ---------------- exact n-gram Jaccard ----------------
+
+  /** Exact Jaccard similarity over distinct character n-grams for all
+    * pairs that share at least one shingle. The per-shingle join is the
+    * scale hazard: `maxDocFreq` drops stop-shingles (present in more
+    * than that many docs) before the join — the standard skew guard.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.0,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val shingles = charShingles(df, idCol, textCol, n)
+    val pruned = maxDocFreq match {
+      case Some(k) =>
+        val hot = shingles.groupBy("shingle").count()
+          .filter(col("count") > k).select("shingle")
+        shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => shingles
+    }
+    val sizes = pruned.groupBy(col(idCol))
+      .agg(count(lit(1)).as("sz"))
+    val a = pruned.toDF("id1", "shingle")
+    val b = pruned.toDF("id2", "shingle")
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("m"))
+    inter
+      .join(sizes.toDF("id1", "sz1"), Seq("id1"))
+      .join(sizes.toDF("id2", "sz2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (col("m").cast("double") /
+          (col("sz1") + col("sz2") - col("m"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash folded from token hashes by a typed Aggregator
+    * (partial aggregation per partition; the merge state is just 64
+    * ints, so the shuffle is tiny regardless of document size).
+    */
+  object SimhashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(acc: Array[Int], tokenHash: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) {
+        if (((tokenHash >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+      acc
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(acc: Array[Int]): Long = {
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    }
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Per-document SimHash signature over whitespace tokens. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val simhashUdaf = udaf(SimhashAgg)
+    df.select(col(idCol),
+      explode(split(col(textCol), " +")).as("token"))
+      .select(col(idCol), xxhash64(col("token")).as("th"))
+      .groupBy(col(idCol))
+      .agg(simhashUdaf(col("th")).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs among documents whose signatures fall in
+    * the same bucket on at least one of four 16-bit bands (the
+    * standard rotate-and-block scheme: a pair within Hamming distance
+    * 3 must agree on one band).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol).cache()
+    val banded = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val l = banded.toDF("id1", "sig1", "band", "bucket")
+    val r = banded.toDF("id2", "sig2", "band", "bucket")
+    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        hamming(col("sig1"), col("sig2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

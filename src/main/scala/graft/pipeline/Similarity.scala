@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * The dot products run on built-in higher-order functions
+  * (`zip_with` + `aggregate`) in double precision with a
+  * left-to-right fold — deterministic and codegen-friendly, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Brute-force top-k cosine neighbors.
+    *
+    * `queries` is expected to be small (it is broadcast): the scan of
+    * `corpus` is then a single pass, and the per-query top-k is a
+    * partial `TakeOrdered`-style window per partition — no all-pairs
+    * shuffle of the corpus.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `planes(seed)(i)(d)`. */
+  def hyperplanes(numPlanes: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dims)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket for one band of planes. */
+  private def bandBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      val d = aggregate(zip_with(transform(vec, x => x.cast("double")),
+        planeCol, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+      when(d > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Banded sign-LSH top-k: candidates meet when any band's bucket
+    * matches (multi-band trades precision for recall, like MinHash
+    * banding); exact cosine reranks within candidates. The join
+    * shuffles on (band, bucket) — at 100 TB this is the scale path
+    * versus the brute-force scan.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, bands: Int = 4, bitsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val dims = 64
+    val bandCols = (0 until bands).map { b =>
+      val planes = hyperplanes(bitsPerBand, dims, seed + b)
+      struct(lit(b).as("band"), bandBucket(col(vecCol), planes).as("bucket"))
+    }
+    def bucketize(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+        explode(array(bandCols: _*)).as("bb"))
+        .select(col(s"${side}_id"), col(s"${side}_vec"),
+          col("bb.band"), col("bb.bucket"))
+    val qb = broadcast(bucketize(queries, "query"))
+    val cb = bucketize(corpus, "neighbor")
+    val candidates = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+      .distinct()
+    val scored = candidates.select(col("query_id"), col("neighbor_id"),
+      cosine(col("query_vec"), col("neighbor_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Cosine similarity of consecutive ids — a linear near-dup sweep
+    * used by the oracle-checked entry (deterministic, join on id+1).
+    */
+  def consecutiveCosine(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") + 1 === col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
+  }
+}

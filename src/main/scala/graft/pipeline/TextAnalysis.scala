@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators: quality scoring, token counting, language
+  * identification, document fingerprinting. All built-in expressions
+  * (codegen'd, no UDFs); the regex dialect is the RE2-compatible
+  * subset so the same patterns run in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Quality metrics per document: lengths, word counts, average word
+    * length, stopword ratio, punctuation ratio.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val noSpace = length(t) - length(regexp_replace(t, " ", ""))
+    val nWords = noSpace + 1
+    val stopCnt = size(regexp_extract_all(t,
+      lit("\\b(the|a|of|and|to)\\b"), lit(0)))
+    val punctCnt = size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0)))
+    df.select(col(idCol),
+      length(t).as("n_chars_calc"),
+      nWords.cast("long").as("n_words"),
+      ((length(t) - noSpace).cast("double") / nWords.cast("double"))
+        .as("avg_word_len"),
+      stopCnt.cast("long").as("stopword_cnt"),
+      (stopCnt.cast("double") / nWords.cast("double")).as("stopword_ratio"),
+      punctCnt.cast("long").as("punct_cnt"))
+  }
+
+  /** Token counts: whitespace tokens and regex (BPE-ish word/number
+    * pieces) tokens.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = (length(t) - length(regexp_replace(t, " ", "")) + 1)
+    val re = size(regexp_extract_all(t, lit("[a-zA-Z]+|[0-9]+"), lit(0)))
+    df.select(col(idCol),
+      ws.cast("long").as("ws_tokens"),
+      re.cast("long").as("re_tokens"))
+  }
+
+  /** Stable content fingerprint: md5 of the text with whitespace
+    * stripped (a cheap normalization), plus a 64-bit rolling-style
+    * hash (xxhash64) for compact joins.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val normalized = regexp_replace(lower(col(textCol)), "\\s+", "")
+    df.select(col(idCol),
+      md5(normalized.cast("binary")).as("fingerprint_md5"),
+      xxhash64(normalized).as("fingerprint_64"))
+  }
+
+  /** Tiny built-in stopword profiles for the n-gram/stopword language
+    * heuristic. Real pipelines plug in fastText-style models; the
+    * operator shape (score per language → argmax) is what matters.
+    */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
+
+  /** Language ID by stopword-profile hit ratio: score = matches of the
+    * language's stopword set; prediction = argmax (ties broken by
+    * language code order), 'unk' when nothing matches.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scores = stopwordProfiles.toSeq.sortBy(_._1).map { case (lg, words) =>
+      val pat = "\\b(" + words.mkString("|") + ")\\b"
+      struct(size(regexp_extract_all(t, lit(pat), lit(0))).as("score"),
+        lit(lg).as("lang"))
+    }
+    val best = greatest(scores: _*) // struct comparison: score, then lang
+    df.select(col(idCol),
+      when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit("unk")).as("predicted_lang"),
+      best.getField("score").cast("long").as("lang_score"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Behavior tests for the pipeline operators whose outputs are
+  * hash-function-dependent (and therefore not oracle-checkable in
+  * DuckDB): MinHash/LSH, SimHash, sign-LSH ANN, language ID, and the
+  * multimodal plumbing.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  lazy val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    .select("doc_id", "text")
+  lazy val embs = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    .select("vec_id", "embedding")
+
+  test("minhash LSH finds planted near-duplicates") {
+    val planted = docs.filter(col("doc_id") < 30).select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      // drop the first word: high-Jaccard near-duplicate
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val pairs = Dedup.minhashNearDupPairs(docs.unionByName(planted),
+      "doc_id", "text", numHashes = 32, bands = 8, minEstJaccard = 0.5)
+      .collect()
+    val found = pairs.count { r =>
+      r.getLong(1) == r.getLong(0) + 1000000
+    }
+    // banding with b=8, r=4 catches >90% of pairs at J≈0.9
+    assert(found >= 24, s"only $found/30 planted near-dups found")
+    // and no absurd flood of false positives
+    assert(pairs.length < 200, s"${pairs.length} candidate pairs")
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    import spark.implicits._
+    val base = docs.limit(20).collect().map(r => (r.getLong(0), r.getString(1)))
+    val perturbed = base.map { case (id, t) =>
+      (id + 1000, t.replaceFirst("^\\S+", "zzz")) }
+    val all = (base ++ perturbed).toSeq.toDF("doc_id", "text")
+    val sigs = Dedup.simhash(all, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = base.map { case (id, _) =>
+      java.lang.Long.bitCount(sigs(id) ^ sigs(id + 1000)) }
+    assert(dists.forall(_ <= 12), s"hamming distances: ${dists.mkString(",")}")
+    // unrelated docs should be far apart on average
+    val cross = for (i <- base.indices; j <- base.indices if i < j)
+      yield java.lang.Long.bitCount(sigs(base(i)._1) ^ sigs(base(j)._1))
+    assert(cross.sum.toDouble / cross.size > 15.0)
+  }
+
+  test("simhash near-dup pair mining via banding") {
+    import spark.implicits._
+    val base = docs.limit(50).collect().map(r => (r.getLong(0), r.getString(1)))
+    val dup = base.take(10).map { case (id, t) => (id + 5000, t) } // exact dups
+    val all = (base ++ dup).toSeq.toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(all, "doc_id", "text",
+      maxHamming = 3).collect()
+    val found = pairs.count(r => r.getLong(1) == r.getLong(0) + 5000)
+    assert(found == 10, s"found $found/10 exact dup pairs")
+  }
+
+  test("LSH ANN recall against brute force") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, embs, "vec_id",
+      "embedding", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(queries, embs, "vec_id", "embedding",
+      k = 10, bands = 8, bitsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // sign-LSH with 8 bands of 4 bits on clustered data: candidates
+    // shrink ~16x per band vs the full corpus; union of 8 bands keeps
+    // most true neighbors
+    assert(recall >= 0.5, s"LSH recall@10 = $recall")
+  }
+
+  test("cosine zip_with fold matches a hand computation") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f), 2L, Array(0.6f, 0.8f)))
+      .toDF("a_id", "a", "b_id", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect()(0).getDouble(0)
+    // 0.6f/0.8f are not exactly representable in float32
+    assert(math.abs(c - 0.6) < 1e-6)
+  }
+
+  test("language ID identifies planted stopword-rich texts") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat of the mat and went to the store in a hurry"),
+      (2L, "der hund ist nicht mit der katze und das ist ein problem"),
+      (3L, "le chat est dans la maison et les oiseaux dans un arbre"),
+      (4L, "el perro es un animal y los gatos son una familia que come"),
+      (5L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(samples, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "fr" &&
+      out(4L) == "es" && out(5L) == "unk")
+  }
+
+  test("quality metrics are internally consistent") {
+    val q = TextAnalysis.quality(docs.limit(50), "doc_id", "text").collect()
+    q.foreach { r =>
+      val nChars = r.getInt(1).toLong
+      val nWords = r.getLong(2)
+      val avg = r.getDouble(3)
+      assert(nWords > 0 && avg > 0 && avg * nWords <= nChars + 1)
+    }
+  }
+
+  test("multimodal plumbing: batch decode preserves ids and byte lengths") {
+    val stats = Multimodal.mediaFeatureStats(spark, Tables.load(spark,
+      "/root/testdata/sf0.01", "documents")).collect()
+    assert(stats.length == 500)
+    val byId = stats.map(r => r.getLong(0) -> r).toMap
+    val lens = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ascii word-salad text: utf-8 byte length == char length
+    lens.foreach { case (id, len) =>
+      assert(byId(id).getLong(1) == len)
+    }
+    // deterministic: re-running yields identical checksums
+    val again = Multimodal.mediaFeatureStats(spark, Tables.load(spark,
+      "/root/testdata/sf0.01", "documents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    stats.foreach(r => assert(again(r.getLong(0)) == r.getLong(2)))
+  }
+
+  test("media feature extraction emits fixed-dim vectors") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.load(spark, "/root/testdata/sf0.01", "documents").limit(10))
+    val feats = Multimodal.extractFeatures(media, partitions = 4).collect()
+    assert(feats.length == 10)
+    feats.foreach { f =>
+      assert(f.feature.length == Multimodal.featureDims)
+      assert(f.byte_len > 0 && f.kind == "text")
+    }
+  }
+}
