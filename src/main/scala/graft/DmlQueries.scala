@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.frontend.{Analyzer, Engine, ManagedCatalog, ManagedEngine}
+
+/** Driver-gate entry exercising the managed-table DML path end-to-end:
+  * seed a managed table from the fixture, run DELETE and UPDATE
+  * through the dialect, and return the final state. The oracle
+  * reproduces the same final state declaratively over the read-only
+  * fixture.
+  */
+object DmlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val dm1Roundtrip: Q = (s, dir) => {
+    val root = Files.createTempDirectory("graft_dml").toString
+    val env = new Analyzer.Env().addDecls(
+      """create table mdocs (
+        |  doc_id int not null primary key,
+        |  lang string not null,
+        |  n_chars int not null)""".stripMargin)
+    val catalog = new ManagedCatalog(s, root, env)
+    val managed = new ManagedEngine(catalog,
+      new Engine(s, env, catalog.load _))
+    // seed from the fixture (DataFrame write, then dialect DML)
+    catalog.overwrite("mdocs",
+      Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 100))
+    managed.exec("delete from mdocs where doc_id < 10")
+    managed.exec("update mdocs set lang = 'xx' where n_chars > 300")
+    managed.exec("select doc_id, lang, n_chars from mdocs order by doc_id")
+  }
+  val dm1Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN n_chars > 300 THEN 'xx' ELSE lang END AS lang,
+      |  n_chars
+      |FROM documents
+      |WHERE doc_id < 100 AND doc_id >= 10
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("dm1_dml_roundtrip" -> dm1Roundtrip)
+  val oracleSql: Map[String, String] = Map("dm1_dml_roundtrip" -> dm1Sql)
+}

@@ -7,10 +7,11 @@ object SparkEntry {
     RelQueries.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelQueries.queries ++ DialectQueries.queries ++ PipelineQueries.queries
+    RelQueries.queries ++ DialectQueries.queries ++
+      PipelineQueries.queries ++ DmlQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelQueries.oracleSql ++ DialectQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++ DmlQueries.oracleSql
 }

@@ -899,6 +899,9 @@ object Analyzer {
         (InsertValues(rows2), Scope.create())
       case InsertSelect(sel) =>
         val (scope, sel2) = inferSelect(ctx, sel)
+        // record for DML lowering (the insert's innerScope swaps its
+        // scopes list for the RETURNING target-table scope)
+        ctx.env.subSelectScopes.put(sel2, scope)
         CheckAgg.checkSelect(scope, sel2)
         val row = getRow(scope, sel2.proj)
         if (row.length != insert.columns.length) arityError(row.length)

@@ -383,6 +383,10 @@ object Lowering {
     lowerSelect(ctx, scope, sel)
   }
 
+  /** FROM lowering for DML (UPDATE ... FROM): same namespacing. */
+  def lowerFromForDml(ctx: Ctx, scope: Analyzer.Scope,
+      from: From): DataFrame = lowerFrom(ctx, scope, from)
+
   // ---------------- queries ----------------
 
   def lowerQuery(spark: SparkSession, env: Env, info: QueryInfo,

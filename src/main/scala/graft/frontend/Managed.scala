@@ -1,0 +1,262 @@
+package graft.frontend
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.Path
+
+import Syntax._
+import Analyzer._
+
+/** Managed, writable tables backing the DML statements: each table is
+  * a parquet directory; INSERT/UPDATE/DELETE are read-transform-swap
+  * rewrites (write a fresh directory, then swap it in), the same
+  * strategy a lakehouse table format uses minus the transaction log —
+  * single-writer semantics, documented (SURVEY §7.7).
+  */
+final class ManagedCatalog(
+    val spark: SparkSession,
+    val root: String,
+    val env: Env) {
+
+  private def fs = new Path(root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  def tablePath(name: String): String = s"$root/$name"
+
+  def schemaOf(name: String): StructType = {
+    val (_, ddl) = env.findTable(name)
+    StructType(ddl.cols.map(c =>
+      org.apache.spark.sql.types.StructField(c.name,
+        Lowering.toSparkType(c.ty), c.ty.nullable)))
+  }
+
+  def exists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
+
+  def load(name: String): DataFrame =
+    if (exists(name)) spark.read.parquet(tablePath(name))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schemaOf(name))
+
+  /** Swap-in a new table state: write to a sibling tmp dir, then
+    * replace the live dir. The new state is fully materialized before
+    * the old one is touched.
+    */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    val live = new Path(tablePath(name))
+    val tmp = new Path(tablePath(name) + ".tmp")
+    val cols = schemaOf(name).fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name))
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.select(cols.toIndexedSeq: _*).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(live)) fs.delete(live, true)
+    if (!fs.rename(tmp, live)) fail(s"failed to swap in new state for $name")
+    // the swap bypasses Spark's write path, so its shared file-status
+    // cache still lists the replaced files — invalidate explicitly
+    spark.catalog.refreshByPath(live.toString)
+  }
+
+  def drop(name: String): Unit = {
+    val p = new Path(tablePath(name))
+    if (fs.exists(p)) fs.delete(p, true)
+    spark.catalog.refreshByPath(p.toString)
+  }
+
+  def rename(from: String, to: String): Unit = {
+    val a = new Path(tablePath(from))
+    val b = new Path(tablePath(to))
+    if (fs.exists(a) && !fs.rename(a, b)) fail(s"failed to rename $from")
+    spark.catalog.refreshByPath(a.toString)
+    spark.catalog.refreshByPath(b.toString)
+  }
+}
+
+/** DML execution over a ManagedCatalog (SURVEY §2.1 INSERT/UPDATE/
+  * DELETE rows): lowering of the analyzed DML statements.
+  */
+final class ManagedEngine(
+    val catalog: ManagedCatalog,
+    val engine: Engine) {
+
+  private def spark = catalog.spark
+  private def env = catalog.env
+
+  def sql(src: String, params: Map[String, Any] = Map.empty): DataFrame =
+    exec(src, params)
+
+  /** Execute any statement; SELECTs return their result, DML returns
+    * the RETURNING rows (empty DataFrame with the right schema when no
+    * RETURNING clause was given).
+    */
+  def exec(src: String, params: Map[String, Any] = Map.empty): DataFrame = {
+    val info = analyzeQuery(env, Parser.parseQuery(src))
+    val (query2, params2) = Binder.resolve(env, info, params)
+    val ctx = Lowering.Ctx(spark, env, catalog.load _, params2)
+    query2 match {
+      case QSelect(sel) => Lowering.lowerSelect(ctx, info.scope, sel)
+      case QInsert(i)   => execInsert(ctx, info, i)
+      case QUpdate(u)   => execUpdate(ctx, info, u)
+      case QDelete(d)   => execDelete(ctx, info, d)
+    }
+  }
+
+  private def primaryKeys(table: String): Seq[String] = {
+    val (_, ddl) = env.findTable(table)
+    ddl.cols.filter(_.primaryKey).map(_.name)
+  }
+
+  /** Project RETURNING fields against affected rows carried in the
+    * `table__col` namespace.
+    */
+  private def returningDf(ctx: Lowering.Ctx, table: String,
+      affected: DataFrame, returning: List[SelectField],
+      row: List[(String, Ty)]): DataFrame = {
+    if (returning.isEmpty) affected.limit(0).select()
+    else {
+      val nsd = affected.select(affected.columns.map(c =>
+        col(c).as(s"${table}__$c")).toIndexedSeq: _*)
+      val cols = returning.collect { case FieldE(Some(n), e, true) =>
+        Lowering.compile(ctx, e).as(n)
+      }
+      nsd.select(cols: _*)
+    }
+  }
+
+  private def execInsert(ctx: Lowering.Ctx, info: QueryInfo,
+      i: Insert): DataFrame = {
+    val existing = catalog.load(i.table)
+    val (_, ddl) = env.findTable(i.table)
+
+    // new rows with the declared columns only
+    val incoming: DataFrame = i.from match {
+      case InsertValues(rows) =>
+        rows.map { row =>
+          val cols = i.columns.zip(row).map { case (c, e) =>
+            Lowering.compile(ctx, e).as(c)
+          }
+          spark.range(1).select(cols: _*)
+        }.reduce(_.unionByName(_))
+      case InsertSelect(sel) =>
+        val scope = env.subSelectScopes.get(sel)
+        if (scope == null) fail("no recorded scope for INSERT ... SELECT")
+        Lowering.lowerSelect(ctx, scope, sel).toDF(i.columns: _*)
+    }
+
+    // fill unlisted columns: autoincrement from max+1, defaults, nulls
+    val maxAuto: Map[String, Long] = ddl.cols.collect {
+      case c if c.autoincrement && !i.columns.contains(c.name) =>
+        val m = existing.agg(max(col(c.name))).collect()(0)
+        c.name -> (if (m.isNullAt(0)) 0L else m.getLong(0))
+    }.toMap
+    val withAll = ddl.cols.foldLeft(
+      incoming.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(monotonically_increasing_id())))) { (df, c) =>
+      if (i.columns.contains(c.name)) df
+      else if (c.autoincrement)
+        df.withColumn(c.name, lit(maxAuto(c.name)) + col("__rn"))
+      else c.default match {
+        case Some(e) => df.withColumn(c.name, Lowering.compile(ctx, e))
+        case None    => df.withColumn(c.name,
+          lit(null).cast(Lowering.toSparkType(c.ty)))
+      }
+    }
+    val newRows = withAll.select(ddl.cols.map(c => col(c.name)): _*)
+
+    // ON CONFLICT against the primary key
+    val pks = primaryKeys(i.table)
+    val (finalNew, finalExisting) = i.onConflict match {
+      case None => (newRows, existing)
+      case Some(ConflictIgnore) =>
+        if (pks.isEmpty) (newRows, existing)
+        else (newRows.join(existing.select(pks.map(col): _*), pks, "left_anti"),
+          existing)
+      case Some(ConflictReplace) =>
+        if (pks.isEmpty) (newRows, existing)
+        else (newRows,
+          existing.join(newRows.select(pks.map(col): _*), pks, "left_anti"))
+    }
+    // materialize before the swap: RETURNING must observe the
+    // pre-write state, not lazily recompute over the new files
+    val inserted = finalNew.localCheckpoint(true)
+    catalog.overwrite(i.table, finalExisting.unionByName(inserted))
+    returningDf(ctx, i.table, inserted, i.returning, info.row)
+  }
+
+  private def execDelete(ctx: Lowering.Ctx, info: QueryInfo,
+      d: Delete): DataFrame = {
+    val existing = catalog.load(d.table)
+    val nsd = existing.select(existing.columns.map(c =>
+      col(c).as(s"${d.table}__$c")).toIndexedSeq: _*)
+    val cond = d.where.map(Lowering.compile(ctx, _)).getOrElse(lit(true))
+    val deleted = nsd.filter(coalesce(cond, lit(false))).localCheckpoint(true)
+    val kept = nsd.filter(!coalesce(cond, lit(false)))
+    catalog.overwrite(d.table, kept.select(existing.columns.map(c =>
+      col(s"${d.table}__$c").as(c)).toIndexedSeq: _*))
+    if (d.returning.isEmpty) deleted.limit(0).select()
+    else {
+      val cols = d.returning.collect { case FieldE(Some(n), e, true) =>
+        Lowering.compile(ctx, e).as(n)
+      }
+      deleted.select(cols: _*)
+    }
+  }
+
+  private def execUpdate(ctx: Lowering.Ctx, info: QueryInfo,
+      u: Update): DataFrame = {
+    val existing = catalog.load(u.table)
+    val nsd = existing.select(existing.columns.map(c =>
+      col(c).as(s"${u.table}__$c")).toIndexedSeq: _*)
+    // UPDATE ... FROM: join the extra sources; rows may match multiple
+    // join rows — keep the first per base row (classic UPDATE FROM
+    // nondeterminism, made deterministic here)
+    val joined = u.from match {
+      case None => nsd
+      case Some(f) =>
+        val scope = info.innerScope
+        val fromDf = LoweringAccess.lowerFromPublic(ctx, scope, f)
+        nsd.crossJoin(fromDf)
+    }
+    val cond = u.where.map(Lowering.compile(ctx, _)).getOrElse(lit(true))
+    val matched = joined.filter(coalesce(cond, lit(false)))
+    val pks = primaryKeys(u.table)
+    val keyCols = if (pks.nonEmpty) pks.map(c => s"${u.table}__$c")
+      else existing.columns.map(c => s"${u.table}__$c").toSeq
+    val firstMatch = matched.dropDuplicates(keyCols)
+    // compute updated values, then re-enter the namespaced world with
+    // the SET columns replaced (RETURNING sees post-update values and
+    // may reference FROM-source columns, reference update.t:50-58)
+    val updated = u.set.foldLeft(firstMatch) { case (df, (name, e)) =>
+      df.withColumn(s"__new_$name", Lowering.compile(ctx, e))
+    }
+    val postNs = updated.select(updated.columns.collect {
+      case c if !c.startsWith("__new_") =>
+        val base = c.stripPrefix(s"${u.table}__")
+        if (c.startsWith(s"${u.table}__") && u.set.exists(_._1 == base))
+          col(s"__new_$base").as(c)
+        else col(c)
+    }.toIndexedSeq: _*).localCheckpoint(true)
+    val updatedRows = postNs.select(existing.columns.map(c =>
+      col(s"${u.table}__$c").as(c)).toIndexedSeq: _*)
+    val untouched =
+      if (pks.nonEmpty)
+        existing.join(updatedRows.select(pks.map(col): _*), pks, "left_anti")
+      else
+        existing.exceptAll(firstMatch.select(existing.columns.map(c =>
+          col(s"${u.table}__$c").as(c)).toIndexedSeq: _*))
+    catalog.overwrite(u.table, untouched.unionByName(updatedRows))
+    if (u.returning.isEmpty) postNs.limit(0).select()
+    else {
+      val cols = u.returning.collect { case FieldE(Some(n), e, true) =>
+        Lowering.compile(ctx, e).as(n)
+      }
+      postNs.select(cols: _*)
+    }
+  }
+}
+
+/** Access shim for Lowering internals needed by DML. */
+object LoweringAccess {
+  def lowerFromPublic(ctx: Lowering.Ctx, scope: Analyzer.Scope,
+      from: From): DataFrame = Lowering.lowerFromForDml(ctx, scope, from)
+}

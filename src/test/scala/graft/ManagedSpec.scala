@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import graft.frontend._
+import graft.frontend.Analyzer.Env
+
+/** Managed-table DML + migration tests, shaped after the reference's
+  * sqlite todo-app transcript (reference test/sqlpp_sqlite/test.t,
+  * db.ml): a migration chain that renames/retypes columns, then CRUD
+  * with autoincrement, ON CONFLICT and RETURNING.
+  */
+class ManagedSpec extends SparkTestBase {
+
+  def freshManaged(): (ManagedCatalog, ManagedEngine, Migrate.Runner) = {
+    val dir = Files.createTempDirectory("graft_managed").toString
+    val env = new Env()
+    val catalog = new ManagedCatalog(spark, dir, env)
+    val engine = new Engine(spark, env, catalog.load _)
+    val managed = new ManagedEngine(catalog, engine)
+    (catalog, managed, new Migrate.Runner(catalog, managed))
+  }
+
+  val migrations: List[Migrate.Migration] = List(
+    Migrate.Migration("create todos", List(
+      Migrate.CreateTable(
+        """create table todos (
+          |  id int not null primary key autoincrement,
+          |  text string,
+          |  created float not null,
+          |  done bool not null)""".stripMargin))),
+    Migrate.Migration("todos: done -> completed", List(
+      Migrate.RenameColumn("todos", "done", "completed"))),
+    Migrate.Migration("todos: text null -> text not null", List(
+      Migrate.RenameColumn("todos", "text", "text_prev"),
+      Migrate.AddColumn("todos", Syntax.ColumnDef("text",
+        Syntax.nonNull(Syntax.STRING))),
+      Migrate.RunDml("update todos set text = coalesce(text_prev, '')"),
+      Migrate.DropColumn("todos", "text_prev"))),
+    Migrate.Migration("create projects", List(
+      Migrate.CreateTable(
+        """create table projects (
+          |  name string not null primary key,
+          |  created float not null)""".stripMargin),
+      Migrate.RunDml("insert into projects set name = 'default', created = 0.0"),
+      Migrate.AddColumn("todos", Syntax.ColumnDef("project",
+        Syntax.nonNull(Syntax.STRING),
+        default = Some(Syntax.ELit(Syntax.LitString("default"))))))))
+
+  test("migration chain applies once and is journaled") {
+    val (catalog, managed, runner) = freshManaged()
+    val applied = runner.apply(migrations)
+    assert(applied == migrations.map(_.name))
+    // idempotent: second run applies nothing
+    assert(runner.apply(migrations).isEmpty)
+    assert(runner.applied() == migrations.map(_.name).toSet)
+    // final schema: id, created, completed, text, project
+    assert(catalog.schemaOf("todos").fieldNames.toSet ==
+      Set("id", "created", "completed", "text", "project"))
+  }
+
+  test("todo-app CRUD transcript: insert/update/delete with RETURNING") {
+    val (catalog, managed, runner) = freshManaged()
+    runner.apply(migrations)
+
+    // autoincrement ids assigned 1, 2
+    val ins = managed.exec(
+      "insert into todos(text, created, completed) values ('buy milk', 1.0, false), ('walk dog', 2.0, false) returning id, text")
+    assert(ins.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "buy milk"), (2L, "walk dog")))
+
+    // INSERT ... SET sugar
+    managed.exec("insert into todos set text = 'pay bills', created = 3.0, completed = false")
+    assert(managed.exec("select count(1) as n from todos group by ()")
+      .collect()(0).getLong(0) == 3)
+
+    // UPDATE with WHERE + RETURNING post-update values
+    val upd = managed.exec(
+      "update todos set completed = true where text = 'buy milk' returning id, completed")
+    val updRows = upd.collect()
+    assert(updRows.length == 1 && updRows(0).getBoolean(1))
+
+    // DELETE with RETURNING
+    val del = managed.exec(
+      "delete from todos where completed = true returning id")
+    assert(del.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(managed.exec("select count(1) as n from todos group by ()")
+      .collect()(0).getLong(0) == 2)
+  }
+
+  test("ON CONFLICT IGNORE and REPLACE by primary key") {
+    val (catalog, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec("insert into projects(name, created) values ('p1', 1.0)")
+    // IGNORE: duplicate pk dropped
+    managed.exec(
+      "insert into projects(name, created) values ('p1', 99.0) on conflict ignore")
+    val created1 = managed.exec(
+      "select created from projects where name = 'p1'").collect()(0).getDouble(0)
+    assert(created1 == 1.0)
+    // REPLACE: row replaced
+    managed.exec(
+      "insert into projects(name, created) values ('p1', 42.0) on conflict replace")
+    val created2 = managed.exec(
+      "select created from projects where name = 'p1'").collect()(0).getDouble(0)
+    assert(created2 == 42.0)
+    // 'default' project from the migration is still there
+    assert(managed.exec("select count(1) as n from projects group by ()")
+      .collect()(0).getLong(0) == 2)
+  }
+
+  test("INSERT ... SELECT from another managed table") {
+    val (catalog, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec("insert into todos(text, created, completed) values ('a', 1.0, false), ('b', 2.0, true)")
+    managed.exec(
+      "insert into projects(name, created) select text, created from todos where completed = false")
+    val names = managed.exec("select name from projects order by name")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("a", "default"))
+  }
+
+  test("UPDATE ... FROM join form") {
+    val (catalog, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec("insert into todos(text, created, completed) values ('x', 1.0, false)")
+    managed.exec("insert into projects(name, created) values ('boost', 10.0)")
+    val ret = managed.exec(
+      """update todos set created = p.created
+        |from projects as p
+        |where p.name = 'boost' and todos.text = 'x'
+        |returning id, todos.created, p.name""".stripMargin)
+    val r = ret.collect()(0)
+    assert(r.getDouble(1) == 10.0 && r.getString(2) == "boost")
+  }
+
+  test("missing required columns still enforced on managed inserts") {
+    val (_, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    val e = intercept[Syntax.SqlppError](
+      managed.exec("insert into todos(text) values ('nope')"))
+    assert(e.msg.contains("missing required columns"))
+  }
+}
