@@ -8,10 +8,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelQueries.queries ++ DialectQueries.queries ++
-      PipelineQueries.queries ++ DmlQueries.queries
+      PipelineQueries.queries ++ DmlQueries.queries ++ StreamQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelQueries.oracleSql ++ DialectQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ DmlQueries.oracleSql
+      PipelineQueries.oracleSql ++ DmlQueries.oracleSql ++
+      StreamQueries.oracleSql
 }

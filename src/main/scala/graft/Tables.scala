@@ -17,7 +17,21 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(path(sfDir, name))
+
+  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read nanos as long (legacy conf) and convert to a
+    * proper timestamp with integer µs division (exact — a double
+    * division would lose precision above 2^53 ns).
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(sfDir, "events"))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   /** Register every test table as a temp view named after itself. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

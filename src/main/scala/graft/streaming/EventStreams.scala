@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Every transform below is written against a plain DataFrame so the
+  * SAME code path serves batch (driver-gate oracle checks) and
+  * streaming (readStream → transform → writeStream); Spark's
+  * incrementalization handles the rest. Watermarks bound state for
+  * the windowed aggregation; `flatMapGroupsWithState` carries custom
+  * per-user session state with an event-time timeout.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate per event type: the canonical
+    * watermarked streaming aggregation. On a stream, late data beyond
+    * 10 minutes is dropped and window state is evicted — bounded state
+    * regardless of stream length.
+    */
+  def windowedTypeAgg(events: DataFrame,
+      withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes")
+      else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * lit(100.0), 0).cast("long"))
+          .as("value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+  }
+
+  // ---------------- sessionization ----------------
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+
+  final case class Session(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  val sessionGapMs: Long = 30L * 60 * 1000
+
+  /** Custom stateful streaming: per-user sessions with a 30-minute
+    * inactivity gap, emitted when the event-time timeout fires. State
+    * per key is four scalars — O(users) memory, not O(events).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId,
+              new java.sql.Timestamp(s.sessionStart),
+              new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = List.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= sessionGapMs =>
+                  cur = Some(SessionState(s.sessionStart, t,
+                    s.nEvents + 1, s.totalValue + e.value))
+                case Some(s) =>
+                  closed += Session(userId,
+                    new java.sql.Timestamp(s.sessionStart),
+                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + sessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch sessionization with identical semantics (gaps-and-islands
+    * via lag + running sum) — the oracle-checkable twin of
+    * `sessionize`, and the backfill path of a kappa-style pipeline.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val starts = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // integer-µs gap: a seconds cast would truncate fractional
+      // seconds and flip boundary decisions vs an exact comparison
+      .withColumn("is_start",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            lit(sessionGapMs * 1000), 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_start")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    starts.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * lit(100.0), 0).cast("long"))
+          .as("value_cents"))
+      .drop("session_seq")
+  }
+
+  /** File-based streaming source over an events parquet directory —
+    * the production shape: readStream → transform → writeStream.
+    */
+  def streamFromDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+}

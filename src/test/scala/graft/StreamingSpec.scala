@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Streaming behavior: the same transform runs incrementally over a
+  * MemoryStream and agrees with its batch execution; stateful
+  * sessionization closes sessions on the event-time gap.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed agg: streaming increments equal the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0),
+      Event(4, ts(70), 2, "click", 4.0))
+    val sdf = mem.toDF()
+    val q = EventStreams.windowedTypeAgg(sdf, withWatermark = true)
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("update").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_agg")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventStreams.windowedTypeAgg(events.toDF(),
+        withWatermark = false)
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.length == 3) // (10:00 click), (11:00 view), (11:00 click)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions after the gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: two events 5 min apart; then a 40-min gap starts
+      // session 2; the watermark must pass start2's timeout to emit s1
+      mem.addData(Event(1, ts(0), 7, "click", 1.0))
+      mem.addData(Event(2, ts(5), 7, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(45), 7, "view", 3.0))
+      q.processAllAvailable()
+      // push the watermark far forward to time out session 2
+      mem.addData(Event(4, ts(300), 9, "click", 0.5))
+      q.processAllAvailable()
+      mem.addData(Event(5, ts(600), 9, "click", 0.5))
+      q.processAllAvailable()
+      val out = spark.table("sessions").orderBy("session_start").collect()
+      assert(out.length >= 2, s"got ${out.length} sessions")
+      val s1 = out(0)
+      assert(s1.getLong(0) == 7 && s1.getLong(3) == 2 &&
+        s1.getDouble(4) == 3.0)
+      val s2 = out(1)
+      assert(s2.getLong(0) == 7 && s2.getLong(3) == 1)
+    } finally q.stop()
+  }
+
+  test("batch sessionization matches hand-computed islands") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 1.0),
+      Event(3, ts(60), 1, "a", 1.0), // 50-min gap → new session
+      Event(4, ts(0), 2, "b", 2.0))
+    val out = EventStreams.sessionizeBatch(events.toDF())
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 1 && out(0).getLong(3) == 2)
+    assert(out(1).getLong(0) == 1 && out(1).getLong(3) == 1)
+    assert(out(2).getLong(0) == 2 && out(2).getLong(3) == 1)
+  }
+
+  test("file stream over the fixture events dir produces batches") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source streams a directory of arriving files
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events-000.parquet"))
+    val raw = EventStreams.streamFromDir(spark, dir.toString)
+    val stream = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.windowedTypeAgg(stream, withWatermark = true)
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("file_win").count()
+      val batchN = EventStreams.windowedTypeAgg(
+        Tables.load(spark, sf, "events")).count()
+      assert(n > 0 && n >= batchN)
+    } finally q.stop()
+  }
+}
