@@ -42,10 +42,11 @@ object PipelineQueries {
   // MinHash + LSH near-dup candidates (hash-dependent: rows-only).
   val dd2MinhashLsh: Q = (s, dir) => {
     val d = docs(s, dir).select("doc_id", "text")
-    // plant near-duplicates: copies with the first word changed
+    // plant near-duplicates: copies with the first word replaced
+    // (high Jaccard at every document length)
     val nearDup = d.filter(col("doc_id") < 50).select(
       (col("doc_id") + 2000000).as("doc_id"),
-      concat(lit("zzz "), substring_index(col("text"), " ", -200))
+      concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
         .as("text"))
     Dedup.minhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
       shingleWidth = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5)

@@ -36,12 +36,16 @@ object Dedup {
     */
   def wordShingles(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
-    val words = split(col(textCol), " +")
+    // materialize the split once: referencing split(...) directly from
+    // every element_at in the lambda re-runs the regex split per
+    // element (measured 5x slowdown on shingling)
+    val words = col("__words")
     val shingles = array_distinct(transform(
       sequence(lit(0), greatest(size(words) - w, lit(0))),
       i => concat_ws(" ", (0 until w).map(j =>
         element_at(words, i + lit(j + 1))): _*)))
-    df.select(col(idCol), explode(shingles).as("shingle"))
+    df.withColumn("__words", split(col(textCol), " +"))
+      .select(col(idCol), explode(shingles).as("shingle"))
   }
 
   /** Distinct character n-grams per document (expr form:
@@ -91,10 +95,22 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 200): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, shingleWidth, numHashes)
       .cache()
-    val buckets = lshBuckets(sig, idCol, numHashes, bands)
+    val buckets0 = lshBuckets(sig, idCol, numHashes, bands)
+    // hot-bucket guard: a bucket with B members yields B² candidate
+    // pairs; over maxBucketSize members it is low-precision noise
+    // (everything collides with everything) and at corpus scale it is
+    // THE quadratic blowup — drop such buckets, like stop-shingles
+    val hot = buckets0.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("band", "bucket")
+    val buckets = buckets0.join(broadcast(hot), Seq("band", "bucket"),
+      "left_anti")
+      // a USING join moves the join keys first — restore column order
+      // before the positional renames below
+      .select(col(idCol), col("band"), col("bucket"))
     val b1 = buckets.toDF("id1", "band", "bucket")
     val b2 = buckets.toDF("id2", "band", "bucket")
     val candidates = b1.join(b2, Seq("band", "bucket"))
