@@ -147,7 +147,20 @@ object DialectQueries {
       |FROM orders
       |ORDER BY o_orderkey LIMIT 50 OFFSET 10""".stripMargin
 
+  // argMax (README-parity remote-aggregation example, README.md:74-81)
+  val sq11: Q = (s, dir) => e(s, dir).sql(
+    """select c_nationkey, argMax(c_custkey, c_acctbal) as richest,
+      |  max(c_acctbal) as best_bal
+      |from customer
+      |group by c_nationkey
+      |order by c_nationkey""".stripMargin)
+  val sq11Sql: String =
+    """SELECT c_nationkey, arg_max(c_custkey, c_acctbal) AS richest,
+      | max(c_acctbal) AS best_bal
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sq11_dialect_argmax" -> sq11,
     "sq1_dialect_join_param_agg" -> sq1,
     "sq2_dialect_left_join" -> sq2,
     "sq3_dialect_in_subquery" -> sq3,
@@ -161,6 +174,7 @@ object DialectQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sq11_dialect_argmax" -> sq11Sql,
     "sq1_dialect_join_param_agg" -> sq1Sql,
     "sq2_dialect_left_join" -> sq2Sql,
     "sq3_dialect_in_subquery" -> sq3Sql,

@@ -549,7 +549,7 @@ object Analyzer {
     case _ => fail("expects two arguments")
   }
 
-  private val aggFuncs = Set("count", "sum", "max", "min")
+  private val aggFuncs = Set("count", "sum", "max", "min", "argMax")
 
   /** The complete built-in function registry
     * (reference analyze.ml:546-621).
@@ -562,6 +562,14 @@ object Analyzer {
     case ("max" | "min" | "sum", List(x)) =>
       val (ty, x2) = checkExpr(ctx, nullT(NUMERIC), x)
       (ty, EApp(name, List(x2)))
+    case ("argMax", List(x, y)) =>
+      // README-parity extension: the reference documents
+      // `argMax(id, created_at)` (README.md:79) but never implements it
+      // (no case in analyze.ml:546-621). Result: x's type; the ordering
+      // key must be comparable (NUMERIC-checked like min/max).
+      val (tx, x2) = inferExpr(ctx, x)
+      val (_, y2) = checkExpr(ctx, nullT(NUMERIC), y)
+      (tx, EApp(name, List(x2, y2)))
     case ("=" | "!=" | ">" | ">=" | "<" | "<=", as) =>
       val ((tx, x2), (ty, y2)) = handleBinopPrim(ctx, inferExpr, as)
       val t = tyLub(tx, ty)

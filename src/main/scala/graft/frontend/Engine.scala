@@ -29,9 +29,14 @@ final class Engine(
     * (Option fields ⇔ nullable columns, mirroring the reference's
     * 'a option convention, sqlpp_ppx.ml:260-271).
     */
+  /** Typed API returning a distributed Dataset (no collect). */
+  def fetch[T: Encoder](src: String,
+      params: Map[String, Any] = Map.empty): Dataset[T] =
+    prepare(src).bind(params).as[T]
+
   def fetchList[T: Encoder](src: String,
       params: Map[String, Any] = Map.empty): List[T] =
-    prepare(src).bind(params).as[T].collect().toList
+    fetch[T](src, params).collect().toList
 
   def fetchOption[T: Encoder](src: String,
       params: Map[String, Any] = Map.empty): Option[T] =

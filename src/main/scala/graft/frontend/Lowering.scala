@@ -100,6 +100,7 @@ object Lowering {
       case ("sum", _)                 => sum(a(0))
       case ("min", _)                 => min(a(0))
       case ("max", _)                 => max(a(0))
+      case ("argMax", _)              => max_by(a(0), a(1))
       case ("=", _)                   => a(0) === a(1)
       case ("!=", _)                  => a(0) =!= a(1)
       case (">", _)                   => a(0) > a(1)

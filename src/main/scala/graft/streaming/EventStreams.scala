@@ -104,7 +104,10 @@ object EventStreams {
   def sessionizeBatch(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val starts = events
+    // prune before the window shuffle: the wide props column would
+    // otherwise ride through both sorts
+    val slim = events.select("user_id", "ts", "value")
+    val starts = slim
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       // integer-µs gap: a seconds cast would truncate fractional
       // seconds and flip boundary decisions vs an exact comparison
