@@ -35,7 +35,10 @@ object Printer {
     case EApp("NOT", List(x)) =>
       val s = s"NOT ${expr(x, 30)}"
       if (30 < outer) s"($s)" else s
-    case EApp("-", List(x)) => s"-${expr(x, 90)}"
+    case EApp("-", List(x)) =>
+      val inner = expr(x, 90)
+      // "--" would lex as a line comment
+      if (inner.startsWith("-")) s"- $inner" else s"-$inner"
     case EApp(op @ ("IS NULL" | "IS NOT NULL"), List(x)) =>
       val s = s"${expr(x, 41)} $op"
       if (40 < outer) s"($s)" else s
@@ -45,13 +48,28 @@ object Printer {
     case ELit(LitString(v)) => "'" + v.replace("'", "\\'") + "'"
     case ELit(LitBool(v)) => if (v) "true" else "false"
     case EName(n) => n
-    case ENav(s, e2) => s"$s.${expr(e2, 100)}"
+    case ENav(s, e2) =>
+      // the grammar admits only simple forms after '.', anything else
+      // must ride in parens (which parseSimpleAfterDot accepts)
+      val simple = e2 match {
+        case EName(_) | ENav(_, _) | EParam(_) | EExists(_) |
+            EMatch(_, _) => true
+        case EApp(f, _) => f.headOption.exists(c =>
+          c.isLetter || c == '_')
+        case _ => false
+      }
+      if (simple) s"$s.${expr(e2, 100)}"
+      else s"$s.(${expr(e2, 0)})"
     case EIn(List(x), sel) => s"${expr(x, 56)} IN (${select(sel)})"
     case EIn(es, sel) =>
       s"(${es.map(expr(_, 0)).mkString(", ")}) IN (${select(sel)})"
     case EExists(sel) => s"EXISTS (${select(sel)})"
-    case EAscribe(e2, TyVal(t)) => s"${expr(e2, 81)}: ${t.show.toLowerCase}"
-    case EAscribe(e2, TyExpr(t)) => s"${expr(e2, 81)}: ${t.show.toLowerCase} expr"
+    case EAscribe(e2, TyVal(t)) =>
+      val s = s"${expr(e2, 81)}: ${t.show.toLowerCase}"
+      if (80 < outer) s"($s)" else s
+    case EAscribe(e2, TyExpr(t)) =>
+      val s = s"${expr(e2, 81)}: ${t.show.toLowerCase} expr"
+      if (80 < outer) s"($s)" else s
     case EParam(n) => s"?$n"
     case EMatch(p, cases) =>
       val cs = cases.map { c =>

@@ -67,8 +67,10 @@ object Syntax {
         TyOneOf(None, if (ys.contains(x)) ys else x :: ys)
       case (TyOneOf(_, xs), TyName(y)) =>
         TyOneOf(None, if (xs.contains(y)) xs else xs :+ y)
-      case (TyOneOf(_, xs), TyOneOf(_, ys)) =>
-        TyOneOf(None, xs ++ ys.filterNot(xs.contains))
+      case (TyOneOf(la, xs), TyOneOf(lb, ys)) =>
+        // keep the label on a no-op union (lub idempotence on NUMERIC)
+        if (xs == ys && la == lb) b.core
+        else TyOneOf(None, xs ++ ys.filterNot(xs.contains))
     }
     Ty(core, a.nullable || b.nullable)
   }
@@ -86,10 +88,13 @@ object Syntax {
         if (!ys.contains(x)) noMatch() else a.core
       case (TyOneOf(_, xs), TyName(y)) =>
         if (!xs.contains(y)) noMatch() else b.core
-      case (TyOneOf(_, xs), TyOneOf(_, ys)) =>
+      case (TyOneOf(la, xs), TyOneOf(lb, ys)) =>
         xs.filter(ys.contains) match {
           case Nil      => noMatch()
           case t :: Nil => TyName(t)
+          // keep the label when the intersection is the same union
+          // (makes glb idempotent on labeled unions like NUMERIC)
+          case ts if ts == ys && la == lb => b.core
           case ts       => TyOneOf(None, ts)
         }
     }
