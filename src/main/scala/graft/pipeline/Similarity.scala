@@ -12,8 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two `array<float>` columns: a native codegen
+    * Catalyst expression running one fused primitive loop
+    * (graft.functions.CosineSimilarity). Same double-precision
+    * left-to-right fold as the composed version below, so results are
+    * bit-identical — just without the intermediate arrays.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineNative(a, b)
+
+  /** Composed built-ins variant (any numeric array type) — kept as the
+    * reference implementation the native expression is verified
+    * against.
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
     val ad = transform(a, x => x.cast("double"))

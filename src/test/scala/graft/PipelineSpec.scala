@@ -85,6 +85,41 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(c - 0.6) < 1e-6)
   }
 
+  test("native cosine expression is bit-identical to the composed version") {
+    val pairs = embs.toDF("id1", "v1").crossJoin(
+      embs.limit(3).toDF("id2", "v2"))
+    val both = pairs.select(
+      Similarity.cosine(col("v1"), col("v2")).as("native"),
+      Similarity.cosineComposed(col("v1"), col("v2")).as("composed"))
+    val diff = both.filter(col("native") =!= col("composed")).count()
+    assert(diff == 0, s"$diff pairs differ between native and composed cosine")
+    // codegen path actually used (no fallback to interpreted)
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("cosinesimilarity") ||
+      plan.contains("CosineSimilarity"))
+  }
+
+  test("native cosine is faster than the composed expression") {
+    val pairs = embs.toDF("id1", "v1")
+      .crossJoin(embs.limit(40).toDF("id2", "v2")).cache()
+    pairs.count() // materialize input
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      pairs.select(sum(c)).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths once
+    time(Similarity.cosine(col("v1"), col("v2")))
+    time(Similarity.cosineComposed(col("v1"), col("v2")))
+    val native = time(Similarity.cosine(col("v1"), col("v2")))
+    val composed = time(Similarity.cosineComposed(col("v1"), col("v2")))
+    info(f"native: $native%.3fs, composed: $composed%.3fs " +
+      f"(${composed / native}%.1fx)")
+    assert(native < composed,
+      f"native $native%.3fs not faster than composed $composed%.3fs")
+    pairs.unpersist()
+  }
+
   test("language ID identifies planted stopword-rich texts") {
     import spark.implicits._
     val samples = Seq(
