@@ -159,8 +159,22 @@ object DialectQueries {
       | max(c_acctbal) AS best_bal
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // events table through the dialect: datetime comparison + grouping
+  val sq12: Q = (s, dir) => e(s, dir).sql(
+    """select event_type, count(1) as n, min(value) as min_v, max(value) as max_v
+      |from events
+      |where ts >= datetime('2024-01-08T00:00:00') and value > 10.0
+      |group by event_type
+      |order by event_type""".stripMargin)
+  val sq12Sql: String =
+    """SELECT event_type, count(1) AS n, min(value) AS min_v, max(value) AS max_v
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND value > 10.0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sq11_dialect_argmax" -> sq11,
+    "sq12_dialect_events" -> sq12,
     "sq1_dialect_join_param_agg" -> sq1,
     "sq2_dialect_left_join" -> sq2,
     "sq3_dialect_in_subquery" -> sq3,
@@ -175,6 +189,7 @@ object DialectQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sq11_dialect_argmax" -> sq11Sql,
+    "sq12_dialect_events" -> sq12Sql,
     "sq1_dialect_join_param_agg" -> sq1Sql,
     "sq2_dialect_left_join" -> sq2Sql,
     "sq3_dialect_in_subquery" -> sq3Sql,

@@ -176,6 +176,26 @@ class EngineSpec extends SparkTestBase {
     assert(!scan.contains("o_totalprice"))
   }
 
+  test("nullability soundness: runtime nulls only in nullable-typed columns") {
+    // battery spanning joins, aggregation, scalar functions
+    val battery = Seq(
+      "select n_name, c_name from nation left join customer on c_nationkey = n_nationkey",
+      "select nullif(o_orderstatus, 'O') as s, o_orderkey from orders limit 50",
+      "select coalesce(nullif(c_name, ''), 'x') as nm from customer limit 50",
+      "select n_name, count(1) as n from nation group by n_name",
+      "select c_custkey, c_acctbal + 1.0 as b from customer limit 50")
+    battery.foreach { src =>
+      val prep = engine.prepare(src)
+      val df = prep.bind()
+      val rows = df.collect()
+      prep.row.zipWithIndex.foreach { case ((name, ty), i) =>
+        if (!ty.nullable)
+          assert(rows.forall(!_.isNullAt(i)),
+            s"non-null column $name of `$src` contained nulls")
+      }
+    }
+  }
+
   test("execJson dynamic API") {
     val js = engine.execJson("select r_regionkey, r_name from region order by r_regionkey limit 1")
     assert(js.length == 1 && js.head.contains("\"r_name\""))
