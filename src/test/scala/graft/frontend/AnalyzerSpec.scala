@@ -276,6 +276,44 @@ class AnalyzerSpec extends AnyFunSuite {
       "user_name" -> nullT(STRING)))
   }
 
+  test("withscope: unqualified names resolve through scope aliases (with-scope.t:49-73)") {
+    val info = analyze(
+      """select withscope x.y.z as u, name
+        |from (select ... from (select ... from (select ... from users) as z) as y) as x""".stripMargin)
+    assert(info.row == List("name" -> nullT(STRING)))
+    // the name was pushed down the whole chain as generated _0 fields
+    assert(topEmission(info) == List("name" -> ENav("x", EName("_0"))))
+  }
+
+  test("lazy fieldset fields usable later; clashing explicit name goes positional (fieldset.t:30-43)") {
+    val info = analyze(
+      "select with ...users_fields(users), user_id from users")
+    // user_id is taken by the lazy fieldset field, so the explicit
+    // field is auto-named _2; its expr is the same-scope copy users.id
+    assert(info.row == List("_2" -> nonNull(INT)))
+    assert(topEmission(info) == List("_2" -> ENav("users", EName("id"))))
+    assert(!info.scope.fields("user_id").isUsed)
+  }
+
+  test("fieldset with table alias arg (fieldset.t:46-56)") {
+    val info = analyze(
+      "select with ...users_fields(u), user_id from users as u")
+    assert(topEmission(info) == List("_2" -> ENav("u", EName("id"))))
+  }
+
+  test("fieldset with nested scope path arg (fieldset.t:58-79)") {
+    val info = analyze(
+      """select with ...users_fields(x.y.users), user_id
+        |from (select ... from (select ... from users) as y) as x""".stripMargin)
+    assert(info.row.map(_._1) == List("_2"))
+    assert(topEmission(info) == List("_2" -> ENav("x", EName("_0"))))
+  }
+
+  test("fieldset arity error (fieldset.t:81-87)") {
+    assert(err("select ...users_fields() from users")
+      == "fieldset ...users_fields expects 1 arguments but 0 provided")
+  }
+
   // ---- expr-in.t / expr-exists.t ----
 
   test("IN subquery arity and typing") {
