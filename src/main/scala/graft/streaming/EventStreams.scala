@@ -135,4 +135,24 @@ object EventStreams {
       .schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
+
+  /** Sink a stream into a managed table: each micro-batch appends
+    * through the catalog's swap-in write (exactly-once per batch under
+    * the file source's checkpointed offsets; the batch union is
+    * idempotent against replays only if the caller keys rows — the
+    * same contract as any foreachBatch upsert).
+    */
+  def streamToManagedTable(df: DataFrame,
+      catalog: graft.frontend.ManagedCatalog, table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val existing = catalog.load(table)
+        catalog.overwrite(table,
+          existing.unionByName(batch.localCheckpoint(true), true))
+      }
+      .start()
 }

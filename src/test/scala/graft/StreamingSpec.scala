@@ -70,6 +70,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream sinks into a managed table via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val env = new graft.frontend.Analyzer.Env().addDecls(
+      "create table sunk (user_id int not null, n int not null)")
+    val catalog = new graft.frontend.ManagedCatalog(spark, root, env)
+    val mem = MemoryStream[Event]
+    val agged = mem.toDF().groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val q = EventStreams.streamToManagedTable(agged, catalog, "sunk",
+      s"$root/_ckpt")
+    try {
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 2, "b", 1.0))
+      q.processAllAvailable()
+      val rows = catalog.load("sunk").collect()
+      assert(rows.length == 2)
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed islands") {
     import spark.implicits._
     val events = Seq(
