@@ -175,7 +175,7 @@ object Lowering {
         if (cols.isEmpty) df.select() else df.select(cols: _*)
       case FromSelect(sel, _) =>
         val inner = lowerSelect(ctx, sub, sel)
-        inner.select(inner.columns.map(c => col(c).as(ns(alias, c))): _*)
+        inner.select(inner.columns.toIndexedSeq.map(c => col(c).as(ns(alias, c))): _*)
     }
   }
 
@@ -195,7 +195,7 @@ object Lowering {
 
     def lowerInDf(es: List[Expr], sel: Select): (DataFrame, Column) = {
       val sub = lowerTopSelect(ctx, sel)
-      val renamed = sub.toDF(sub.columns.map(c => s"__in${flagIdx}_$c"): _*)
+      val renamed = sub.toDF(sub.columns.toIndexedSeq.map(c => s"__in${flagIdx}_$c"): _*)
       val cond = es.zip(renamed.columns).map { case (e, c) =>
         compile(ctx, e) === col(c)
       }.reduce(_ && _)
@@ -211,7 +211,7 @@ object Lowering {
         val flag = s"__in_flag_$flagIdx"
         flagIdx += 1
         df = df.join(sub.distinct().withColumn(flag, lit(true)), cond,
-          "left_outer").drop(sub.columns: _*)
+          "left_outer").drop(sub.columns.toIndexedSeq: _*)
         EName(flag) // compiles to col(flag); null → false via coalesce below
       case EApp(f, as)     => EApp(f, as.map(rewrite))
       case EAscribe(x, t)  => EAscribe(rewrite(x), t)

@@ -116,8 +116,8 @@ object Dedup {
     val candidates = b1.join(b2, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val s1 = sig.toDF(sig.columns.map(c => s"${c}_a"): _*)
-    val s2 = sig.toDF(sig.columns.map(c => s"${c}_b"): _*)
+    val s1 = sig.toDF(sig.columns.toIndexedSeq.map(c => s"${c}_a"): _*)
+    val s2 = sig.toDF(sig.columns.toIndexedSeq.map(c => s"${c}_b"): _*)
     val agree = (0 until numHashes).map(h =>
       when(col(s"mh_${h}_a") === col(s"mh_${h}_b"), 1).otherwise(0))
       .reduce(_ + _)

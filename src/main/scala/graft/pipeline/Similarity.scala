@@ -64,7 +64,7 @@ object Similarity {
   /** Sign-random-projection bucket for one band of planes. */
   private def bandBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       val d = aggregate(zip_with(transform(vec, x => x.cast("double")),
         planeCol, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
       when(d > 0, lit(1 << j)).otherwise(lit(0))
