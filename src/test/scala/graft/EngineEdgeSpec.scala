@@ -1,0 +1,165 @@
+package graft
+
+import graft.frontend.Engine
+import graft.frontend.Syntax.SqlppError
+
+/** Edge combinations of dialect features, each checked against the
+  * equivalent Spark SQL result on the same parquet.
+  */
+class EngineEdgeSpec extends SparkTestBase {
+
+  lazy val engine: Engine = Catalog.engine(spark, sf)
+
+  def viaSql(q: String): Seq[org.apache.spark.sql.Row] = {
+    Tables.names.foreach { n =>
+      Tables.load(spark, sf, n).createOrReplaceTempView(n)
+    }
+    spark.sql(q).collect().toSeq
+  }
+
+  test("ordered+limited subselect inside FROM") {
+    val df = engine.sql(
+      """select t.o_orderkey from
+        |(select o_orderkey, ... from orders order by o_totalprice desc limit 20) as t
+        |order by t.o_orderkey""".stripMargin)
+    val want = viaSql(
+      """SELECT o_orderkey FROM
+        |(SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 20) t
+        |ORDER BY o_orderkey""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("IN subquery inside a subselect's WHERE") {
+    val df = engine.sql(
+      """select t.c_custkey from
+        |(select c_custkey, ...
+        | from customer
+        | where c_custkey in (select o_custkey from orders where o_totalprice > 400000.0)) as t
+        |order by t.c_custkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("two IN conjuncts plus a plain predicate") {
+    val df = engine.sql(
+      """select c_custkey from customer
+        |where c_custkey in (select o_custkey from orders where o_totalprice > 300000.0)
+        |  and c_custkey in (select o_custkey from orders where o_orderstatus = 'F')
+        |  and c_acctbal > 0.0
+        |order by c_custkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |  AND c_acctbal > 0.0
+        |ORDER BY c_custkey""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("NOT IN under OR (flag-join path, negated)") {
+    val df = engine.sql(
+      """select c_custkey from customer
+        |where not (c_custkey in (select o_custkey from orders where o_totalprice > 400000.0))
+        |   or c_acctbal < -900.0
+        |order by c_custkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |   OR c_acctbal < -900.0
+        |ORDER BY c_custkey""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("EXISTS gate inside a grouped query's WHERE") {
+    val df = engine.sql(
+      """select o_orderstatus, count(1) as n from orders
+        |where exists(select r_regionkey from region where r_name = 'ASIA')
+        |group by o_orderstatus order by o_orderstatus""".stripMargin)
+    val want = viaSql(
+      """SELECT o_orderstatus, count(1) AS n FROM orders
+        |WHERE EXISTS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("join of two grouped subselects") {
+    val df = engine.sql(
+      """select a.k, a.n, b.m
+        |from (select o_custkey as k, count(1) as n, ... from orders group by o_custkey) as a
+        |join (select c_nationkey as k2, count(1) as m, ...
+        |      from customer group by c_nationkey) as b
+        |on a.k = b.k2
+        |order by a.k limit 20""".stripMargin)
+    val want = viaSql(
+      """SELECT a.k, a.n, b.m
+        |FROM (SELECT o_custkey AS k, count(1) AS n FROM orders GROUP BY o_custkey) a
+        |JOIN (SELECT c_nationkey AS k2, count(1) AS m FROM customer GROUP BY c_nationkey) b
+        |ON a.k = b.k2
+        |ORDER BY a.k LIMIT 20""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("grouped query ordered by aggregate not in the projection") {
+    val df = engine.sql(
+      """select l_orderkey from lineitem
+        |group by l_orderkey
+        |having count(1) > 5
+        |order by sum(l_quantity) desc, l_orderkey
+        |limit 10""".stripMargin)
+    // Spark SQL itself cannot order a projected-away aggregate here;
+    // compare against the explicit two-step rewrite our lowering does
+    val want = viaSql(
+      """SELECT l_orderkey FROM (
+        |  SELECT l_orderkey, sum(l_quantity) AS s, count(1) AS c
+        |  FROM lineitem GROUP BY l_orderkey)
+        |WHERE c > 5 ORDER BY s DESC, l_orderkey LIMIT 10""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("MATCH branch containing an IN subquery") {
+    val q = engine.prepare(
+      """select c_custkey from customer
+        |where match ?f with
+        |  | buyers -> c_custkey in (select o_custkey from orders where o_totalprice > 400000.0)
+        |  | all -> true
+        |  end
+        |order by c_custkey""".stripMargin)
+    val buyers = q.bind(Map("f" -> Engine.Variant("buyers"))).count()
+    val all = q.bind(Map("f" -> Engine.Variant("all"))).count()
+    val wantBuyers = viaSql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin).length
+    val wantAll = viaSql("SELECT c_custkey FROM customer").length
+    assert(buyers == wantBuyers && all == wantAll && buyers < all)
+  }
+
+  test("self-join with aliases keeps namespaces apart") {
+    val df = engine.sql(
+      """select a.n_name, b.n_name as other
+        |from nation as a join nation as b on a.n_regionkey = b.n_regionkey
+        |where a.n_nationkey < b.n_nationkey
+        |order by a.n_name, b.n_name""".stripMargin)
+    val want = viaSql(
+      """SELECT a.n_name, b.n_name AS other
+        |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        |WHERE a.n_nationkey < b.n_nationkey
+        |ORDER BY a.n_name, b.n_name""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("deeply nested open scopes (3 levels) with outer navigation") {
+    val df = engine.sql(
+      """select x.y.z.o_orderkey, x.(y.z.o_totalprice * 2.0)
+        |from (select ... from (select ... from (select ... from orders) as z) as y) as x
+        |order by x.y.z.o_orderkey limit 5""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    val want = viaSql(
+      "SELECT o_orderkey, o_totalprice * 2.0 FROM orders ORDER BY o_orderkey LIMIT 5")
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      want.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+}
