@@ -174,7 +174,19 @@ object PipelineQueries {
   val mm1MediaFeatures: Q = (s, dir) =>
     Multimodal.mediaFeatureStats(s, docs(s, dir)).orderBy("media_id")
 
+  // ---------------- composed curation pass ----------------
+
+  // quality gate → exact dedup → near-dup drop → per-source stats.
+  // Rows-only: the MinHash near-dup stage genuinely fires on the
+  // fixture (the small shared vocabulary yields real ≥0.9-estimated
+  // pairs), so the pass is deterministic but not DuckDB-reproducible;
+  // PipelineSpec asserts planted exact and near duplicates are
+  // removed.
+  val cp1Curation: Q = (s, dir) =>
+    pipeline.Curation.curationStats(docs(s, dir))
+
   val queries: Map[String, Q] = Map(
+    "cp1_curation_pipeline" -> cp1Curation,
     "dd1_exact_dedup" -> dd1ExactDedup,
     "dd2_minhash_lsh_pairs" -> dd2MinhashLsh,
     "dd3_simhash" -> dd3Simhash,

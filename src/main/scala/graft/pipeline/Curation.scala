@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** An end-to-end training-data curation pass composing the pipeline
+  * operators — the shape a 100 TB pre-training data job takes:
+  *
+  *   quality gate → exact dedup → near-dup candidate drop → per-source
+  *   quota stats
+  *
+  * Each stage is one of the standalone operators; composition stays
+  * declarative so Catalyst plans the whole pass as one job (scans are
+  * shared, filters push down through the gates).
+  */
+object Curation {
+
+  /** Survivors of the curation pass with their quality features.
+    *
+    * @param minWords    drop docs shorter than this many ws-tokens
+    * @param maxWords    drop docs longer than this (truncation bait)
+    * @param nearDupEst  drop the higher-id member of every MinHash
+    *                    near-dup candidate pair at or above this
+    *                    estimated Jaccard
+    */
+  def curate(docs: DataFrame, minWords: Long = 10, maxWords: Long = 100000,
+      nearDupEst: Double = 0.9): DataFrame = {
+    // stage 1: quality gate
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+      .filter(col("n_words") >= minWords && col("n_words") <= maxWords)
+      .select("doc_id", "n_words", "avg_word_len")
+    val gated = docs.join(q, Seq("doc_id"))
+
+    // stage 2: exact dedup — keep the minimum id per content hash
+    val keep = Dedup.exactDedup(gated, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val exactDeduped = gated.join(keep, Seq("doc_id"))
+
+    // stage 3: near-dup drop — higher id of each candidate pair goes
+    val nearDupLosers = Dedup.minhashNearDupPairs(
+      exactDeduped.select("doc_id", "text"), "doc_id", "text",
+      minEstJaccard = nearDupEst)
+      .select(col("id2").as("doc_id")).distinct()
+    exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-source summary of a curation pass (the report a data-quota
+    * dashboard consumes).
+    */
+  def curationStats(docs: DataFrame): DataFrame =
+    curate(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("source"))
+}

@@ -144,6 +144,29 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("curation pass drops planted exact and near duplicates") {
+    import graft.pipeline.Curation
+    val base = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val clean = Curation.curate(base).count()
+    assert(clean > 0 && clean <= 500)
+    // planted exact + near duplicates are removed
+    val exactDup = base.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 500000).as("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    // perturb only long docs: a one-word change on a 10-word doc is
+    // legitimately below the 0.9 near-dup threshold
+    val nearDup = base.filter(col("n_chars") > 300)
+      .orderBy("doc_id").limit(10)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        expr("concat('zzz ', substring(text, instr(text, ' ') + 1))").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val polluted = base.unionByName(exactDup).unionByName(nearDup)
+    val curated = Curation.curate(polluted)
+    assert(curated.filter(col("doc_id") >= 500000).count() == 0,
+      "planted duplicates survived curation")
+    assert(curated.count() == clean)
+  }
+
   test("multimodal plumbing: batch decode preserves ids and byte lengths") {
     val stats = Multimodal.mediaFeatureStats(spark, Tables.load(spark,
       "/root/testdata/sf0.01", "documents")).collect()
