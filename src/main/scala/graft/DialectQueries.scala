@@ -172,9 +172,33 @@ object DialectQueries {
       |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND value > 10.0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // composition features through one gate query: a named query inlined
+  // in FROM, a fieldset splice against it, and a WITHSCOPE alias
+  val sq13: Q = (s, dir) => {
+    // fieldset args name TABLE scopes (reference analyze.ml:77-79);
+    // the named query's scope must structurally subsume it, so it
+    // projects every customer column
+    val env = Catalog.env().addDecls(
+      """create query active_customers as
+        |  select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, ...
+        |  from customer where c_acctbal > 0.0;
+        |create fieldset cust_id(from customer AS a) as
+        |  select a.c_custkey as cid, a.c_name as cname;
+        |""".stripMargin)
+    new Engine(s, env, name => Tables.load(s, dir, name)).sql(
+      """select withscope ac as c2, ...cust_id(ac), c2.c_acctbal
+        |from active_customers as ac
+        |order by ac.c_custkey limit 50""".stripMargin)
+  }
+  val sq13Sql: String =
+    """SELECT c_custkey AS cid, c_name AS cname, c_acctbal
+      |FROM customer WHERE c_acctbal > 0.0
+      |ORDER BY c_custkey LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sq11_dialect_argmax" -> sq11,
     "sq12_dialect_events" -> sq12,
+    "sq13_dialect_composition" -> sq13,
     "sq1_dialect_join_param_agg" -> sq1,
     "sq2_dialect_left_join" -> sq2,
     "sq3_dialect_in_subquery" -> sq3,
@@ -190,6 +214,7 @@ object DialectQueries {
   val oracleSql: Map[String, String] = Map(
     "sq11_dialect_argmax" -> sq11Sql,
     "sq12_dialect_events" -> sq12Sql,
+    "sq13_dialect_composition" -> sq13Sql,
     "sq1_dialect_join_param_agg" -> sq1Sql,
     "sq2_dialect_left_join" -> sq2Sql,
     "sq3_dialect_in_subquery" -> sq3Sql,

@@ -30,12 +30,19 @@ object DmlQueries {
         .filter(org.apache.spark.sql.functions.col("doc_id") < 100))
     managed.exec("delete from mdocs where doc_id < 10")
     managed.exec("update mdocs set lang = 'xx' where n_chars > 300")
+    // ON CONFLICT IGNORE: clashing pk rows must be dropped;
+    // ON CONFLICT REPLACE: pk 10..11 rows replaced wholesale
+    managed.exec(
+      "insert into mdocs(doc_id, lang, n_chars) values (10, 'dup', 1), (20, 'dup', 1) on conflict ignore")
+    managed.exec(
+      "insert into mdocs(doc_id, lang, n_chars) values (11, 'rep', 7) on conflict replace")
     managed.exec("select doc_id, lang, n_chars from mdocs order by doc_id")
   }
   val dm1Sql: String =
     """SELECT doc_id,
-      |  CASE WHEN n_chars > 300 THEN 'xx' ELSE lang END AS lang,
-      |  n_chars
+      |  CASE WHEN doc_id = 11 THEN 'rep'
+      |       WHEN n_chars > 300 THEN 'xx' ELSE lang END AS lang,
+      |  CASE WHEN doc_id = 11 THEN 7 ELSE n_chars END AS n_chars
       |FROM documents
       |WHERE doc_id < 100 AND doc_id >= 10
       |ORDER BY doc_id""".stripMargin
