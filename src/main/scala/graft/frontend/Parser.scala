@@ -12,23 +12,32 @@ import Lexer._
   * Deliberate divergence: the reference maps the `*` token to the "-"
   * operator (parser.mly:355, a bug) — we map `*` to "*".
   */
-final class Parser(tokens: Vector[Token]) {
+final class Parser(tokens: Vector[Token],
+    offsets: Vector[Int] = Vector.empty, src: String = "") {
   private var pos = 0
+
+  /** Positioned parse error when source offsets are available
+    * (reference report.ml snippet style).
+    */
+  private def perr(msg: String): Nothing =
+    if (offsets.isEmpty || src.isEmpty) fail(msg)
+    else fail(Report.format(src,
+      offsets(math.min(pos, offsets.length - 1)), msg))
 
   private def peek: Token = tokens(pos)
   private def peek2: Token = tokens(math.min(pos + 1, tokens.length - 1))
   private def next(): Token = { val t = tokens(pos); pos += 1; t }
   private def expect(t: Token, what: String): Unit =
-    if (peek == t) pos += 1 else fail(s"expected $what but got $peek")
+    if (peek == t) pos += 1 else perr(s"expected $what but got $peek")
   private def at(kw: String): Boolean = peek == TKw(kw)
   private def eat(kw: String): Boolean =
     if (at(kw)) { pos += 1; true } else false
   private def expectKw(kw: String): Unit =
-    if (!eat(kw)) fail(s"expected $kw but got $peek")
+    if (!eat(kw)) perr(s"expected $kw but got $peek")
 
   private def ident(): String = next() match {
     case TIdent(n) => n
-    case t         => fail(s"expected identifier but got $t")
+    case t         => perr(s"expected identifier but got $t")
   }
 
   // ------------- flexible lists (trailing delimiter allowed) -------------
@@ -135,7 +144,7 @@ final class Parser(tokens: Vector[Token]) {
       next()
       val p = peek match {
         case TParam(name) => next(); name
-        case t            => fail(s"expected ?param after MATCH but got $t")
+        case t            => perr(s"expected ?param after MATCH but got $t")
       }
       expectKw("WITH")
       if (peek == TBar) next()
@@ -162,7 +171,7 @@ final class Parser(tokens: Vector[Token]) {
         e
       }
     case TIdent(_) => parseSimpleName()
-    case t => fail(s"unexpected token in expression: $t")
+    case t => perr(s"unexpected token in expression: $t")
   }
 
   /** name | name.simple | name(args) — the expr_simple chain. */
@@ -188,7 +197,7 @@ final class Parser(tokens: Vector[Token]) {
     case TLParen    =>
       next(); val e = parseExpr(); expect(TRParen, ")"); e
     case TKw("EXISTS") | TKw("MATCH") => parsePrimary()
-    case t => fail(s"unexpected token after '.': $t")
+    case t => perr(s"unexpected token after '.': $t")
   }
 
   private def parseMatchCase(): MatchCase = {
@@ -198,7 +207,7 @@ final class Parser(tokens: Vector[Token]) {
       case TLParen =>
         next()
         val ps = flexList({ case TParam(_) => true; case _ => false }) { () =>
-          peek match { case TParam(p) => next(); p; case t => fail(s"expected param, got $t") }
+          peek match { case TParam(p) => next(); p; case t => perr(s"expected param, got $t") }
         }
         expect(TRParen, ")")
         ps
@@ -371,14 +380,14 @@ final class Parser(tokens: Vector[Token]) {
           (nm, parseExpr())
         }
         (sets.map(_._1), InsertValues(List(sets.map(_._2))))
-      case t => fail(s"expected (columns) or SET in INSERT, got $t")
+      case t => perr(s"expected (columns) or SET in INSERT, got $t")
     }
     val onConflict =
       if (at("ON")) {
         next(); expectKw("CONFLICT")
         if (eat("IGNORE")) Some(ConflictIgnore)
         else if (eat("REPLACE")) Some(ConflictReplace)
-        else fail("expected IGNORE or REPLACE after ON CONFLICT")
+        else perr("expected IGNORE or REPLACE after ON CONFLICT")
       } else None
     Insert(table, columns, from, onConflict, parseReturning())
   }
@@ -409,7 +418,7 @@ final class Parser(tokens: Vector[Token]) {
     case TKw("INSERT") => QInsert(parseInsert())
     case TKw("UPDATE") => QUpdate(parseUpdate())
     case TKw("DELETE") => QDelete(parseDelete())
-    case t             => fail(s"expected a query but got $t")
+    case t             => perr(s"expected a query but got $t")
   }
 
   // ------------- declarations -------------
@@ -464,7 +473,7 @@ final class Parser(tokens: Vector[Token]) {
         (ident(), e)
       }
       DeclFieldset(name, Fieldset(args, exprs))
-    } else fail(s"expected QUERY, TABLE or FIELDSET after CREATE, got $peek")
+    } else perr(s"expected QUERY, TABLE or FIELDSET after CREATE, got $peek")
   }
 
   private def parseSty(): Sty = peek match {
@@ -501,17 +510,18 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def expectEof(): Unit =
-    if (peek != TEof) fail(s"unexpected trailing input: $peek")
+    if (peek != TEof) perr(s"unexpected trailing input: $peek")
 
   def parseExprEof(): Expr = { val e = parseExpr(); expectEof(); e }
   def parseQueryEof(): Query = { val q = parseQuery(); expectEof(); q }
 }
 
 object Parser {
-  def parseQuery(src: String): Query =
-    new Parser(Lexer.tokenize(src)).parseQueryEof()
-  def parseExpr(src: String): Expr =
-    new Parser(Lexer.tokenize(src)).parseExprEof()
-  def parseDecls(src: String): List[Decl] =
-    new Parser(Lexer.tokenize(src)).parseDecls()
+  private def of(src: String): Parser = {
+    val (toks, offs) = Lexer.tokenizeWithOffsets(src)
+    new Parser(toks, offs, src)
+  }
+  def parseQuery(src: String): Query = of(src).parseQueryEof()
+  def parseExpr(src: String): Expr = of(src).parseExprEof()
+  def parseDecls(src: String): List[Decl] = of(src).parseDecls()
 }
