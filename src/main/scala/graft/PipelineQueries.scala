@@ -127,6 +127,15 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // IVF ANN: coarse k-means quantizer + probed exact rerank
+  // (centroid-dependent: rows-only; recall asserted in PipelineSpec).
+  val ss3IvfTopK: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    pipeline.Ivf.ivfTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 10, nlist = 16, nprobe = 6)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------- text analysis ----------------
 
   val tx1Quality: Q = (s, dir) =>
@@ -194,6 +203,7 @@ object PipelineQueries {
     "dd5_embed_cosine_neardup" -> dd5EmbedCosine,
     "ss1_cosine_topk_brute" -> ss1BruteTopK,
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
+    "ss3_cosine_topk_ivf" -> ss3IvfTopK,
     "tx1_text_quality" -> tx1Quality,
     "tx2_token_counts" -> tx2Tokens,
     "tx3_fingerprint" -> tx3Fingerprint,

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
+  * quantizer assigns every vector to its nearest centroid cell;
+  * queries probe only the `nprobe` nearest cells and rerank
+  * exactly inside them.
+  *
+  * Scale shape: training runs Lloyd iterations with centroids held on
+  * the driver (k × dims doubles — at corpus scale you train on a
+  * sample, which is what `trainCentroids`' `sampleLimit` is for);
+  * assignment and search are single map passes plus an equi-join on
+  * cell id, so the corpus is never pairwise-joined.
+  */
+object Ivf {
+
+  /** Squared-L2-to-centroid as a Column: ||x||² − 2·x·c + ||c||²
+    * (the per-row ||x||² term is shared across all centroids).
+    */
+  private def dotLit(vec: Column, c: Array[Double]): Column = {
+    val lits = array(c.toIndexedSeq.map(lit): _*)
+    aggregate(zip_with(transform(vec, x => x.cast("double")), lits,
+      (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  }
+
+  private def xx(vec: Column): Column =
+    aggregate(transform(vec, x => x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v * v)
+
+  /** Nearest-centroid id via a struct-min over (distance, index). */
+  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val x2 = xx(vec)
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(v => v * v).sum
+      struct((x2 - lit(2.0) * dotLit(vec, c) + lit(c2)).as("d"),
+        lit(j).as("j"))
+    }
+    least(cands.toIndexedSeq: _*).getField("j")
+  }
+
+  /** `nprobe` nearest centroid ids as an array column. */
+  def probeCells(vec: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val x2 = xx(vec)
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(v => v * v).sum
+      struct((x2 - lit(2.0) * dotLit(vec, c) + lit(c2)).as("d"),
+        lit(j).as("j"))
+    }
+    slice(transform(array_sort(array(cands.toIndexedSeq: _*)),
+      s => s.getField("j")), 1, nprobe)
+  }
+
+  /** Lloyd's k-means with deterministic seeded init (hash-ordered
+    * sample). Centroid updates aggregate per (cell, dimension) —
+    * a posexplode + groupBy, shuffle-friendly at any corpus size.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3, seed: Long = 42L,
+      sampleLimit: Int = 100000): Array[Array[Double]] = {
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(sampleLimit)
+      .select(col(idCol), col(vecCol))
+      .cache()
+    var centroids: Array[Array[Double]] = sample
+      .orderBy(xxhash64(col(idCol), lit(seed + 1)))
+      .limit(k)
+      .select(vecCol)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = sample.withColumn("__cell",
+        nearestCell(col(vecCol), centroids))
+      val updated = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy("__cell", "__pos")
+        .agg(avg(col("__v").cast("double")).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    sample.unpersist()
+    centroids
+  }
+
+  /** IVF top-k: assign corpus cells once, probe `nprobe` cells per
+    * query, rerank exactly with the native cosine.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("neighbor_vec"),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"),
+      explode(probeCells(col(vecCol), centroids, nprobe)).as("cell")))
+    val scored = qb.join(cb, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("query_vec"), col("neighbor_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

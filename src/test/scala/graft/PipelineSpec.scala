@@ -75,6 +75,29 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall@10 = $recall")
   }
 
+  test("IVF ANN recall against brute force") {
+    import graft.pipeline.Ivf
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, embs, "vec_id",
+      "embedding", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 10, nlist = 16, nprobe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // probing 6/16 cells on 10-cluster data keeps most true neighbors
+    assert(recall >= 0.6, s"IVF recall@10 = $recall")
+    // and it should not scan everything: candidates bounded per query
+    assert(ivf.size <= 200)
+  }
+
+  test("IVF centroid training is deterministic") {
+    import graft.pipeline.Ivf
+    val c1 = Ivf.trainCentroids(embs, "vec_id", "embedding", k = 8, iters = 2)
+    val c2 = Ivf.trainCentroids(embs, "vec_id", "embedding", k = 8, iters = 2)
+    assert(c1.length == 8 && c1.flatten.toSeq == c2.flatten.toSeq)
+  }
+
   test("cosine zip_with fold matches a hand computation") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 0.0f), 2L, Array(0.6f, 0.8f)))
