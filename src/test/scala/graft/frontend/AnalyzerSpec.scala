@@ -419,6 +419,31 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(err("delete from users where id + 1").contains("expected"))
   }
 
+  test("UPDATE FROM: unknown table and grouped-subquery agg check (update.t:40-66)") {
+    assert(err("update users set id = u.id from x as u where u.id = users.id")
+      .contains("no such table x"))
+    // the reference runs Check_agg over the UPDATE's FROM clause
+    assert(err("update users set id = u.id from (select ... from users group by name) as u where u.id = users.id")
+      .contains("is not in GROUP BY clause"))
+    // FROM-source columns are referencable from RETURNING (update.t:55-58)
+    val info = analyzeQuery(freshEnv(), Parser.parseQuery(
+      "update users set id = u.id from users as u where u.id = users.id returning u.id as u_id, users.id as users_id"))
+    assert(info.row == List("u_id" -> nonNull(INT),
+      "users_id" -> nonNull(INT)))
+  }
+
+  test("uncorrelated EXISTS with inner WHERE elaborates (expr-exists.t)") {
+    val info = analyze("select exists(select true from users where id = 1)")
+    assert(info.row == List("_0" -> nonNull(BOOL)))
+  }
+
+  test("LIMIT/OFFSET type checks (select-limit-offset.t)") {
+    // offset without limit is allowed (select-limit-offset.t:11-13)
+    analyze("select id from users offset 5")
+    assert(err("select id from users limit 'x'").contains("expected"))
+    assert(err("select id from users limit null:int").contains("expected"))
+  }
+
   test("param inferred from comparison against column (infer.t param-from-context)") {
     val info = analyze("select id from users where id = ?uid")
     assert(info.params("uid") == PtyTy(nullT(INT)))
