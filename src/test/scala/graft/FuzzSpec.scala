@@ -1,0 +1,133 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.frontend.Engine
+
+/** Randomized differential testing: generate random well-typed
+  * queries from a small spec, render each BOTH as dialect text (run
+  * through parse → analyze → lower) and as Spark SQL (run through
+  * Spark's own parser/analyzer on temp views), and require identical
+  * results. Seeded, so failures reproduce.
+  */
+class FuzzSpec extends SparkTestBase {
+
+  lazy val engine: Engine = Catalog.engine(spark, sf)
+  lazy val views: Unit =
+    Tables.names.foreach(n =>
+      Tables.load(spark, sf, n).createOrReplaceTempView(n))
+
+  // ---- query spec ----
+
+  // the dialect types binops against the FIRST operand (reference
+  // analyze.ml:529-544), so INT and FLOAT expressions cannot mix —
+  // the generator keeps each expression type-homogeneous
+  case class Tbl(name: String, key: String, intCols: List[String],
+      floatCols: List[String], strCols: List[String])
+  val orders = Tbl("orders", "o_orderkey", List("o_custkey"),
+    List("o_totalprice"), List("o_orderstatus", "o_orderpriority"))
+  val customer = Tbl("customer", "c_custkey", List("c_nationkey"),
+    List("c_acctbal"), List("c_name", "c_mktsegment"))
+  val lineitem = Tbl("lineitem", "l_orderkey", Nil,
+    List("l_quantity", "l_extendedprice", "l_discount"),
+    List("l_returnflag", "l_linestatus"))
+
+  /** A scalar expression rendered identically in both dialects. */
+  case class E(dialect: String, sql: String)
+
+  /** (expr, isFloat) with literals matching the column type. */
+  def numExpr(t: Tbl): Gen[(E, Boolean)] = {
+    val intBase = Gen.oneOf(t.intCols ++ List(t.key)).map(c => (E(c, c), false))
+    val floatBase =
+      if (t.floatCols.isEmpty) intBase
+      else Gen.oneOf(t.floatCols).map(c => (E(c, c), true))
+    def wrap(g: Gen[(E, Boolean)]): Gen[(E, Boolean)] = Gen.oneOf(
+      g,
+      for { (a, f) <- g; (b, _) <- g; op <- Gen.oneOf("+", "-", "*") }
+        yield (E(s"(${a.dialect} $op ${b.dialect})",
+          s"(${a.sql} $op ${b.sql})"), f),
+      for { (a, f) <- g; n <- Gen.chooseNum(1, 9) }
+        yield {
+          val l = if (f) s"$n.0" else s"$n"
+          (E(s"(${a.dialect} + $l)", s"(${a.sql} + $l)"), f)
+        })
+    // a whole expression is built from ONE column's type family
+    Gen.oneOf(wrap(intBase), wrap(floatBase))
+  }
+
+  def boolExpr(t: Tbl): Gen[E] = {
+    val cmp = for {
+      (a, f) <- numExpr(t)
+      op <- Gen.oneOf(">", "<", ">=", "<=", "=", "!=")
+      v <- Gen.chooseNum(0, 200000)
+    } yield {
+      val l = if (f) s"$v.0" else s"$v"
+      E(s"${a.dialect} $op $l", s"${a.sql} $op $l")
+    }
+    val strEq = for {
+      c <- Gen.oneOf(t.strCols)
+      neg <- Gen.oneOf(true, false)
+    } yield {
+      val d = s"$c != ''"
+      if (neg) E(s"not ($d)", s"NOT ($c != '')") else E(d, s"$c != ''")
+    }
+    def combine(g: Gen[E]): Gen[E] = Gen.oneOf(
+      g,
+      for { a <- g; b <- g; op <- Gen.oneOf("and", "or") }
+        yield E(s"(${a.dialect} $op ${b.dialect})",
+          s"(${a.sql} ${op.toUpperCase} ${b.sql})"))
+    combine(Gen.oneOf(cmp, strEq))
+  }
+
+  case class Q(dialect: String, sql: String)
+
+  val genQuery: Gen[Q] = for {
+    t <- Gen.oneOf(orders, customer, lineitem)
+    grouped <- Gen.oneOf(true, false)
+    q <- if (grouped) groupedQuery(t) else plainQuery(t)
+  } yield q
+
+  def plainQuery(t: Tbl): Gen[Q] = for {
+    proj <- Gen.someOf(t.intCols ++ t.floatCols ++ t.strCols).map(_.toList)
+    where <- Gen.option(boolExpr(t))
+    lim <- Gen.chooseNum(5, 60)
+  } yield {
+    val cols = (t.key :: proj).distinct
+    val wD = where.map(w => s" where ${w.dialect}").getOrElse("")
+    val wS = where.map(w => s" WHERE ${w.sql}").getOrElse("")
+    Q(s"select ${cols.mkString(", ")} from ${t.name}$wD order by ${t.key} limit $lim",
+      s"SELECT ${cols.mkString(", ")} FROM ${t.name}$wS ORDER BY ${t.key} LIMIT $lim")
+  }
+
+  def groupedQuery(t: Tbl): Gen[Q] = for {
+    g <- Gen.oneOf(t.strCols)
+    aggCol <- Gen.oneOf(t.intCols ++ t.floatCols)
+    agg <- Gen.oneOf("min", "max", "count")
+    where <- Gen.option(boolExpr(t))
+    having <- Gen.oneOf(true, false)
+  } yield {
+    val aggD = if (agg == "count") "count(1)" else s"$agg($aggCol)"
+    val wD = where.map(w => s" where ${w.dialect}").getOrElse("")
+    val wS = where.map(w => s" WHERE ${w.sql}").getOrElse("")
+    val hD = if (having) " having count(1) > 2" else ""
+    val hS = if (having) " HAVING count(1) > 2" else ""
+    Q(s"select $g, $aggD as a, count(1) as n from ${t.name}$wD group by $g$hD order by $g",
+      s"SELECT $g, $aggD AS a, count(1) AS n FROM ${t.name}$wS GROUP BY $g$hS ORDER BY $g")
+  }
+
+  test("200 random queries: engine pipeline equals Spark SQL") {
+    views
+    var checked = 0
+    (0 until 220).foreach { i =>
+      genQuery.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { q =>
+        val mine = engine.sql(q.dialect).collect().toSeq
+        val ref = spark.sql(q.sql).collect().toSeq
+        assert(mine == ref,
+          s"seed $i\n dialect: ${q.dialect}\n sql: ${q.sql}")
+        checked += 1
+      }
+    }
+    info(s"$checked random queries matched")
+    assert(checked >= 200)
+  }
+}
