@@ -83,9 +83,48 @@ class FuzzSpec extends SparkTestBase {
 
   val genQuery: Gen[Q] = for {
     t <- Gen.oneOf(orders, customer, lineitem)
-    grouped <- Gen.oneOf(true, false)
-    q <- if (grouped) groupedQuery(t) else plainQuery(t)
+    kind <- Gen.chooseNum(0, 3)
+    q <- kind match {
+      case 0 => plainQuery(t)
+      case 1 => groupedQuery(t)
+      case 2 => joinQuery
+      case _ => inQuery(t)
+    }
   } yield q
+
+  /** customer ⋈ orders equi-join with filters on either side. */
+  def joinQuery: Gen[Q] = for {
+    wc <- Gen.option(boolExpr(customer))
+    wo <- Gen.option(boolExpr(orders))
+    lim <- Gen.chooseNum(5, 60)
+  } yield {
+    val conds = wc.toList ++ wo.toList
+    val wD = if (conds.isEmpty) ""
+      else " where " + conds.map(_.dialect).mkString(" and ")
+    val wS = if (conds.isEmpty) ""
+      else " WHERE " + conds.map(_.sql).mkString(" AND ")
+    Q(s"select o_orderkey, c_name, o_totalprice from customer join orders on o_custkey = c_custkey$wD order by o_orderkey limit $lim",
+      s"SELECT o_orderkey, c_name, o_totalprice FROM customer JOIN orders ON o_custkey = c_custkey$wS ORDER BY o_orderkey LIMIT $lim")
+  }
+
+  /** key IN (filtered subquery) — left-semi lowering vs Spark's IN. */
+  def inQuery(t: Tbl): Gen[Q] = for {
+    sub <- boolExpr(orders)
+    neg <- Gen.oneOf(true, false)
+  } yield {
+    val keyCol = t match {
+      case `customer` => "c_custkey"
+      case `lineitem` => "l_orderkey"
+      case _          => "o_orderkey"
+    }
+    val subKey = if (t == customer) "o_custkey" else "o_orderkey"
+    val inD = s"$keyCol in (select $subKey from orders where ${sub.dialect})"
+    val inS = s"$keyCol IN (SELECT $subKey FROM orders WHERE ${sub.sql})"
+    val (pd, ps) = if (neg) (s"not ($inD)", s"$keyCol NOT IN (SELECT $subKey FROM orders WHERE ${sub.sql})")
+      else (inD, inS)
+    Q(s"select $keyCol from ${t.name} where $pd order by $keyCol limit 80",
+      s"SELECT $keyCol FROM ${t.name} WHERE $ps ORDER BY $keyCol LIMIT 80")
+  }
 
   def plainQuery(t: Tbl): Gen[Q] = for {
     proj <- Gen.someOf(t.intCols ++ t.floatCols ++ t.strCols).map(_.toList)
