@@ -61,12 +61,15 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection bucket for one band of planes. */
-  private def bandBucket(vec: Column, planes: Array[Array[Double]]): Column =
+  /** Sign-random-projection bucket for one band of planes; `vecd`
+    * must already be a double array (cast once per row, not once per
+    * plane).
+    */
+  private def bandBucket(vecd: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val planeCol = array(p.toIndexedSeq.map(lit): _*)
-      val d = aggregate(zip_with(transform(vec, x => x.cast("double")),
-        planeCol, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+      val d = aggregate(zip_with(vecd, planeCol, (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v)
       when(d > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -82,11 +85,12 @@ object Similarity {
     val dims = 64
     val bandCols = (0 until bands).map { b =>
       val planes = hyperplanes(bitsPerBand, dims, seed + b)
-      struct(lit(b).as("band"), bandBucket(col(vecCol), planes).as("bucket"))
+      struct(lit(b).as("band"), bandBucket(col("__vd"), planes).as("bucket"))
     }
     def bucketize(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
-        explode(array(bandCols: _*)).as("bb"))
+      df.withColumn("__vd", transform(col(vecCol), x => x.cast("double")))
+        .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+          explode(array(bandCols: _*)).as("bb"))
         .select(col(s"${side}_id"), col(s"${side}_vec"),
           col("bb.band"), col("bb.bucket"))
     val qb = broadcast(bucketize(queries, "query"))
