@@ -69,6 +69,52 @@ object Multimodal {
       .mapPartitions(decodeBatch _)
   }
 
+  /** Stubbed resize: a real implementation decodes, scales to
+    * (width × height) and re-encodes per batch; the fake
+    * deterministically downsamples the byte stream so output size
+    * really depends on the requested dims and tests can assert the
+    * batch contract.
+    */
+  def resizeBatch(width: Int, height: Int)(
+      rows: Iterator[MediaRow]): Iterator[MediaRow] = {
+    val target = math.max(1, width * height / 64)
+    rows.map { r =>
+      val in = r.payload
+      val out = new Array[Byte](math.min(target, in.length))
+      val step = math.max(1, in.length / math.max(1, out.length))
+      var i = 0
+      while (i < out.length) { out(i) = in(i * step); i += 1 }
+      r.copy(payload = out)
+    }
+  }
+
+  /** Stubbed video frame-sampling: emits one MediaRow per sampled
+    * "frame" (every `everyNth` chunk of `frameBytes` bytes) — the
+    * 1→N generator shape a real frame sampler has.
+    */
+  def frameSampleBatch(frameBytes: Int, everyNth: Int)(
+      rows: Iterator[MediaRow]): Iterator[MediaRow] =
+    rows.flatMap { r =>
+      val nFrames = math.max(1, r.payload.length / frameBytes)
+      (0 until nFrames by everyNth).map { f =>
+        val from = f * frameBytes
+        val until = math.min(from + frameBytes, r.payload.length)
+        MediaRow(r.media_id * 1000 + f, "frame",
+          java.util.Arrays.copyOfRange(r.payload, from, until), r.source)
+      }
+    }
+
+  /** resize → decode pipeline over a media Dataset (both stages
+    * batch-at-a-time inside one mapPartitions pass).
+    */
+  def resizeAndExtract(media: Dataset[MediaRow], width: Int, height: Int,
+      partitions: Int): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.repartition(partitions, col("media_id"))
+      .mapPartitions(rows => decodeBatch(resizeBatch(width, height)(rows)))
+  }
+
   /** Build a media Dataset from the documents table, treating the
     * UTF-8 text payload as the opaque binary (stands in for image
     * bytes; the plumbing is identical).

@@ -209,6 +209,23 @@ class PipelineSpec extends SparkTestBase {
     stats.foreach(r => assert(again(r.getLong(0)) == r.getLong(2)))
   }
 
+  test("media resize and frame-sample stubs keep the batch contract") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.load(spark, "/root/testdata/sf0.01", "documents").limit(20))
+    // resize: payloads shrink to the requested budget, ids preserved
+    val resized = Multimodal.resizeAndExtract(media, width = 32,
+      height = 32, partitions = 4).collect()
+    assert(resized.length == 20)
+    assert(resized.forall(_.byte_len <= 32 * 32 / 64))
+    // frame sampling: 1→N rows, frames bounded by payload size
+    val frames = media.mapPartitions(rows =>
+      Multimodal.frameSampleBatch(frameBytes = 64, everyNth = 2)(rows))
+      .collect()
+    assert(frames.nonEmpty && frames.forall(_.kind == "frame"))
+    assert(frames.forall(_.payload.length <= 64))
+  }
+
   test("media feature extraction emits fixed-dim vectors") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(spark,
