@@ -72,6 +72,7 @@ final case class Prepared(engine: Engine, info: QueryInfo) {
     * lower to typed literals during compilation.
     */
   def bind(params: Map[String, Any] = Map.empty): DataFrame = {
+    Binder.validate(info, params)
     val (query2, params2) = Binder.resolve(engine.env, info, params)
     info.query match {
       case QSelect(_) =>
@@ -86,6 +87,53 @@ final case class Prepared(engine: Engine, info: QueryInfo) {
 
 /** Bind-time resolution of structure-affecting params. */
 object Binder {
+
+  /** Up-front check that every inferred param has a shape-compatible
+    * value, so callers get one clear error instead of a deep lowering
+    * failure (the typed-API analogue of the reference PPX's
+    * labelled-argument signature, sqlpp_ppx.ml:406-458).
+    */
+  def validate(info: QueryInfo, params: Map[String, Any]): Unit = {
+    def tyOk(ty: Ty, v: Any): Boolean = (ty.core, v) match {
+      case (_, None)               => ty.nullable
+      case (_, Some(x))            => tyOk(ty.asNonNull, x)
+      case (TyName("INT"), _: Int | _: Long)      => true
+      case (TyName("FLOAT"), _: Double | _: Float) => true
+      case (TyName("STRING"), _: String)           => true
+      case (TyName("BOOL"), _: Boolean)            => true
+      case (TyName("DATETIME"), _: java.sql.Timestamp) => true
+      case (TyName("DATE"), _: java.sql.Date)          => true
+      case (TyOneOf(_, ns), _) =>
+        ns.exists(n => tyOk(Ty(TyName(n), ty.nullable), v))
+      case _ => false
+    }
+    info.params.foreach { case (name, pty) =>
+      params.get(name) match {
+        case None => fail(s"missing value for param ?$name")
+        case Some(v) => (pty, v) match {
+          case (PtyTy(ty), value) =>
+            if (!tyOk(ty, value))
+              fail(s"param ?$name expects ${ty.show} but got " +
+                s"${value.getClass.getSimpleName}")
+          case (PtyVariant(cases), Engine.Variant(tag, args @ _*)) =>
+            cases.find(_._1 == tag) match {
+              case None =>
+                fail(s"param ?$name: no MATCH case for tag `$tag` " +
+                  s"(expected one of ${cases.map(_._1).mkString(", ")})")
+              case Some((_, argTys)) =>
+                if (argTys.length != args.length)
+                  fail(s"param ?$name tag `$tag` expects ${argTys.length} args but got ${args.length}")
+            }
+          case (PtyVariant(_), other) =>
+            fail(s"param ?$name is a variant param; pass Engine.Variant, got ${other.getClass.getSimpleName}")
+          case (PtyExpr(_, _), Engine.ExprParam(_)) => ()
+          case (PtyExpr(_, _), other) =>
+            fail(s"param ?$name is expression-typed; pass Engine.ExprParam, got ${other.getClass.getSimpleName}")
+          case (PtyUnknown, _) => ()
+        }
+      }
+    }
+  }
 
   def resolve(env: Env, info: QueryInfo,
       params: Map[String, Any]): (Query, Map[String, Any]) = {

@@ -196,6 +196,27 @@ class EngineSpec extends SparkTestBase {
     }
   }
 
+  test("bind validates params up front with clear messages") {
+    import graft.frontend.Syntax.SqlppError
+    val q = engine.prepare("select c_custkey from customer where c_acctbal > ?min: float")
+    assert(intercept[SqlppError](q.bind(Map.empty)).msg
+      == "missing value for param ?min")
+    assert(intercept[SqlppError](q.bind(Map("min" -> "oops"))).msg
+      .contains("expects FLOAT"))
+    assert(q.bind(Map("min" -> 5000.0)).count() > 0)
+
+    val v = engine.prepare(
+      "select c_custkey from customer where match ?f with | all -> true | rich ?m -> c_acctbal > ?m: float end")
+    assert(intercept[SqlppError](
+      v.bind(Map("f" -> Engine.Variant("nope")))).msg
+      .contains("no MATCH case for tag `nope`"))
+    assert(intercept[SqlppError](
+      v.bind(Map("f" -> Engine.Variant("rich")))).msg
+      .contains("expects 1 args but got 0"))
+    assert(intercept[SqlppError](v.bind(Map("f" -> 42))).msg
+      .contains("pass Engine.Variant"))
+  }
+
   test("execJson dynamic API") {
     val js = engine.execJson("select r_regionkey, r_name from region order by r_regionkey limit 1")
     assert(js.length == 1 && js.head.contains("\"r_name\""))
