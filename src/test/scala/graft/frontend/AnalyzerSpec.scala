@@ -412,11 +412,14 @@ class AnalyzerSpec extends AnyFunSuite {
       .contains("no such column: nope"))
   }
 
-  test("DELETE where must be bool (delete.t)") {
+  test("DELETE where must be bool; name errors (delete.t)") {
     val info = analyzeQuery(freshEnv(), Parser.parseQuery(
       "delete from users where id = 1 returning id"))
     assert(info.row == List("id" -> nonNull(INT)))
     assert(err("delete from users where id + 1").contains("expected"))
+    assert(err("delete from users where x = 1")
+      .contains("no such column: x"))
+    assert(err("delete from x").contains("no such table: x"))
   }
 
   test("UPDATE FROM: unknown table and grouped-subquery agg check (update.t:40-66)") {
