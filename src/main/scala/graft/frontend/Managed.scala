@@ -19,6 +19,20 @@ final class ManagedCatalog(
     val root: String,
     val env: Env) {
 
+  /** Hive-style partition columns per table: scans of a filtered
+    * partition column prune directories entirely (the first-order
+    * 100 TB layout decision). Registered via `partitionBy`.
+    */
+  private var partitionSpec: Map[String, Seq[String]] = Map.empty
+
+  def partitionBy(table: String, cols: String*): this.type = {
+    partitionSpec = partitionSpec.updated(table, cols.toSeq)
+    this
+  }
+
+  def partitionColumns(table: String): Seq[String] =
+    partitionSpec.getOrElse(table, Nil)
+
   private def fs = new Path(root).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
@@ -48,7 +62,10 @@ final class ManagedCatalog(
     val cols = schemaOf(name).fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name))
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.select(cols.toIndexedSeq: _*).write.mode("overwrite").parquet(tmp.toString)
+    val writer = df.select(cols.toIndexedSeq: _*).write.mode("overwrite")
+    val parts = partitionColumns(name)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(tmp.toString)
     if (fs.exists(live)) fs.delete(live, true)
     if (!fs.rename(tmp, live)) fail(s"failed to swap in new state for $name")
     // the swap bypasses Spark's write path, so its shared file-status

@@ -133,6 +133,29 @@ class ManagedSpec extends SparkTestBase {
     assert(r.getDouble(1) == 10.0 && r.getString(2) == "boost")
   }
 
+  test("partitioned managed tables prune directories on partition filters") {
+    val (catalog, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    catalog.partitionBy("todos", "completed")
+    managed.exec(
+      "insert into todos(text, created, completed) values ('a', 1.0, false), ('b', 2.0, true), ('c', 3.0, true)")
+    // hive-style layout on disk
+    val dirs = new java.io.File(catalog.tablePath("todos")).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("completed=")), s"dirs: $dirs")
+    // partition filter reaches the scan as a PartitionFilter
+    val df = managed.exec("select text from todos where completed = true")
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("todos")).get
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("completed"), scan.take(400))
+    assert(df.count() == 2)
+    // DML still roundtrips on the partitioned layout
+    managed.exec("delete from todos where completed = true")
+    assert(managed.exec("select count(1) as n from todos group by ()")
+      .collect()(0).getLong(0) == 1)
+  }
+
   test("missing required columns still enforced on managed inserts") {
     val (_, managed, runner) = freshManaged()
     runner.apply(migrations)
