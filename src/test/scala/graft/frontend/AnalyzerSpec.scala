@@ -122,6 +122,17 @@ class AnalyzerSpec extends AnyFunSuite {
       == "expression `users.created_at` is not in GROUP BY clause and is not under aggregate function")
   }
 
+  test("grouping by complex expressions; usage through aggs (group_by.t:62-86)") {
+    assert(row("select count(1), id, max(created_at) from users group by id") ==
+      List("_0" -> "INT NOT NULL", "id" -> "INT NOT NULL",
+        "_2" -> "FLOAT NOT NULL"))
+    assert(row("select count(1), id + id from users group by id + id") ==
+      List("_0" -> "INT NOT NULL", "_1" -> "INT NOT NULL"))
+    // a grouping expression can appear nested inside a larger expr
+    assert(row("select count(1), 1 + (id + id) from users group by id + id") ==
+      List("_0" -> "INT NOT NULL", "_1" -> "INT NOT NULL"))
+  }
+
   test("sum/min/max type-preserving; count non-null int (analyze.ml:549-554)") {
     assert(row("select sum(created_at), max(id), count(name) from users group by ()") ==
       List("_0" -> "FLOAT NOT NULL", "_1" -> "INT NOT NULL",
