@@ -48,7 +48,10 @@ final class ManagedCatalog(
   def exists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
 
   def load(name: String): DataFrame =
-    if (exists(name)) spark.read.parquet(tablePath(name))
+    // the declared schema overrides partition-column inference: a
+    // hive-partitioned BOOL/STRING/INT partition column otherwise comes
+    // back with whatever type Spark infers from the directory names
+    if (exists(name)) spark.read.schema(schemaOf(name)).parquet(tablePath(name))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schemaOf(name))
 
@@ -66,8 +69,15 @@ final class ManagedCatalog(
     val parts = partitionColumns(name)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(tmp.toString)
-    if (fs.exists(live)) fs.delete(live, true)
+    // live -> .bak, tmp -> live, drop .bak: the table directory is
+    // never absent, and a crash mid-swap recovers with a rename rather
+    // than a restore
+    val bak = new Path(tablePath(name) + ".bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(live) && !fs.rename(live, bak))
+      fail(s"failed to stage old state of $name aside")
     if (!fs.rename(tmp, live)) fail(s"failed to swap in new state for $name")
+    if (fs.exists(bak)) fs.delete(bak, true)
     // the swap bypasses Spark's write path, so its shared file-status
     // cache still lists the replaced files — invalidate explicitly
     spark.catalog.refreshByPath(live.toString)
@@ -165,10 +175,20 @@ final class ManagedEngine(
         val m = existing.agg(max(col(c.name))).collect()(0)
         c.name -> (if (m.isNullAt(0)) 0L else m.getLong(0))
     }.toMap
-    val withAll = ddl.cols.foldLeft(
-      incoming.withColumn("__rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(monotonically_increasing_id())))) { (df, c) =>
+    // sequential row numbers are only needed to fill an autoincrement
+    // column; zipWithIndex derives them from per-partition counts
+    // (two narrow passes) instead of a global single-partition window
+    val withRn: DataFrame =
+      if (maxAuto.isEmpty) incoming
+      else {
+        val schema2 = incoming.schema.add("__rn",
+          org.apache.spark.sql.types.LongType, nullable = false)
+        spark.createDataFrame(
+          incoming.rdd.zipWithIndex.map { case (r, idx) =>
+            Row.fromSeq(r.toSeq :+ (idx + 1L)) },
+          schema2)
+      }
+    val withAll = ddl.cols.foldLeft(withRn) { (df, c) =>
       if (i.columns.contains(c.name)) df
       else if (c.autoincrement)
         df.withColumn(c.name, lit(maxAuto(c.name)) + col("__rn"))
@@ -255,10 +275,16 @@ final class ManagedEngine(
     }.toIndexedSeq: _*).localCheckpoint(true)
     val updatedRows = postNs.select(existing.columns.map(c =>
       col(s"${u.table}__$c").as(c)).toIndexedSeq: _*)
+    // anti-join on the PRE-update key values: when SET touches a
+    // primary-key column the post-update keys would keep the original
+    // row and silently drop an unrelated row that already carries the
+    // new key value
     val untouched =
-      if (pks.nonEmpty)
-        existing.join(updatedRows.select(pks.map(col): _*), pks, "left_anti")
-      else
+      if (pks.nonEmpty) {
+        val preKeys = firstMatch.select(pks.map(c =>
+          col(s"${u.table}__$c").as(c)).toIndexedSeq: _*)
+        existing.join(preKeys, pks, "left_anti")
+      } else
         existing.exceptAll(firstMatch.select(existing.columns.map(c =>
           col(s"${u.table}__$c").as(c)).toIndexedSeq: _*))
     catalog.overwrite(u.table, untouched.unionByName(updatedRows))

@@ -156,6 +156,19 @@ class ManagedSpec extends SparkTestBase {
       .collect()(0).getLong(0) == 1)
   }
 
+  test("UPDATE of a primary-key column keeps unrelated rows intact") {
+    val (_, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec(
+      "insert into todos(text, created, completed) values ('buy milk', 1.0, false), ('walk dog', 2.0, false)")
+    // ids 1, 2 assigned; moving id 1 -> 2 must not drop the innocent
+    // pre-existing id=2 row ('walk dog'), and id=1 must be gone
+    managed.exec("update todos set id = 2 where id = 1")
+    val rows = managed.exec("select id, text from todos order by text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "buy milk"), (2L, "walk dog")))
+  }
+
   test("missing required columns still enforced on managed inserts") {
     val (_, managed, runner) = freshManaged()
     runner.apply(migrations)
