@@ -39,7 +39,10 @@ object PipelineQueries {
       |       count(*) AS n_copies
       |FROM planted GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
-  // MinHash + LSH near-dup candidates (hash-dependent: rows-only).
+  // MinHash + LSH near-dup candidates, portable-hash variant: the
+  // md5-derived 2-universal family is recomputed by the DuckDB oracle,
+  // so the full pipeline (shingling → signatures → banding →
+  // hot-bucket guard → est-Jaccard filter) is hash-attested.
   val dd2MinhashLsh: Q = (s, dir) => {
     val d = docs(s, dir).select("doc_id", "text")
     // plant near-duplicates: copies with the first word replaced
@@ -49,14 +52,93 @@ object PipelineQueries {
       concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
         .as("text"))
     Dedup.minhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
-      shingleWidth = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5)
+      shingleWidth = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5,
+      portable = true)
       .orderBy("id1", "id2")
   }
 
-  // SimHash signatures (hash-dependent: rows-only).
+  /** Shared oracle-SQL fragment: portable MinHash signatures, LSH
+    * banding with the hot-bucket guard, candidate pairs, and agreement
+    * counts over a CTE named `base(doc_id, text)`. Mirrors
+    * Dedup.minhashSignatures/minhashNearDupPairs with portable=true
+    * (32 hashes, 8 bands of 4, maxBucketSize 200).
+    */
+  private def minhashPairsCtes(maxBucketSize: Int = 200): String =
+    """words AS (
+      |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM base),
+      |shpos AS (
+      |  SELECT doc_id, w,
+      |         unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      |  FROM words),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      |  FROM shpos),
+      |lanes AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS a,
+      |         CAST('0x' || substr(md5(shingle), 8, 7) AS BIGINT) AS b
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, hi.i AS h,
+      |         min((a + (hi.i + 1) * b) % 1000000007) AS mh
+      |  FROM lanes CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) hi
+      |  GROUP BY doc_id, hi.i),
+      |bkt AS (
+      |  SELECT doc_id, h // 4 AS band,
+      |         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY h) AS bucket
+      |  FROM sig GROUP BY doc_id, h // 4),
+      |cold AS (
+      |  SELECT band, bucket FROM bkt GROUP BY band, bucket
+      |  HAVING count(*) <= MAXBUCKET),
+      |bkt2 AS (
+      |  SELECT bkt.doc_id, bkt.band, bkt.bucket
+      |  FROM bkt JOIN cold USING (band, bucket)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      |  FROM bkt2 l JOIN bkt2 r USING (band, bucket)
+      |  WHERE l.doc_id < r.doc_id),
+      |agree AS (
+      |  SELECT c.id1, c.id2,
+      |         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.id1
+      |  JOIN sig sb ON sb.doc_id = c.id2 AND sb.h = sa.h
+      |  GROUP BY c.id1, c.id2)""".stripMargin
+      .replace("MAXBUCKET", maxBucketSize.toString)
+
+  val dd2Sql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'zzz ' || substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id < 50),
+      |${minhashPairsCtes()}
+      |SELECT id1, id2, CAST(m AS DOUBLE) / 32 AS est_jaccard
+      |FROM agree WHERE CAST(m AS DOUBLE) / 32 >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
+  // SimHash signatures, portable-hash variant (md5-low-60 token hash;
+  // bit-majority fold recomputed in SQL by the oracle).
   val dd3Simhash: Q = (s, dir) =>
-    Dedup.simhash(docs(s, dir).select("doc_id", "text"), "doc_id", "text")
+    Dedup.simhash(docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+      portable = true)
       .orderBy("doc_id")
+
+  val dd3Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS token
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS th
+      |  FROM tok),
+      |bits AS (
+      |  SELECT doc_id, bp.i,
+      |         sum(CASE WHEN (th >> bp.i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) bp
+      |  GROUP BY doc_id, bp.i)
+      |SELECT doc_id,
+      |       CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // Exact char-3-gram Jaccard pairs on a bounded slice (oracle ✓).
   val dd4NgramJaccard: Q = (s, dir) => {
@@ -118,8 +200,9 @@ object PipelineQueries {
       |QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
-  // Banded sign-LSH ANN (hash/plane-dependent: rows-only; recall is
-  // asserted against brute force in PipelineSpec).
+  // Banded sign-LSH ANN. The Rademacher planes are md5-parity-derived,
+  // so the oracle re-derives the identical planes in SQL and attests
+  // bucketing + candidate set + exact cosine rerank end to end.
   val ss2LshTopK: Q = (s, dir) => {
     val e = embs(s, dir).select("vec_id", "embedding")
     Similarity.lshTopK(e.filter(col("vec_id") < 5), e,
@@ -127,14 +210,95 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
-  // IVF ANN: coarse k-means quantizer + probed exact rerank
-  // (centroid-dependent: rows-only; recall asserted in PipelineSpec).
+  val ss2Sql: String =
+    """WITH pl AS (
+      |  SELECT bj.b, bj.j,
+      |         list(CASE WHEN CAST('0x' || substr(md5(
+      |                 'lsh:' || CAST(42 + bj.b AS VARCHAR) || ':' ||
+      |                 CAST(bj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)
+      |               ), 1, 1) AS INT) % 2 = 0
+      |              THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS plane
+      |  FROM (SELECT b.b, j.j
+      |        FROM (SELECT unnest(generate_series(0, 3)) AS b) b
+      |        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j) bj
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+      |  GROUP BY bj.b, bj.j),
+      |bux AS (
+      |  SELECT e.vec_id, p.b AS band,
+      |         CAST(sum(CASE WHEN list_dot_product(
+      |                 CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+      |              THEN (1 << p.j) ELSE 0 END) AS INT) AS bucket
+      |  FROM embeddings e CROSS JOIN pl p
+      |  GROUP BY e.vec_id, p.b),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM bux q JOIN bux c ON q.band = c.band AND q.bucket = c.bucket
+      |  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+      |                                CAST(ce.embedding AS DOUBLE[])) AS cosine
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = query_id
+      |  JOIN embeddings ce ON ce.vec_id = neighbor_id)
+      |SELECT query_id, neighbor_id, cosine,
+      |       CAST(row_number() OVER (
+      |         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // IVF ANN with the deterministic evenly-spaced quantizer (the
+  // k-means-trained path stays in Ivf.ivfTopK, recall-asserted in
+  // PipelineSpec): cell assignment, probing and exact rerank are all
+  // recomputed by the oracle.
   val ss3IvfTopK: Q = (s, dir) => {
     val e = embs(s, dir).select("vec_id", "embedding")
-    pipeline.Ivf.ivfTopK(e.filter(col("vec_id") < 5), e,
-      "vec_id", "embedding", k = 10, nlist = 16, nprobe = 6)
+    val centroids = pipeline.Ivf.staticCentroids(e, "vec_id", "embedding",
+      nlist = 16)
+    pipeline.Ivf.ivfTopKWith(centroids, e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 10, nprobe = 6)
       .orderBy("query_id", "rank")
   }
+
+  val ss3Sql: String =
+    """WITH st AS (
+      |  SELECT greatest(count(*) // 16, 1) AS step FROM embeddings),
+      |cent AS (
+      |  SELECT CAST(e.vec_id // st.step AS INT) AS j,
+      |         CAST(e.embedding AS DOUBLE[]) AS c
+      |  FROM embeddings e, st
+      |  WHERE e.vec_id % st.step = 0 AND e.vec_id < st.step * 16),
+      |dist AS (
+      |  SELECT e.vec_id, cent.j,
+      |         ((list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                            CAST(e.embedding AS DOUBLE[]))
+      |           - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), cent.c))
+      |          + list_dot_product(cent.c, cent.c)) AS d
+      |  FROM embeddings e CROSS JOIN cent),
+      |cell AS (
+      |  SELECT vec_id AS neighbor_id, j AS cell FROM (
+      |    SELECT vec_id, j,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, j AS cell FROM (
+      |    SELECT vec_id, j,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+      |    FROM dist WHERE vec_id < 5) WHERE rn <= 6),
+      |cand AS (
+      |  SELECT p.query_id, c.neighbor_id
+      |  FROM probe p JOIN cell c USING (cell)
+      |  WHERE c.neighbor_id != p.query_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+      |                                CAST(ce.embedding AS DOUBLE[])) AS cosine
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = query_id
+      |  JOIN embeddings ce ON ce.vec_id = neighbor_id)
+      |SELECT query_id, neighbor_id, cosine,
+      |       CAST(row_number() OVER (
+      |         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ---------------- text analysis ----------------
 
@@ -170,29 +334,88 @@ object PipelineQueries {
       |  md5(regexp_replace(lower(text), '\s+', '', 'g')) AS fingerprint_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // Language ID heuristic (profile tables live Spark-side: rows-only;
-  // planted-text accuracy asserted in PipelineSpec).
+  // Language ID heuristic. The stopword profiles and the argmax
+  // tie-break (greatest score, ties to the lexicographically larger
+  // language code — struct-greatest semantics) are mirrored in SQL.
   val tx4LangId: Q = (s, dir) =>
     TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  val tx4Sql: String =
+    """WITH s AS (SELECT doc_id,
+      |  len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein|nicht|mit)\b')) AS de,
+      |  len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS en,
+      |  len(regexp_extract_all(text, '\b(el|la|los|y|es|un|una|que)\b')) AS es,
+      |  len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|dans)\b')) AS fr
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'unk'
+      |       WHEN fr >= greatest(de, en, es) THEN 'fr'
+      |       WHEN es >= greatest(de, en) THEN 'es'
+      |       WHEN en >= de THEN 'en'
+      |       ELSE 'de' END AS predicted_lang,
+      |  CAST(greatest(de, en, es, fr) AS BIGINT) AS lang_score
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ---------------- multimodal ----------------
 
-  // Binary payload plumbing with the stubbed batch decoder
-  // (deterministic fake features: rows-only; plumbing tested in
-  // PipelineSpec).
+  // Binary payload plumbing with the stubbed batch decoder. The stub's
+  // outputs (position-weighted checksum, per-lane byte sums scaled
+  // once) are integer sums over the payload bytes — the documents
+  // fixture is pure ASCII, so the oracle recomputes them from
+  // character codes.
   val mm1MediaFeatures: Q = (s, dir) =>
     Multimodal.mediaFeatureStats(s, docs(s, dir)).orderBy("media_id")
 
+  val mm1Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, i,
+      |         ord(substr(text, CAST(i AS INT), 1)) AS byte
+      |  FROM (SELECT doc_id, text,
+      |               unnest(generate_series(1, length(text))) AS i
+      |        FROM documents) p),
+      |agg AS (
+      |  SELECT media_id,
+      |         CAST(sum(byte * i) AS BIGINT) AS checksum,
+      |         CAST(CAST(CAST(sum(CASE WHEN (i - 1) % 8 = 0 THEN byte ELSE 0 END) AS DOUBLE)
+      |               / 255.0 AS FLOAT) AS DOUBLE) AS f0
+      |  FROM b GROUP BY media_id)
+      |SELECT d.doc_id AS media_id,
+      |       CAST(length(d.text) AS BIGINT) AS byte_len,
+      |       a.checksum, a.f0
+      |FROM documents d JOIN agg a ON a.media_id = d.doc_id
+      |ORDER BY media_id""".stripMargin
+
   // ---------------- composed curation pass ----------------
 
-  // quality gate → exact dedup → near-dup drop → per-source stats.
-  // Rows-only: the MinHash near-dup stage genuinely fires on the
-  // fixture (the small shared vocabulary yields real ≥0.9-estimated
-  // pairs), so the pass is deterministic but not DuckDB-reproducible;
-  // PipelineSpec asserts planted exact and near duplicates are
-  // removed.
+  // quality gate → exact dedup → near-dup drop → per-source stats,
+  // with the portable-hash MinHash stage so the whole composed pass is
+  // oracle-attested end to end.
   val cp1Curation: Q = (s, dir) =>
-    pipeline.Curation.curationStats(docs(s, dir))
+    pipeline.Curation.curationStats(docs(s, dir), portable = true)
+
+  val cp1Sql: String =
+    s"""WITH q AS (
+      |  SELECT doc_id, text, source,
+      |         length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS n_words
+      |  FROM documents),
+      |gated AS (
+      |  SELECT * FROM q WHERE n_words >= 10 AND n_words <= 100000),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+      |base AS (
+      |  SELECT g.doc_id, g.text, g.source, g.n_words
+      |  FROM gated g JOIN keep USING (doc_id)),
+      |${minhashPairsCtes()},
+      |losers AS (
+      |  SELECT DISTINCT id2 AS doc_id FROM agree
+      |  WHERE CAST(m AS DOUBLE) / 32 >= 0.9),
+      |survivors AS (
+      |  SELECT * FROM base
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_words) AS BIGINT) AS total_words,
+      |       min(doc_id) AS min_doc_id
+      |FROM survivors GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "cp1_curation_pipeline" -> cp1Curation,
@@ -212,12 +435,19 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cp1_curation_pipeline" -> cp1Sql,
     "dd1_exact_dedup" -> dd1Sql,
+    "dd2_minhash_lsh_pairs" -> dd2Sql,
+    "dd3_simhash" -> dd3Sql,
     "dd4_ngram_jaccard" -> dd4Sql,
     "dd5_embed_cosine_neardup" -> dd5Sql,
     "ss1_cosine_topk_brute" -> ss1Sql,
+    "ss2_cosine_topk_lsh" -> ss2Sql,
+    "ss3_cosine_topk_ivf" -> ss3Sql,
     "tx1_text_quality" -> tx1Sql,
     "tx2_token_counts" -> tx2Sql,
     "tx3_fingerprint" -> tx3Sql,
+    "tx4_langid" -> tx4Sql,
+    "mm1_media_features" -> mm1Sql,
   )
 }

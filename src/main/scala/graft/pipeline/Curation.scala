@@ -24,7 +24,7 @@ object Curation {
     *                    estimated Jaccard
     */
   def curate(docs: DataFrame, minWords: Long = 10, maxWords: Long = 100000,
-      nearDupEst: Double = 0.9): DataFrame = {
+      nearDupEst: Double = 0.9, portable: Boolean = false): DataFrame = {
     // stage 1: quality gate
     val q = TextAnalysis.quality(docs, "doc_id", "text")
       .filter(col("n_words") >= minWords && col("n_words") <= maxWords)
@@ -39,7 +39,7 @@ object Curation {
     // stage 3: near-dup drop — higher id of each candidate pair goes
     val nearDupLosers = Dedup.minhashNearDupPairs(
       exactDeduped.select("doc_id", "text"), "doc_id", "text",
-      minEstJaccard = nearDupEst)
+      minEstJaccard = nearDupEst, portable = portable)
       .select(col("id2").as("doc_id")).distinct()
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
@@ -47,8 +47,8 @@ object Curation {
   /** Per-source summary of a curation pass (the report a data-quota
     * dashboard consumes).
     */
-  def curationStats(docs: DataFrame): DataFrame =
-    curate(docs)
+  def curationStats(docs: DataFrame, portable: Boolean = false): DataFrame =
+    curate(docs, portable = portable)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_words"),

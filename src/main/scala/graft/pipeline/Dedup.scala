@@ -42,8 +42,7 @@ object Dedup {
     val words = col("__words")
     val shingles = array_distinct(transform(
       sequence(lit(0), greatest(size(words) - w, lit(0))),
-      i => concat_ws(" ", (0 until w).map(j =>
-        element_at(words, i + lit(j + 1))): _*)))
+      i => array_join(slice(words, i + lit(1), lit(w)), " ")))
     df.withColumn("__words", split(col(textCol), " +"))
       .select(col(idCol), explode(shingles).as("shingle"))
   }
@@ -67,25 +66,50 @@ object Dedup {
     * |docs| × numHashes longs regardless of document length.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleWidth: Int = 3, numHashes: Int = 32): DataFrame = {
+      shingleWidth: Int = 3, numHashes: Int = 32,
+      portable: Boolean = false): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, shingleWidth)
-    val mins = (0 until numHashes).map(h =>
-      min(xxhash64(lit(h), col("shingle"))).as(s"mh_$h"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    if (portable) {
+      // one md5 per shingle; the i-th permutation is the 2-universal
+      // (a + (i+1)·b) mod P — oracle-reproducible at the cost of md5
+      // vs xxhash64 on the hot path
+      val (a, b) = PortableHash.lanes(col("shingle"))
+      val lanes = sh.select(col(idCol), a.as("__a"), b.as("__b"))
+      val mins = (0 until numHashes).map(h =>
+        min(PortableHash.laneHash(col("__a"), col("__b"), h)).as(s"mh_$h"))
+      lanes.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    } else {
+      val mins = (0 until numHashes).map(h =>
+        min(xxhash64(lit(h), col("shingle"))).as(s"mh_$h"))
+      sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    }
   }
 
   /** LSH banding: split the signature into `bands` bands of
     * `numHashes / bands` rows, hash each band → (id, band, bucket).
     */
   def lshBuckets(sig: DataFrame, idCol: String, numHashes: Int,
-      bands: Int): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
-    }
-    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      bands: Int, portable: Boolean = false): DataFrame = {
+    sig.select(col(idCol),
+        explode(bandStructs(numHashes, bands, portable)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** The per-band (band, bucket) structs over signature columns
+    * mh_0..mh_{n-1}. Portable buckets join the band's values as a
+    * string (SQL `string_agg` reproduces it); the default hashes them
+    * to one long with xxhash64 (cheaper to shuffle).
+    */
+  private def bandStructs(numHashes: Int, bands: Int,
+      portable: Boolean): Column = {
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      val bucket =
+        if (portable) concat_ws("_", cols: _*)
+        else xxhash64(cols: _*).cast("string")
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
   }
 
   /** Near-duplicate candidate pairs via MinHash LSH, with the estimated
@@ -96,10 +120,18 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minEstJaccard: Double = 0.5,
-      maxBucketSize: Int = 200): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, shingleWidth, numHashes)
-      .cache()
-    val buckets0 = lshBuckets(sig, idCol, numHashes, bands)
+      maxBucketSize: Int = 200,
+      portable: Boolean = false): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, shingleWidth, numHashes,
+      portable).cache()
+    // carry the full signature through the bucket rows as one array:
+    // the estimated Jaccard is then computed directly on the joined
+    // bucket rows, saving the two candidate×signature shuffle joins
+    // the naive plan needs
+    val buckets0 = sig.select(col(idCol),
+        array((0 until numHashes).map(h => col(s"mh_$h")): _*).as("sig"),
+        explode(bandStructs(numHashes, bands, portable)).as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band"), col("bb.bucket"))
     // hot-bucket guard: a bucket with B members yields B² candidate
     // pairs; over maxBucketSize members it is low-precision noise
     // (everything collides with everything) and at corpus scale it is
@@ -110,20 +142,17 @@ object Dedup {
       "left_anti")
       // a USING join moves the join keys first — restore column order
       // before the positional renames below
-      .select(col(idCol), col("band"), col("bucket"))
-    val b1 = buckets.toDF("id1", "band", "bucket")
-    val b2 = buckets.toDF("id2", "band", "bucket")
+      .select(col(idCol), col("sig"), col("band"), col("bucket"))
+    val b1 = buckets.toDF("id1", "sig1", "band", "bucket")
+    val b2 = buckets.toDF("id2", "sig2", "band", "bucket")
     val candidates = b1.join(b2, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    val s1 = sig.toDF(sig.columns.toIndexedSeq.map(c => s"${c}_a"): _*)
-    val s2 = sig.toDF(sig.columns.toIndexedSeq.map(c => s"${c}_b"): _*)
-    val agree = (0 until numHashes).map(h =>
-      when(col(s"mh_${h}_a") === col(s"mh_${h}_b"), 1).otherwise(0))
-      .reduce(_ + _)
+      .select("id1", "sig1", "id2", "sig2").distinct()
+    val agree = aggregate(
+      zip_with(col("sig1"), col("sig2"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
     candidates
-      .join(s1, col("id1") === col(s"${idCol}_a"))
-      .join(s2, col("id2") === col(s"${idCol}_b"))
       .select(col("id1"), col("id2"),
         (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
@@ -195,12 +224,19 @@ object Dedup {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** Per-document SimHash signature over whitespace tokens. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Per-document SimHash signature over whitespace tokens. The
+    * portable variant hashes tokens with the md5-derived 60-bit hash
+    * (bits 60-63 then never set) so an oracle can recompute it.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
     val simhashUdaf = udaf(SimhashAgg)
-    df.select(col(idCol),
+    val tok = df.select(col(idCol),
       explode(split(col(textCol), " +")).as("token"))
-      .select(col(idCol), xxhash64(col("token")).as("th"))
+    val th =
+      if (portable) PortableHash.hash60(col("token"))
+      else xxhash64(col("token"))
+    tok.select(col(idCol), th.as("th"))
       .groupBy(col(idCol))
       .agg(simhashUdaf(col("th")).as("simhash"))
   }

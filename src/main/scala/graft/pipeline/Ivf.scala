@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
@@ -61,9 +60,13 @@ object Ivf {
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, seed: Long = 42L,
       sampleLimit: Int = 100000): Array[Array[Double]] = {
-    val sample = corpus
-      .orderBy(xxhash64(col(idCol), lit(seed)))
-      .limit(sampleLimit)
+    // df.sample is a map-side filter (no global sort/limit funnel, the
+    // right shape at corpus scale) and deterministic under a fixed
+    // seed + partitioning
+    val n = corpus.count()
+    val sample = (if (n <= sampleLimit) corpus
+      else corpus.sample(withReplacement = false,
+        fraction = math.min(1.0, sampleLimit.toDouble / n), seed = seed))
       .select(col(idCol), col(vecCol))
       .cache()
     var centroids: Array[Array[Double]] = sample
@@ -90,13 +93,31 @@ object Ivf {
     centroids
   }
 
-  /** IVF top-k: assign corpus cells once, probe `nprobe` cells per
-    * query, rerank exactly with the native cosine.
+  /** Deterministic, training-free centroid pick: the corpus vectors at
+    * evenly spaced ids (vec_id = j·⌊N/nlist⌋ for j < nlist). No Lloyd
+    * refinement — cells are still a valid inverted file, and the pick
+    * is reproducible by the correctness oracle (trainCentroids is the
+    * quality path; this is the attestable one).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+  def staticCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Double]] = {
+    val n = corpus.count()
+    val step = math.max(n / nlist, 1L)
+    corpus.filter(col(idCol) % step === 0 && col(idCol) < step * nlist)
+      .orderBy(col(idCol))
+      .select(vecCol)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  }
+
+  /** IVF top-k over a given quantizer: assign corpus cells once, probe
+    * `nprobe` cells per query, rerank exactly with the native cosine.
+    * Per-query top-k runs as a partial aggregation (no full-candidate
+    * single-task window).
+    */
+  def ivfTopKWith(centroids: Array[Array[Double]], queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("neighbor_vec"),
       nearestCell(col(vecCol), centroids).as("cell"))
@@ -107,10 +128,13 @@ object Ivf {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("query_vec"), col("neighbor_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    Similarity.topKPerQuery(scored, k)
   }
+
+  /** IVF top-k with a freshly trained k-means quantizer. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 3, seed: Long = 42L): DataFrame =
+    ivfTopKWith(trainCentroids(corpus, idCol, vecCol, nlist, iters, seed),
+      queries, corpus, idCol, vecCol, k, nprobe)
 }

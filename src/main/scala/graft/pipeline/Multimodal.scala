@@ -38,19 +38,30 @@ object Multimodal {
   /** STUB decoder: a real implementation would decode the payload
     * (image decode / audio resample / video frame-sample) here, once
     * per batch. The fake derives a deterministic feature vector from
-    * payload bytes so tests can assert end-to-end dataflow.
+    * payload bytes so tests can assert end-to-end dataflow — and both
+    * outputs are plain sums (position-weighted checksum, per-lane byte
+    * totals scaled once at the end), so the correctness oracle can
+    * recompute them exactly in SQL without overflow or float-fold
+    * order concerns.
     */
   def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
     // per-partition init would happen here (codec handles, model load)
     rows.map { r =>
       val bytes = r.payload
       var checksum = 0L
-      val feat = new Array[Float](featureDims)
+      val acc = new Array[Long](featureDims)
       var i = 0
       while (i < bytes.length) {
-        checksum = checksum * 31 + (bytes(i) & 0xff)
-        feat(i % featureDims) += (bytes(i) & 0xff) / 255.0f
+        val b = bytes(i) & 0xff
+        checksum += b.toLong * (i + 1)
+        acc(i % featureDims) += b
         i += 1
+      }
+      val feat = new Array[Float](featureDims)
+      var d = 0
+      while (d < featureDims) {
+        feat(d) = (acc(d) / 255.0).toFloat
+        d += 1
       }
       MediaFeatures(r.media_id, r.kind, bytes.length.toLong, checksum, feat)
     }

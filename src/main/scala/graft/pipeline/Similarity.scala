@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -33,12 +33,48 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
+  /** Bounded top-k buffer keyed by (score desc, id asc) — a typed
+    * Aggregator, so Spark runs it with map-side partial aggregation:
+    * every partition reduces its candidates to at most k rows per
+    * query BEFORE the shuffle. The naive `row_number` window funnels
+    * the whole scored set for one query through a single task — the
+    * classic skew-killer at corpus scale.
+    */
+  final class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by { case (s, id) => (-s, id) }
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      (buf :+ x).sorted(ord).take(k)
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** (query_id, neighbor_id, cosine) → per-query top-k with 1-based
+    * rank, via the partial-aggregating TopKByScore (ties broken by
+    * neighbor_id ascending, like `row_number` over (cosine desc, id)).
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t._2").as("neighbor_id"),
+        col("t._1").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Brute-force top-k cosine neighbors.
     *
     * `queries` is expected to be small (it is broadcast): the scan of
-    * `corpus` is then a single pass, and the per-query top-k is a
-    * partial `TakeOrdered`-style window per partition — no all-pairs
-    * shuffle of the corpus.
+    * `corpus` is then a single pass, and the per-query top-k runs as a
+    * partial aggregation (≤ k rows per query per partition reach the
+    * shuffle — never the full scored corpus through one task).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -48,18 +84,23 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKPerQuery(scored, k)
   }
 
-  /** Deterministic random hyperplanes: `planes(seed)(i)(d)`. */
-  def hyperplanes(numPlanes: Int, dims: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numPlanes)(Array.fill(dims)(rnd.nextGaussian()))
-  }
+  /** Deterministic ±1 (Rademacher) hyperplanes derived from md5 hex
+    * parity: `planes(seed)(j)(d)` = +1 iff the first hex digit of
+    * md5("lsh:seed:j:d") is even. Sign-LSH with Rademacher planes has
+    * the same locality property as Gaussian planes, and the signs are
+    * reproducible in any engine with md5 — the correctness oracle
+    * re-derives them in SQL.
+    */
+  def hyperplanes(numPlanes: Int, dims: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { j =>
+      Array.tabulate(dims) { d =>
+        val hex = PortableHash.md5Hex(s"lsh:$seed:$j:$d").charAt(0)
+        if ((Character.digit(hex, 16) & 1) == 0) 1.0 else -1.0
+      }
+    }
 
   /** Sign-random-projection bucket for one band of planes; `vecd`
     * must already be a double array (cast once per row, not once per
@@ -101,11 +142,7 @@ object Similarity {
       .distinct()
     val scored = candidates.select(col("query_id"), col("neighbor_id"),
       cosine(col("query_vec"), col("neighbor_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Cosine similarity of consecutive ids — a linear near-dup sweep
