@@ -444,7 +444,10 @@ object Analyzer {
       if (es.length != row.length)
         fail(s"number of expressions (${es.length}) doesn't match number of columns (${row.length})")
       val es2 = es.zip(row).map { case (e, (_, ty)) =>
-        checkExpr(ctx, ty, e)._2
+        // IN compares, it doesn't assign: a nullable probe against a
+        // non-null subquery column is fine (the comparison is just
+        // NULL there) — check against the nullable widening
+        checkExpr(ctx, ty.asNullable, e)._2
       }
       (nonNull(BOOL), EIn(es2, select2))
 

@@ -26,10 +26,12 @@ import Analyzer._
   *    ORDER BY expressions over aggregates become hidden agg columns
   *    that are filtered/sorted on and then dropped.
   *  - Uncorrelated IN subqueries in WHERE conjuncts lower to
-  *    left-semi joins (NOT IN → left-anti); in other boolean
-  *    positions they lower to a distinct left-outer flag join.
-  *    Uncorrelated EXISTS evaluates once to a literal (the inner
-  *    select is limit(1)'d, so this is O(1) at any scale).
+  *    left-semi joins (NOT IN → null-aware left-anti, SQL 3VL); in
+  *    other positions (under OR/NOT, projection, group keys, ORDER
+  *    BY) they become materialized flag columns fed by distinct
+  *    left-outer joins. Uncorrelated EXISTS in WHERE is a lazy
+  *    broadcast gate join against its limit(1) subquery — no job
+  *    runs until the caller executes the plan.
   */
 object Lowering {
 
@@ -77,9 +79,13 @@ object Lowering {
     case EMatch(_, _) =>
       fail("MATCH must be resolved at bind time before lowering")
     case EIn(_, _) =>
-      fail("IN subquery is only supported in WHERE")
+      // SELECT positions are rewritten to flag columns before compile
+      // ever sees an EIn; this remains only for DML WHERE and HAVING
+      fail("IN subquery is not supported in this position")
     case EExists(sel) =>
-      // uncorrelated: evaluates once, O(1) via limit(1)
+      // non-WHERE position (projection): uncorrelated, evaluates once
+      // via limit(1). WHERE positions lower lazily in applyWhere — no
+      // job runs at bind time there.
       val sub = lowerTopSelect(ctx, sel)
       lit(sub.limit(1).count() > 0)
     case EApp(f, args) => compileApp(ctx, f, args)
@@ -186,106 +192,135 @@ object Lowering {
     case _                       => List(e)
   }
 
-  /** Apply WHERE: IN conjuncts become semi/anti joins; nested INs
-    * become flag joins; the remainder compiles to one filter.
+  /** Extracts IN/EXISTS subqueries from expressions into materialized
+    * boolean flag columns on a carried DataFrame — the subquery joins
+    * stay lazy Catalyst joins, and the flag column holds the final
+    * truth value, so a rewritten expression compiles with the plain
+    * `compile` anywhere (WHERE remainder, projection, group keys,
+    * aggregate arguments, ORDER BY).
+    *
+    * Single-column INs over nullable data get exact three-valued
+    * flags (via the uncorrelated has-null/non-empty scalars);
+    * multi-column INs over nullable data fall back to two-valued
+    * flags (documented divergence — the reference's backends apply
+    * 3VL there). Flags are memoized per structural expression, so a
+    * group key and a projection mentioning the same IN share one flag.
     */
-  private def applyWhere(ctx: Ctx, df0: DataFrame, where: Expr): DataFrame = {
-    var df = df0
-    var flagIdx = 0
+  private final class SubqueryFlags(ctx: Ctx, var df: DataFrame) {
+    private var flagIdx = 0
+    private val memo = scala.collection.mutable.Map[Expr, EName]()
+
+    private def nextFlag(): String = {
+      val f = s"__in_flag_$flagIdx"
+      flagIdx += 1
+      f
+    }
 
     def lowerInDf(es: List[Expr], sel: Select): (DataFrame, Column) = {
       val sub = lowerTopSelect(ctx, sel)
-      val renamed = sub.toDF(sub.columns.toIndexedSeq.map(c => s"__in${flagIdx}_$c"): _*)
+      val renamed = sub.toDF(sub.columns.toIndexedSeq
+        .map(c => s"__in${flagIdx}_$c"): _*)
       val cond = es.zip(renamed.columns).map { case (e, c) =>
         compile(ctx, e) === col(c)
       }.reduce(_ && _)
       (renamed, cond)
     }
 
-    /** Replace nested IN/EXISTS inside a general boolean expr with
-      * flag columns computed by left-outer joins.
-      */
+    /** A lazy one-row [true] DataFrame that is empty iff `sel` is. */
+    def existsFlagDf(sel: Select, flag: String): DataFrame =
+      broadcast(lowerTopSelect(ctx, sel).limit(1)
+        .select(lit(true).as(flag)))
+
     def rewrite(e: Expr): Expr = e match {
-      case EIn(es, sel) =>
+      case in @ EIn(es, sel) => memo.getOrElseUpdate(in, {
         val (sub, cond) = lowerInDf(es, sel)
-        val flag = s"__in_flag_$flagIdx"
-        flagIdx += 1
-        df = df.join(sub.distinct().withColumn(flag, lit(true)), cond,
+        val flag = nextFlag()
+        val raw = s"${flag}_raw"
+        val probes = es.map(x => compile(ctx, x))
+        val probeNullable = es.exists(x =>
+          df.select(compile(ctx, x)).schema.head.nullable)
+        val subNullable = sub.schema.exists(_.nullable)
+        df = df.join(sub.distinct().withColumn(raw, lit(true)), cond,
           "left_outer").drop(sub.columns.toIndexedSeq: _*)
-        EName(flag) // compiles to col(flag); null → false via coalesce below
-      case EApp(f, as)     => EApp(f, as.map(rewrite))
-      case EAscribe(x, t)  => EAscribe(rewrite(x), t)
-      case other           => other
+        val value =
+          if (!probeNullable && !subNullable)
+            // no NULL can arise: unmatched ⇒ definitely false
+            coalesce(col(raw), lit(false))
+          else if (es.length == 1) {
+            // exact 3VL: TRUE on a definite match; NULL when the probe
+            // is null and the subquery is non-empty, or the subquery
+            // contains a null; FALSE otherwise
+            val n = s"${flag}_n"
+            val nn = s"${flag}_nn"
+            val sub2 = lowerTopSelect(ctx, sel)
+            val stats = broadcast(sub2.agg(
+              count(lit(1)).as(n), count(col(sub2.columns.head)).as(nn)))
+            df = df.join(stats, lit(true), "left_outer")
+            when(col(raw), lit(true))
+              .when(probes.head.isNull && col(n) > 0,
+                lit(null).cast("boolean"))
+              .when(col(nn) < col(n), lit(null).cast("boolean"))
+              .otherwise(lit(false))
+          } else coalesce(col(raw), lit(false))
+        df = df.withColumn(flag, value)
+        EName(flag)
+      })
+      case ex @ EExists(sel) => memo.getOrElseUpdate(ex, {
+        val flag = nextFlag()
+        val raw = s"${flag}_raw"
+        df = df.join(existsFlagDf(sel, raw), lit(true), "left_outer")
+          .withColumn(flag, coalesce(col(raw), lit(false)))
+        EName(flag)
+      })
+      case EApp(f, as)    => EApp(f, as.map(rewrite))
+      case EAscribe(x, t) => EAscribe(rewrite(x), t)
+      case other          => other
     }
 
-    val parts = conjuncts(where)
-    val plain = List.newBuilder[Expr]
-    parts.foreach {
-      case EIn(es, sel) =>
-        val (sub, cond) = lowerInDf(es, sel)
-        flagIdx += 1
-        df = df.join(sub, cond, "left_semi")
-      case EApp("NOT", List(EIn(es, sel))) =>
-        val (sub, cond) = lowerInDf(es, sel)
-        flagIdx += 1
-        df = df.join(sub, cond, "left_anti")
-      case other => plain += other
-    }
-    val rest = plain.result()
-    if (rest.isEmpty) df
-    else {
-      val flagsBefore = flagIdx
-      val rewritten = rest.map(rewrite)
-      val cond = rewritten.map {
-        case EName(flag) if flag.startsWith("__in_flag_") =>
-          coalesce(col(flag), lit(false))
-        case e2 => compileWithFlags(ctx, e2)
-      }.reduce(_ && _)
-      val out = df.filter(cond)
-      // drop any flag columns introduced for nested INs
-      val flags = (flagsBefore until flagIdx).map(i => s"__in_flag_$i")
+    /** Drop every helper column this extractor added. */
+    def dropFlags(out: DataFrame): DataFrame = {
+      val flags = out.columns.filter(_.startsWith("__in_flag_")).toIndexedSeq
       if (flags.isEmpty) out else out.drop(flags: _*)
     }
   }
 
-  private def containsFlag(e: Expr): Boolean = e match {
-    case EName(flag)     => flag.startsWith("__in_flag_")
-    case EApp(_, args)   => args.exists(containsFlag)
-    case EAscribe(x, _)  => containsFlag(x)
-    case ENav(_, x)      => containsFlag(x)
-    case _               => false
-  }
-
-  private def compileWithFlags(ctx: Ctx, e: Expr): Column = e match {
-    case EName(flag) if flag.startsWith("__in_flag_") =>
-      coalesce(col(flag), lit(false))
-    case _ if !containsFlag(e) => compile(ctx, e)
-    case EApp(f, args) =>
-      // recompose boolean structure above flags manually
-      applyCompiled(f, args.map(compileWithFlags(ctx, _)))
-    case other => compile(ctx, other)
-  }
-
-  private def applyCompiled(f: String, cs: List[Column]): Column = f match {
-    case "="   => cs(0) === cs(1)
-    case "!="  => cs(0) =!= cs(1)
-    case ">"   => cs(0) > cs(1)
-    case ">="  => cs(0) >= cs(1)
-    case "<"   => cs(0) < cs(1)
-    case "<="  => cs(0) <= cs(1)
-    case "AND" => cs(0) && cs(1)
-    case "OR"  => cs(0) || cs(1)
-    case "NOT" => !cs(0)
-    case "IS NULL"     => cs(0).isNull
-    case "IS NOT NULL" => cs(0).isNotNull
-    case "nullif" => when(cs(0) === cs(1), lit(null)).otherwise(cs(0))
-    case "coalesce" => coalesce(cs: _*)
-    case "+" => cs(0) + cs(1)
-    case "-" => if (cs.length == 1) negate(cs(0)) else cs(0) - cs(1)
-    case "*" => cs(0) * cs(1)
-    case "/" => cs(0) / cs(1)
-    case "toString" => cs(0).cast(StringType)
-    case other => fail(s"unsupported function with subquery flags: $other")
+  /** Apply WHERE: IN conjuncts become semi joins, NOT IN conjuncts
+    * become null-aware anti joins (SQL three-valued semantics: a NULL
+    * probe or a NULL in the subquery keeps no row), EXISTS conjuncts
+    * become lazy one-row gate joins, nested INs/EXISTS become
+    * materialized flag joins; the remainder compiles to one filter.
+    */
+  private def applyWhere(ctx: Ctx, df0: DataFrame, where: Expr,
+      flags: SubqueryFlags): DataFrame = {
+    flags.df = df0
+    val parts = conjuncts(where)
+    val plain = List.newBuilder[Expr]
+    parts.foreach {
+      case EIn(es, sel) =>
+        val (sub, cond) = flags.lowerInDf(es, sel)
+        flags.df = flags.df.join(sub, cond, "left_semi")
+      case EApp("NOT", List(EIn(es, sel))) =>
+        // null-aware anti join: a probe row is dropped when any
+        // subquery row compares equal OR null-compares (3VL: such a
+        // row can never be definitely not-in)
+        val (sub, cond) = flags.lowerInDf(es, sel)
+        flags.df = flags.df.join(sub, cond || isnull(cond), "left_anti")
+      case EExists(sel) =>
+        // lazy gate: left-semi against a broadcast one-row flag —
+        // no job until the caller executes the plan
+        flags.df = flags.df.join(flags.existsFlagDf(sel, "__ex_gate"),
+          lit(true), "left_semi")
+      case EApp("NOT", List(EExists(sel))) =>
+        flags.df = flags.df.join(flags.existsFlagDf(sel, "__ex_gate"),
+          lit(true), "left_anti")
+      case other => plain += other
+    }
+    val rest = plain.result()
+    if (rest.nonEmpty) {
+      val cond = rest.map(flags.rewrite).map(compile(ctx, _)).reduce(_ && _)
+      flags.df = flags.df.filter(cond)
+    }
+    flags.df
   }
 
   // ---------------- SELECT ----------------
@@ -294,27 +329,33 @@ object Lowering {
     * emission list's names in order.
     */
   def lowerSelect(ctx: Ctx, scope: Scope, sel: Select): DataFrame = {
-    val fields = emission(scope, sel.proj)
-
     val base: DataFrame = sel.from match {
       case Some(f) => lowerFrom(ctx, scope, f)
       case None =>
         // SELECT without FROM: a single unit row
         ctx.spark.range(1).select()
     }
-    val filtered = sel.where match {
-      case Some(w) => applyWhere(ctx, base, w)
-      case None    => base
-    }
+    val flags = new SubqueryFlags(ctx, base)
+    sel.where.foreach(w => applyWhere(ctx, flags.df, w, flags))
+    // IN/EXISTS in projection / group keys / ORDER BY become flag
+    // columns materialized on the pre-aggregation frame (memoized, so
+    // a group key and a projection of the same subquery share a flag)
+    val fields = emission(scope, sel.proj)
+      .map { case (n, e) => (n, flags.rewrite(e)) }
+    val groups2 = sel.groupBy.map(_.map(flags.rewrite))
+    val orderBy2 = sel.orderBy.map(_.map { case (e, d) =>
+      (flags.rewrite(e), d)
+    })
+    val filtered = flags.df
 
-    sel.groupBy match {
+    groups2 match {
       case Some(groups) =>
         val groupCols = groups.map(compile(ctx, _))
         val hidden = List.newBuilder[(String, Column)]
         sel.having.foreach { h =>
           hidden += ("__having" -> compile(ctx, h))
         }
-        sel.orderBy.getOrElse(Nil).zipWithIndex.foreach { case ((e, _), i) =>
+        orderBy2.getOrElse(Nil).zipWithIndex.foreach { case ((e, _), i) =>
           hidden += (s"__ob_$i" -> compile(ctx, e))
         }
         val aggCols =
@@ -330,7 +371,7 @@ object Lowering {
           case Some(_) => agged.filter(col("__having"))
           case None    => agged
         }
-        val ordered = sel.orderBy match {
+        val ordered = orderBy2 match {
           case Some(obs) =>
             havinged.orderBy(obs.zipWithIndex.map {
               case ((_, Asc), i)  => col(s"__ob_$i").asc
@@ -342,7 +383,7 @@ object Lowering {
         limited.select(fields.map { case (n, _) => col(n) }: _*)
 
       case None =>
-        val ordered = sel.orderBy match {
+        val ordered = orderBy2 match {
           case Some(obs) =>
             filtered.orderBy(obs.map {
               case (e, Asc)  => compile(ctx, e).asc

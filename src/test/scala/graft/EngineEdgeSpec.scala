@@ -150,6 +150,128 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(df.collect().toSeq == want)
   }
 
+  test("NOT IN with NULLs in the subquery keeps no rows (3VL)") {
+    // every subquery value is NULL → x NOT IN (...) is never TRUE
+    val df = engine.sql(
+      """select c_custkey from customer
+        |where not (c_custkey in (select nullif(o_custkey, o_custkey) from orders))
+        |order by c_custkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, o_custkey) FROM orders)
+        |ORDER BY c_custkey""".stripMargin)
+    assert(want.isEmpty)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("NOT IN with a sometimes-NULL subquery column (3VL)") {
+    val df = engine.sql(
+      """select c_custkey from customer
+        |where not (c_custkey in (select nullif(o_custkey, 370) from orders where o_totalprice > 400000.0))
+        |order by c_custkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 370) FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("nullable probe IN subquery under OR (3VL flag join)") {
+    // nullif(c_custkey, 370): the probe itself is NULL for one row —
+    // IN yields NULL there, which OR must propagate, not coalesce
+    val df = engine.sql(
+      """select c_custkey from customer
+        |where (nullif(c_custkey, 370) in (select o_custkey from orders where o_totalprice > 400000.0))
+        |   or c_acctbal < -900.0
+        |order by c_custkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey FROM customer
+        |WHERE nullif(c_custkey, 370) IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |   OR c_acctbal < -900.0
+        |ORDER BY c_custkey""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("NOT of nullable-sub IN under OR propagates NULL (3VL flag join)") {
+    val df = engine.sql(
+      """select c_custkey from customer
+        |where not (c_custkey in (select nullif(o_custkey, 370) from orders where o_totalprice > 400000.0))
+        |   or c_acctbal < -900.0
+        |order by c_custkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 370) FROM orders WHERE o_totalprice > 400000.0)
+        |   OR c_acctbal < -900.0
+        |ORDER BY c_custkey""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("EXISTS in WHERE lowers lazily: no count job at bind time") {
+    // parquet reads at plan-building time may run tiny footer-read
+    // jobs; the eager-EXISTS bug specifically ran a `count` action
+    // per EXISTS during lowering — assert no such job fires
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        sites.add(Option(j.properties)
+          .map(p => String.valueOf(p.getProperty("callSite.short")))
+          .getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = engine.sql(
+        """select o_orderkey from orders
+          |where exists(select r_regionkey from region where r_name = 'ASIA')
+          |  and not (exists(select r_regionkey from region where r_name = 'NOPE'))""".stripMargin)
+      Thread.sleep(500) // listener bus is async
+      val atBind = sites.toArray.mkString(", ")
+      assert(!atBind.contains("count"),
+        s"building the plan ran a count job: [$atBind]")
+      assert(df.count() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("EXISTS over an empty subquery filters all rows (lazy gate)") {
+    val df = engine.sql(
+      """select o_orderkey from orders
+        |where exists(select r_regionkey from region where r_name = 'NO_SUCH')""".stripMargin)
+    assert(df.count() == 0)
+  }
+
+  test("IN subquery in a projection compiles to a flag column") {
+    val df = engine.sql(
+      """select c_custkey, (c_custkey in (select o_custkey from orders where o_totalprice > 400000.0)) as big
+        |from customer order by c_custkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey, c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0) AS big
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("IN subquery as a group key shares its flag with the projection") {
+    val df = engine.sql(
+      """select (c_custkey in (select o_custkey from orders where o_totalprice > 400000.0)) as big, count(1) as n
+        |from customer
+        |group by (c_custkey in (select o_custkey from orders where o_totalprice > 400000.0))
+        |order by count(1)""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0) AS big, count(1) AS n
+        |FROM customer
+        |GROUP BY c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY count(1)""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("EXISTS in a projection evaluates to a boolean column") {
+    val df = engine.sql(
+      """select o_orderkey, exists(select r_regionkey from region where r_name = 'ASIA') as asia
+        |from orders order by o_orderkey limit 5""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 5 && rows.forall(_.getBoolean(1)))
+  }
+
   test("deeply nested open scopes (3 levels) with outer navigation") {
     val df = engine.sql(
       """select x.y.z.o_orderkey, x.(y.z.o_totalprice * 2.0)
