@@ -28,6 +28,29 @@ object Migrate {
 
   final case class Migration(name: String, actions: List[Action])
 
+  /** Human-readable DDL rendering of one migration action — what the
+    * reference's `migrate-show` prints as SQL
+    * (reference sqlpp_manage.ml:244-255, Migrate.to_sql).
+    */
+  def describe(a: Action): String = a match {
+    case CreateTable(src)        => src.linesIterator.map(_.trim)
+      .mkString(" ") + ";"
+    case DropTable(name)         => s"DROP TABLE $name;"
+    case RenameTable(from, to)   => s"ALTER TABLE $from RENAME TO $to;"
+    case AddColumn(table, c) =>
+      val dflt = c.default.map(e => s" DEFAULT (${Printer.expr(e)})")
+        .getOrElse("")
+      s"ALTER TABLE $table ADD COLUMN ${c.name} ${c.ty.show}$dflt;"
+    case DropColumn(table, c)    => s"ALTER TABLE $table DROP COLUMN $c;"
+    case RenameColumn(table, from, to) =>
+      s"ALTER TABLE $table RENAME COLUMN $from TO $to;"
+    case RunDml(sql)             => sql.linesIterator.map(_.trim)
+      .mkString(" ") + ";"
+  }
+
+  def describe(m: Migration): String =
+    m.actions.map(describe).mkString("\n")
+
   private val journalTable = "_migrate"
   private val journalSchema = StructType(List(
     StructField("name", StringType, nullable = false)))
