@@ -140,6 +140,41 @@ object PipelineQueries {
       |       CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // Near-dup clustering: connected components (min-label propagation)
+  // over the portable MinHash candidate pairs — the transitive closure
+  // a dedup pass keeps one document per cluster from. The oracle
+  // recomputes the closure with a recursive CTE.
+  val dd6Cluster: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val nearDup = d.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 2000000).as("doc_id"),
+      concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
+        .as("text"))
+    val pairs = Dedup.minhashNearDupPairs(d.unionByName(nearDup),
+      "doc_id", "text", shingleWidth = 3, numHashes = 32, bands = 8,
+      minEstJaccard = 0.5, portable = true)
+    pipeline.Cluster.connectedComponents(pairs).orderBy("id")
+  }
+
+  val dd6Sql: String =
+    s"""WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'zzz ' || substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id < 50),
+      |${minhashPairsCtes()},
+      |pairs AS (
+      |  SELECT id1, id2 FROM agree WHERE CAST(m AS DOUBLE) / 32 >= 0.5),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION SELECT id2, id1 FROM pairs),
+      |closure(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src)
+      |SELECT a AS id, least(a, min(b)) AS cluster_id
+      |FROM closure GROUP BY a ORDER BY id""".stripMargin
+
   // Exact char-3-gram Jaccard pairs on a bounded slice (oracle ✓).
   val dd4NgramJaccard: Q = (s, dir) => {
     val d = docs(s, dir).select("doc_id", "text").filter(col("doc_id") < 100)
@@ -385,6 +420,45 @@ object PipelineQueries {
       |FROM documents d JOIN agg a ON a.media_id = d.doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ---------------- sampling & packing ----------------
+
+  // Deterministic stratified sampling (training-data mixing): keep a
+  // row iff portable-hash u(doc_id) < rate(source).
+  val sm1Sample: Q = (s, dir) =>
+    pipeline.Sampling.stratifiedSample(
+      docs(s, dir).select("doc_id", "source"), "doc_id", "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+      seed = 42L, defaultRate = 0.1)
+      .orderBy("doc_id")
+
+  val sm1Sql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |        % 1000000 AS DOUBLE) / 1000000.0
+      |    < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+      |                  WHEN 'src2' THEN 0.25 ELSE 0.1 END
+      |ORDER BY doc_id""".stripMargin
+
+  // Sequence packing: documents concatenated in id order, cut into
+  // 512-token shards via the distributed prefix sum.
+  val pk1Pack: Q = (s, dir) => {
+    val toks = TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("ws_tokens").as("n_tokens"))
+    pipeline.Sampling.packSequences(toks, "doc_id", "n_tokens",
+      budget = 512)
+      .orderBy("doc_id")
+  }
+
+  val pk1Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |              - n_tokens) // 512 AS BIGINT) AS shard_id
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // ---------------- composed curation pass ----------------
 
   // quality gate → exact dedup → near-dup drop → per-source stats,
@@ -424,6 +498,9 @@ object PipelineQueries {
     "dd3_simhash" -> dd3Simhash,
     "dd4_ngram_jaccard" -> dd4NgramJaccard,
     "dd5_embed_cosine_neardup" -> dd5EmbedCosine,
+    "dd6_neardup_clusters" -> dd6Cluster,
+    "sm1_stratified_sample" -> sm1Sample,
+    "pk1_sequence_packing" -> pk1Pack,
     "ss1_cosine_topk_brute" -> ss1BruteTopK,
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
@@ -441,6 +518,9 @@ object PipelineQueries {
     "dd3_simhash" -> dd3Sql,
     "dd4_ngram_jaccard" -> dd4Sql,
     "dd5_embed_cosine_neardup" -> dd5Sql,
+    "dd6_neardup_clusters" -> dd6Sql,
+    "sm1_stratified_sample" -> sm1Sql,
+    "pk1_sequence_packing" -> pk1Sql,
     "ss1_cosine_topk_brute" -> ss1Sql,
     "ss2_cosine_topk_lsh" -> ss2Sql,
     "ss3_cosine_topk_ivf" -> ss3Sql,

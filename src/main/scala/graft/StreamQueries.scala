@@ -45,13 +45,33 @@ object StreamQueries {
       |FROM sess GROUP BY user_id, session_seq
       |ORDER BY user_id, session_start""".stripMargin
 
+  // Event dedup (batch twin of the watermarked streaming dedup) over
+  // a feed with replayed deliveries planted.
+  val ev3Dedup: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val replayed = ev.filter(org.apache.spark.sql.functions.col("event_id") < 500)
+    EventStreams.dedupEventsBatch(ev.unionByName(replayed))
+      .orderBy("event_id")
+  }
+  val ev3Sql: String =
+    """WITH feed AS (
+      |  SELECT event_id, ts, user_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts, user_id, event_type, value FROM events
+      |  WHERE event_id < 500)
+      |SELECT DISTINCT event_id, ts, user_id, event_type, value
+      |FROM feed ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ev1_windowed_agg" -> ev1WindowedAgg,
     "ev2_sessionize" -> ev2Sessions,
+    "ev3_dedup" -> ev3Dedup,
   )
 
   val oracleSql: Map[String, String] = Map(
     "ev1_windowed_agg" -> ev1Sql,
     "ev2_sessionize" -> ev2Sql,
+    "ev3_dedup" -> ev3Sql,
   )
 }

@@ -247,15 +247,17 @@ final class ManagedEngine(
     // UPDATE ... FROM: join the extra sources; rows may match multiple
     // join rows — keep the first per base row (classic UPDATE FROM
     // nondeterminism, made deterministic here)
-    val joined = u.from match {
-      case None => nsd
+    val cond = u.where.map(Lowering.compile(ctx, _)).getOrElse(lit(true))
+    val matched = u.from match {
+      case None => nsd.filter(coalesce(cond, lit(false)))
       case Some(f) =>
         val scope = info.innerScope
         val fromDf = LoweringAccess.lowerFromPublic(ctx, scope, f)
-        nsd.crossJoin(fromDf)
+        // an explicit inner join (not crossJoin+filter) keeps the
+        // WHERE's equi-predicates visible as the join condition, so a
+        // pathological WHERE can never plan as a full cartesian
+        nsd.join(fromDf, coalesce(cond, lit(false)), "inner")
     }
-    val cond = u.where.map(Lowering.compile(ctx, _)).getOrElse(lit(true))
-    val matched = joined.filter(coalesce(cond, lit(false)))
     val pks = primaryKeys(u.table)
     val keyCols = if (pks.nonEmpty) pks.map(c => s"${u.table}__$c")
       else existing.columns.map(c => s"${u.table}__$c").toSeq

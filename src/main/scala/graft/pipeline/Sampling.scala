@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sampling and shard-packing operators for training-data mixing: the
+  * step between a curated corpus and a training run (per-source
+  * mixture rates, then packing documents into fixed-token shards).
+  */
+object Sampling {
+
+  /** Deterministic stratified sampling: keep a row iff
+    * u(id) < rate(stratum), with u derived from the portable md5 hash
+    * of (seed, id). Unlike `df.sample` this is stable across reruns,
+    * partitionings and engines (the correctness oracle recomputes it),
+    * and it is purely map-side — no shuffle, no state, any scale.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], seed: Long = 42L,
+      defaultRate: Double = 0.0): DataFrame = {
+    val u = (PortableHash.hash60(
+      concat_ws(":", lit(seed), col(idCol))) % 1000000L)
+      .cast("double") / 1000000.0
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+
+  /** Sequence packing: concatenate documents in id order into one
+    * token stream and cut it into `budget`-token shards — the
+    * GPT-style pretraining packing layout. Returns
+    * (id, n_tokens, shard_id) where shard_id is the shard the
+    * document starts in.
+    *
+    * Scale shape: a distributed prefix sum — range-partition by id,
+    * per-partition token totals (numPartitions longs) are collected
+    * and scanned on the driver, and each partition derives its running
+    * totals from its offset. No global single-task window at any
+    * corpus size.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // materialize the range partitioning once so both passes see the
+    // same partition boundaries
+    val parted = df
+      .select(col(idCol).cast("long"), col(tokensCol).cast("long"))
+      .as[(Long, Long)]
+      .repartitionByRange(partitions, col(idCol))
+      .sortWithinPartitions(idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sums = parted.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // offsets(i) = total tokens before partition i
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = parted.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var running = bc.value(i)
+        it.map { case (id, tok) =>
+          val start = running
+          running += tok
+          (id, tok, start / budget)
+        }
+      }
+      .toDF(idCol, tokensCol, "shard_id")
+      .localCheckpoint(true)
+    parted.unpersist(false)
+    out
+  }
+}

@@ -127,6 +127,27 @@ object EventStreams {
       .drop("session_seq")
   }
 
+  // ---------------- dedup ----------------
+
+  /** Streaming event dedup by event_id with bounded state: duplicates
+    * arriving within the watermark horizon are dropped, and per-key
+    * state is evicted once the watermark passes (the
+    * dropDuplicatesWithinWatermark contract) — O(keys-in-horizon)
+    * state regardless of stream length. At-least-once upstreams
+    * (replayed Kafka offsets, retried file loads) become exactly-once
+    * per key downstream.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch twin of `dedupEvents`: one hash aggregation on event_id.
+    * Duplicate deliveries are exact copies, so any-row-per-key equals
+    * first-row-per-key.
+    */
+  def dedupEventsBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   /** File-based streaming source over an events parquet directory —
     * the production shape: readStream → transform → writeStream.
     */

@@ -190,6 +190,63 @@ class PipelineSpec extends SparkTestBase {
     assert(curated.count() == clean)
   }
 
+  test("connected components merge chains and keep islands apart") {
+    import spark.implicits._
+    import graft.pipeline.Cluster
+    // chain 1-2-3 (transitive via distinct pairs), island 10-11,
+    // singleton-pair 20-21 plus a cross edge arriving later 3-4
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id1", "id2")
+    val got = Cluster.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("stratified sample is deterministic and tracks the rates") {
+    import graft.pipeline.Sampling
+    val d = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val s1 = Sampling.stratifiedSample(d, "doc_id", "source", rates,
+      defaultRate = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Sampling.stratifiedSample(d, "doc_id", "source", rates,
+      defaultRate = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2) // stable across runs (hash, not RNG)
+    val bySource = Sampling.stratifiedSample(d, "doc_id", "source", rates,
+      defaultRate = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == 25) // rate 1.0 keeps everything
+    assert(!bySource.contains("src1")) // rate 0.0 keeps nothing
+    // ~0.5 of the remaining 18 sources of 25 docs each
+    val rest = bySource.filterNot(_._1 == "src0").values.sum
+    assert(rest > 100 && rest < 350, s"rest=$rest")
+  }
+
+  test("sequence packing equals the single-node prefix-sum reference") {
+    import graft.pipeline.{Sampling, TextAnalysis}
+    val toks = TextAnalysis.tokenCounts(
+      Tables.load(spark, "/root/testdata/sf0.01", "documents"),
+      "doc_id", "text")
+      .select(col("doc_id"), col("ws_tokens").as("n_tokens"))
+    val got = Sampling.packSequences(toks, "doc_id", "n_tokens",
+      budget = 512, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // reference: plain running sum on the driver
+    val rows = toks.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var run = 0L
+    val want = rows.map { case (id, t) =>
+      val start = run; run += t; (id, t, start / 512)
+    }.toSeq
+    assert(got == want)
+    // shards are monotone and dense from 0
+    val shards = got.map(_._3)
+    assert(shards.head == 0L && shards == shards.sorted)
+  }
+
   test("multimodal plumbing: batch decode preserves ids and byte lengths") {
     val stats = Multimodal.mediaFeatureStats(spark, Tables.load(spark,
       "/root/testdata/sf0.01", "documents")).collect()

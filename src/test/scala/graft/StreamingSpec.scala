@@ -40,6 +40,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      // replayed delivery of event 1 (same id) within the horizon
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(3, ts(2), 2, "click", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
