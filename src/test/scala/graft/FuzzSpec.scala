@@ -107,23 +107,51 @@ class FuzzSpec extends SparkTestBase {
       s"SELECT o_orderkey, c_name, o_totalprice FROM customer JOIN orders ON o_custkey = c_custkey$wS ORDER BY o_orderkey LIMIT $lim")
   }
 
-  /** key IN (filtered subquery) — left-semi lowering vs Spark's IN. */
+  /** key IN (filtered subquery) in three shapes — WHERE conjunct
+    * (semi / null-aware anti join), under OR (flag join), projection
+    * value (materialized flag) — with optional nullif-injected NULLs
+    * on the probe and/or subquery side to exercise three-valued
+    * semantics differentially against Spark SQL.
+    */
   def inQuery(t: Tbl): Gen[Q] = for {
     sub <- boolExpr(orders)
     neg <- Gen.oneOf(true, false)
+    nullSub0 <- Gen.oneOf(true, false)
+    nullProbe0 <- Gen.frequency(3 -> false, 1 -> true)
+    shape <- Gen.chooseNum(0, 2)
+    k <- Gen.chooseNum(1, 400)
   } yield {
+    // NULL injection only in the WHERE-conjunct shape: there Spark's
+    // null-aware anti join is standard 3VL like us. In projection /
+    // under-OR positions Spark SQL itself is NON-standard (its
+    // ExistenceJoin treats `2 IN (1, NULL)` as false where the
+    // standard, DuckDB, and the reference's backends say NULL), so a
+    // Spark differential would flag OUR standard behavior as wrong —
+    // those positions are oracle-checked deterministically instead.
+    val nullSub = nullSub0 && shape == 0
+    val nullProbe = nullProbe0 && shape == 0
     val keyCol = t match {
       case `customer` => "c_custkey"
       case `lineitem` => "l_orderkey"
       case _          => "o_orderkey"
     }
     val subKey = if (t == customer) "o_custkey" else "o_orderkey"
-    val inD = s"$keyCol in (select $subKey from orders where ${sub.dialect})"
-    val inS = s"$keyCol IN (SELECT $subKey FROM orders WHERE ${sub.sql})"
-    val (pd, ps) = if (neg) (s"not ($inD)", s"$keyCol NOT IN (SELECT $subKey FROM orders WHERE ${sub.sql})")
-      else (inD, inS)
-    Q(s"select $keyCol from ${t.name} where $pd order by $keyCol limit 80",
-      s"SELECT $keyCol FROM ${t.name} WHERE $ps ORDER BY $keyCol LIMIT 80")
+    val subExpr = if (nullSub) s"nullif($subKey, $k)" else subKey
+    val probe = if (nullProbe) s"nullif($keyCol, $k)" else keyCol
+    val inD = s"$probe in (select $subExpr from orders where ${sub.dialect})"
+    val inS = s"$probe IN (SELECT $subExpr FROM orders WHERE ${sub.sql})"
+    val (pd, ps) = if (neg) (s"not ($inD)", s"NOT ($inS)") else (inD, inS)
+    shape match {
+      case 0 =>
+        Q(s"select $keyCol from ${t.name} where $pd order by $keyCol limit 80",
+          s"SELECT $keyCol FROM ${t.name} WHERE $ps ORDER BY $keyCol LIMIT 80")
+      case 1 =>
+        Q(s"select $keyCol from ${t.name} where ($pd or $keyCol = $k) order by $keyCol limit 80",
+          s"SELECT $keyCol FROM ${t.name} WHERE ($ps OR $keyCol = $k) ORDER BY $keyCol LIMIT 80")
+      case _ =>
+        Q(s"select $keyCol, ($pd) as f from ${t.name} order by $keyCol limit 80",
+          s"SELECT $keyCol, ($ps) AS f FROM ${t.name} ORDER BY $keyCol LIMIT 80")
+    }
   }
 
   def plainQuery(t: Tbl): Gen[Q] = for {

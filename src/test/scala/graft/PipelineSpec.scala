@@ -60,6 +60,16 @@ class PipelineSpec extends SparkTestBase {
     assert(found == 10, s"found $found/10 exact dup pairs")
   }
 
+  test("top-k plan is a partial aggregation, not a per-query window") {
+    val topk = Similarity.bruteForceTopK(
+      embs.filter(col("vec_id") < 5), embs, "vec_id", "embedding", k = 10)
+    val plan = topk.queryExecution.executedPlan.toString
+    // map-side partial top-k: at most k rows per query per partition
+    // reach the shuffle — the skew-safe shape at corpus scale
+    assert(plan.contains("partial_topkbyscore"), plan.take(600))
+    assert(!plan.contains("Window"), "full-corpus window funnel is back")
+  }
+
   test("LSH ANN recall against brute force") {
     val queries = embs.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(queries, embs, "vec_id",
