@@ -420,6 +420,29 @@ object PipelineQueries {
       |FROM documents d JOIN agg a ON a.media_id = d.doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ---------------- quantization ----------------
+
+  // int8 embedding quantization fidelity: scale + cosine(original,
+  // dequantized). Floor-based rounding keeps it oracle-exact.
+  val qz1Quantize: Q = (s, dir) =>
+    pipeline.Quantize.fidelity(
+      embs(s, dir).select("vec_id", "embedding"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  val qz1Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                       x -> abs(x)), 'max') AS scale
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT vec_id, v, scale,
+      |         list_transform(v, x ->
+      |           (floor(x * 127.0 / scale + 0.5) * scale) / 127.0) AS dv
+      |  FROM q)
+      |SELECT vec_id, scale, list_cosine_similarity(v, dv) AS fidelity
+      |FROM d ORDER BY vec_id""".stripMargin
+
   // ---------------- sampling & packing ----------------
 
   // Deterministic stratified sampling (training-data mixing): keep a
@@ -458,6 +481,43 @@ object PipelineQueries {
       |       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
       |              - n_tokens) // 512 AS BIGINT) AS shard_id
       |FROM t ORDER BY doc_id""".stripMargin
+
+  // Resize → decode: the stubbed downsampler picks every step-th byte
+  // (step = len // 16), then the decoder's sums run over the resized
+  // payload — both integer-exact, so the oracle replays the stride.
+  val mm2ResizeFeatures: Q = (s, dir) => {
+    val media = Multimodal.mediaFromDocuments(s, docs(s, dir))
+    Multimodal.resizeAndExtract(media, width = 32, height = 32,
+      partitions = 32)
+      .toDF()
+      .select(col("media_id"), col("byte_len"), col("checksum"),
+        element_at(col("feature"), 1).cast("double").as("f0"))
+      .orderBy("media_id")
+  }
+
+  val mm2Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS len,
+      |         least(16, length(text)) AS outlen
+      |  FROM documents),
+      |b AS (
+      |  SELECT media_id, j,
+      |         ord(substr(text,
+      |           CAST(j * greatest(1, len // greatest(1, outlen)) + 1 AS INT),
+      |           1)) AS byte
+      |  FROM (SELECT media_id, text, len, outlen,
+      |               unnest(generate_series(0, outlen - 1)) AS j
+      |        FROM dims) p),
+      |agg AS (
+      |  SELECT media_id,
+      |         CAST(sum(byte * (j + 1)) AS BIGINT) AS checksum,
+      |         CAST(CAST(CAST(sum(CASE WHEN j % 8 = 0 THEN byte ELSE 0 END) AS DOUBLE)
+      |               / 255.0 AS FLOAT) AS DOUBLE) AS f0
+      |  FROM b GROUP BY media_id)
+      |SELECT d.media_id AS media_id, CAST(d.outlen AS BIGINT) AS byte_len,
+      |       a.checksum, a.f0
+      |FROM dims d JOIN agg a ON a.media_id = d.media_id
+      |ORDER BY d.media_id""".stripMargin
 
   // ---------------- composed curation pass ----------------
 
@@ -501,6 +561,8 @@ object PipelineQueries {
     "dd6_neardup_clusters" -> dd6Cluster,
     "sm1_stratified_sample" -> sm1Sample,
     "pk1_sequence_packing" -> pk1Pack,
+    "qz1_embed_quantize" -> qz1Quantize,
+    "mm2_resize_features" -> mm2ResizeFeatures,
     "ss1_cosine_topk_brute" -> ss1BruteTopK,
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
@@ -521,6 +583,8 @@ object PipelineQueries {
     "dd6_neardup_clusters" -> dd6Sql,
     "sm1_stratified_sample" -> sm1Sql,
     "pk1_sequence_packing" -> pk1Sql,
+    "qz1_embed_quantize" -> qz1Sql,
+    "mm2_resize_features" -> mm2Sql,
     "ss1_cosine_topk_brute" -> ss1Sql,
     "ss2_cosine_topk_lsh" -> ss2Sql,
     "ss3_cosine_topk_ivf" -> ss3Sql,

@@ -257,6 +257,28 @@ class PipelineSpec extends SparkTestBase {
     assert(shards.head == 0L && shards == shards.sorted)
   }
 
+  test("int8 quantization: tinyint storage, bounded error, high fidelity") {
+    import graft.pipeline.Quantize
+    val q = Quantize.quantize(embs, "embedding")
+    val schema = q.schema("qvec").dataType
+    assert(schema == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      schema.simpleString == "array<tinyint>", schema.simpleString)
+    // per-element reconstruction error ≤ scale/254 + eps
+    val err = q.select(
+      aggregate(
+        zip_with(transform(col("embedding"), x => x.cast("double")),
+          Quantize.dequantize(col("qvec"), col("scale")),
+          (a, b) => abs(a - b)),
+        lit(0.0d), (acc, v) => greatest(acc, v)).as("maxerr"),
+      col("scale"))
+      .filter(col("maxerr") > col("scale") / 254.0 + 1e-12)
+    assert(err.isEmpty)
+    val fid = Quantize.fidelity(embs, "vec_id", "embedding")
+      .agg(min(col("fidelity"))).collect()(0).getDouble(0)
+    assert(fid > 0.999, s"min fidelity $fid")
+  }
+
   test("multimodal plumbing: batch decode preserves ids and byte lengths") {
     val stats = Multimodal.mediaFeatureStats(spark, Tables.load(spark,
       "/root/testdata/sf0.01", "documents")).collect()
