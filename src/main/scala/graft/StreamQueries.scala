@@ -63,15 +63,72 @@ object StreamQueries {
       |SELECT DISTINCT event_id, ts, user_id, event_type, value
       |FROM feed ORDER BY event_id""".stripMargin
 
+  // As-of join: every click gets the user's latest view at-or-before
+  // it (click-to-view attribution) — union+window formulation, one
+  // shuffle on user_id.
+  val aj1AsofJoin: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+    graft.pipeline.Temporal.asofJoin(clicks, views, "user_id", "ts",
+      "view_ts", "last_view_ts")
+      .orderBy("event_id")
+  }
+  val aj1Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, 1 AS is_left, event_id,
+      |         CAST(NULL AS TIMESTAMP) AS pay
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, NULL, ts
+      |  FROM events WHERE event_type = 'view'),
+      |w AS (
+      |  SELECT user_id, ts, is_left, event_id,
+      |         last_value(pay IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts, is_left, pay
+      |           ROWS UNBOUNDED PRECEDING) AS last_view_ts
+      |  FROM u)
+      |SELECT event_id, user_id, ts, last_view_ts
+      |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin
+
+  // Binned range join (no equi key): events assigned to value bands.
+  val rj1RangeJoin: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val bands = Seq(
+      (0.0, 1.5, "b0"), (1.5, 3.7, "b1"), (3.7, 8.0, "b2"),
+      (8.0, 20.0, "b3"), (20.0, 100.0, "b4"), (100.0, 500.0, "b5"))
+      .toDF("lo", "hi", "band")
+    val pts = Tables.load(s, dir, "events").select("event_id", "value")
+    graft.pipeline.Temporal.rangeJoinBinned(pts, "value", bands,
+      "lo", "hi", binSize = 2.0)
+      .select("event_id", "value", "band")
+      .orderBy("event_id")
+  }
+  val rj1Sql: String =
+    """WITH bands(lo, hi, band) AS (VALUES
+      |  (0.0, 1.5, 'b0'), (1.5, 3.7, 'b1'), (3.7, 8.0, 'b2'),
+      |  (8.0, 20.0, 'b3'), (20.0, 100.0, 'b4'), (100.0, 500.0, 'b5'))
+      |SELECT event_id, value, band
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ev1_windowed_agg" -> ev1WindowedAgg,
     "ev2_sessionize" -> ev2Sessions,
     "ev3_dedup" -> ev3Dedup,
+    "aj1_asof_join" -> aj1AsofJoin,
+    "rj1_range_join" -> rj1RangeJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
     "ev1_windowed_agg" -> ev1Sql,
     "ev2_sessionize" -> ev2Sql,
     "ev3_dedup" -> ev3Sql,
+    "aj1_asof_join" -> aj1Sql,
+    "rj1_range_join" -> rj1Sql,
   )
 }

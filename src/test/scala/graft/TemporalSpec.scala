@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Temporal
+
+/** Hand-computed edge cases for the temporal join operators. */
+class TemporalSpec extends SparkTestBase {
+
+  def ts(m: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
+
+  test("as-of join: latest right at-or-before, per key, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 7L, ts(10)), // after right rows at 5 and 10 → picks 10 (tie counts)
+      (2L, 7L, ts(7)),  // between 5 and 10 → picks 5
+      (3L, 7L, ts(1)),  // before any right → null
+      (4L, 9L, ts(30))  // key with no right rows at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts(5), "v5"), (7L, ts(10), "v10"), (8L, ts(1), "other"))
+      .toDF("user_id", "ts", "tag")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts", "tag", "last_tag")
+      .select("event_id", "last_tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("v10"), 2L -> Some("v5"),
+      3L -> None, 4L -> None))
+  }
+
+  test("as-of join tie between same-ts right rows picks the largest payload") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts(10), "a"), (7L, ts(10), "b"))
+      .toDF("user_id", "ts", "tag")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts", "tag", "last_tag")
+      .collect()(0).getAs[String]("last_tag")
+    assert(got == "b")
+  }
+
+  test("binned range join matches a plain range predicate, incl. boundaries") {
+    import spark.implicits._
+    val points = Seq((1L, 0.0), (2L, 1.5), (3L, 1.499), (4L, 7.999),
+      (5L, 8.0), (6L, 99.9)).toDF("id", "v")
+    val ivals = Seq((0.0, 1.5, "lo"), (1.5, 8.0, "mid"), (8.0, 100.0, "hi"))
+      .toDF("lo", "hi", "band")
+    val got = Temporal.rangeJoinBinned(points, "v", ivals, "lo", "hi", 2.0)
+      .select("id", "band").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // [lo, hi): 1.5 falls in "mid", 8.0 in "hi"
+    assert(got == Map(1L -> "lo", 2L -> "mid", 3L -> "lo", 4L -> "mid",
+      5L -> "hi", 6L -> "hi"))
+    // and it agrees with the naive cross-join+filter on this data
+    val naive = points.crossJoin(ivals)
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "band").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == naive)
+  }
+}
