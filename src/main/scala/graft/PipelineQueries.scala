@@ -420,6 +420,25 @@ object PipelineQueries {
       |FROM documents d JOIN agg a ON a.media_id = d.doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ---------------- skew-salted join ----------------
+
+  // Salted equi-join: result must equal the plain join exactly (the
+  // salt only re-routes rows), so the oracle IS the plain join.
+  val sj1SaltedJoin: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    pipeline.Skew.saltedJoin(li, ord, Seq("l_orderkey"), saltFactor = 8)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val sj1Sql: String =
+    """SELECT o_orderkey AS l_orderkey, l_linenumber, l_quantity,
+      |       o_orderstatus
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // ---------------- quantization ----------------
 
   // int8 embedding quantization fidelity: scale + cosine(original,
@@ -563,6 +582,7 @@ object PipelineQueries {
     "pk1_sequence_packing" -> pk1Pack,
     "qz1_embed_quantize" -> qz1Quantize,
     "mm2_resize_features" -> mm2ResizeFeatures,
+    "sj1_salted_join" -> sj1SaltedJoin,
     "ss1_cosine_topk_brute" -> ss1BruteTopK,
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
@@ -585,6 +605,7 @@ object PipelineQueries {
     "pk1_sequence_packing" -> pk1Sql,
     "qz1_embed_quantize" -> qz1Sql,
     "mm2_resize_features" -> mm2Sql,
+    "sj1_salted_join" -> sj1Sql,
     "ss1_cosine_topk_brute" -> ss1Sql,
     "ss2_cosine_topk_lsh" -> ss2Sql,
     "ss3_cosine_topk_ivf" -> ss3Sql,

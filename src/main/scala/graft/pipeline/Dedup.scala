@@ -152,10 +152,16 @@ object Dedup {
       zip_with(col("sig1"), col("sig2"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    candidates
+    val pairs = candidates
       .select(col("id1"), col("id2"),
         (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      // materialize the (tiny) pair set so the signature cache can be
+      // freed NOW — otherwise every invocation leaks a cached
+      // signature table into executor storage for the session's life
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    pairs
   }
 
   // ---------------- exact n-gram Jaccard ----------------
@@ -260,10 +266,14 @@ object Dedup {
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
     val l = banded.toDF("id1", "sig1", "band", "bucket")
     val r = banded.toDF("id2", "sig2", "band", "bucket")
-    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+    val pairs = l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         hamming(col("sig1"), col("sig2")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    pairs
   }
 }

@@ -257,6 +257,26 @@ class PipelineSpec extends SparkTestBase {
     assert(shards.head == 0L && shards == shards.sorted)
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    import spark.implicits._
+    import graft.pipeline.Skew
+    // 10k rows on ONE hot key + a long tail
+    val big = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong + 1, 0L))).toDF("k", "payload")
+    val small = (1 to 200).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltFactor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val plain = big.join(small, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(salted == plain && salted.length == 10100)
+    // the hot key's rows really spread across salts
+    val spread = Skew.saltedJoin(big, small, Seq("k"), 16)
+      .filter(col("k") === 1L).count()
+    assert(spread == 10000)
+  }
+
   test("int8 quantization: tinyint storage, bounded error, high fidelity") {
     import graft.pipeline.Quantize
     val q = Quantize.quantize(embs, "embedding")
