@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Build-time static-query validation (the reference PPX's compile
+// gate, re-expressed): analyzes every StaticQueries.registry entry
+// against the declared schema and fails on any parse/scope/type
+// error. Run `sbt validateQueries` in CI before shipping.
+lazy val validateQueries = taskKey[Unit](
+  "analyze all statically embedded queries; fail the build on errors")
+validateQueries := {
+  val cp = (Compile / fullClasspath).value
+  val r = (Compile / runner).value
+  r.run("graft.StaticQueries", cp.files, Nil, streams.value.log).get
+}
