@@ -391,6 +391,42 @@ object PipelineQueries {
       |  CAST(greatest(de, en, es, fr) AS BIGINT) AS lang_score
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // PII redaction over documents with planted emails/phones (the
+  // fixture text is clean word salad, so the query plants a contact
+  // line per doc and the oracle replays both the plant and the
+  // redaction).
+  val tx5Redact: Q = (s, dir) => {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" reach me: user"), col("doc_id"),
+        lit("@mail.example.org or +1-555-01"), col("doc_id") % 100,
+        lit(" thanks")).as("text"))
+    TextAnalysis.redactPii(planted, "doc_id", "text")
+      .drop("redacted") // the stats attest the rewrite; text is bulky
+      .orderBy("doc_id")
+  }
+
+  val tx5Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |         text || ' reach me: user' || CAST(doc_id AS VARCHAR) ||
+      |         '@mail.example.org or +1-555-01' ||
+      |         CAST(doc_id % 100 AS VARCHAR) || ' thanks' AS text
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, text,
+      |         regexp_replace(text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |           '<EMAIL>', 'g') AS no_email
+      |  FROM planted)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(no_email,
+      |    '\+?[0-9][0-9()\-\. ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+      |  CAST(length(regexp_replace(no_email,
+      |    '\+?[0-9][0-9()\-\. ]{6,}[0-9]', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ---------------- multimodal ----------------
 
   // Binary payload plumbing with the stubbed batch decoder. The stub's
@@ -590,6 +626,7 @@ object PipelineQueries {
     "tx2_token_counts" -> tx2Tokens,
     "tx3_fingerprint" -> tx3Fingerprint,
     "tx4_langid" -> tx4LangId,
+    "tx5_pii_redact" -> tx5Redact,
     "mm1_media_features" -> mm1MediaFeatures,
   )
 
@@ -613,6 +650,7 @@ object PipelineQueries {
     "tx2_token_counts" -> tx2Sql,
     "tx3_fingerprint" -> tx3Sql,
     "tx4_langid" -> tx4Sql,
+    "tx5_pii_redact" -> tx5Sql,
     "mm1_media_features" -> mm1Sql,
   )
 }

@@ -53,6 +53,28 @@ object TextAnalysis {
       xxhash64(normalized).as("fingerprint_64"))
   }
 
+  /** PII redaction over a text column: emails then phone-number-ish
+    * digit runs are replaced with tags (emails first, so phone
+    * matching runs on the email-redacted string — a fixed order makes
+    * the operator deterministic). Patterns stay in the RE2-compatible
+    * subset (no backrefs/lookahead) so the oracle replays them.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9()\\-\\. ]{6,}[0-9]"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val noEmail = regexp_replace(t, emailPattern, "<EMAIL>")
+    val redacted = regexp_replace(noEmail, phonePattern, "<PHONE>")
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      length(redacted).cast("long").as("redacted_len"),
+      redacted.as("redacted"))
+  }
+
   /** Tiny built-in stopword profiles for the n-gram/stopword language
     * heuristic. Real pipelines plug in fastText-style models; the
     * operator shape (score per language → argmax) is what matters.
