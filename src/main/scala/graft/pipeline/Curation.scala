@@ -25,11 +25,14 @@ object Curation {
     */
   def curate(docs: DataFrame, minWords: Long = 10, maxWords: Long = 100000,
       nearDupEst: Double = 0.9, portable: Boolean = false): DataFrame = {
-    // stage 1: quality gate
-    val q = TextAnalysis.quality(docs, "doc_id", "text")
+    // stage 1: quality gate — the metric expressions are computed
+    // inline on the corpus (map-side withColumn + filter), not joined
+    // back from a scored table: same rows, one shuffle fewer
+    val qe = TextAnalysis.qualityExprs("text").toMap
+    val gated = docs
+      .withColumn("n_words", qe("n_words"))
+      .withColumn("avg_word_len", qe("avg_word_len"))
       .filter(col("n_words") >= minWords && col("n_words") <= maxWords)
-      .select("doc_id", "n_words", "avg_word_len")
-    val gated = docs.join(q, Seq("doc_id"))
 
     // stage 2: exact dedup — keep the minimum id per content hash
     val keep = Dedup.exactDedup(gated, "doc_id", "text")

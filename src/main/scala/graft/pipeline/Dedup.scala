@@ -254,16 +254,30 @@ object Dedup {
     * the same bucket on at least one of four 16-bit bands (the
     * standard rotate-and-block scheme: a pair within Hamming distance
     * 3 must agree on one band).
+    *
+    * Buckets larger than `maxBucketSize` are dropped before the join —
+    * the same quadratic-blowup guard minhashNearDupPairs carries: a
+    * degenerate corpus (thousands of near-identical documents) piles
+    * its whole mass into one 16-bit bucket per band, and B members
+    * yield B² candidate rows. Exact duplicates should go through
+    * exactDedup first; such a hot bucket is all recall-noise.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 200): DataFrame = {
     val sig = simhash(df, idCol, textCol).cache()
-    val banded = sig.select(col(idCol), col("simhash"),
+    val banded0 = sig.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * 16)
             .bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val hot = banded0.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("band", "bucket")
+    val banded = banded0.join(broadcast(hot), Seq("band", "bucket"),
+      "left_anti")
+      // a USING join moves the join keys first — restore column order
+      // before the positional renames below
+      .select(col(idCol), col("simhash"), col("band"), col("bucket"))
     val l = banded.toDF("id1", "sig1", "band", "bucket")
     val r = banded.toDF("id2", "sig2", "band", "bucket")
     val pairs = l.join(r, Seq("band", "bucket"))

@@ -103,11 +103,20 @@ object Ivf {
       nlist: Int): Array[Array[Double]] = {
     val n = corpus.count()
     val step = math.max(n / nlist, 1L)
-    corpus.filter(col(idCol) % step === 0 && col(idCol) < step * nlist)
+    val picked = corpus
+      .filter(col(idCol) % step === 0 && col(idCol) < step * nlist)
       .orderBy(col(idCol))
       .select(vecCol)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // the evenly-spaced pick assumes dense 0-based ids; with sparse or
+    // offset ids the filter can select nothing, and an empty centroid
+    // array would only surface later as a plan-time least() failure
+    if (picked.isEmpty) throw new IllegalArgumentException(
+      s"staticCentroids picked 0 of $nlist centroids (n=$n, step=$step): " +
+        s"'$idCol' must be dense and 0-based; use trainCentroids for " +
+        "arbitrary id spaces")
+    picked
   }
 
   /** IVF top-k over a given quantizer: assign corpus cells once, probe

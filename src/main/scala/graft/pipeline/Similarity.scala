@@ -59,10 +59,14 @@ object Similarity {
   /** (query_id, neighbor_id, cosine) → per-query top-k with 1-based
     * rank, via the partial-aggregating TopKByScore (ties broken by
     * neighbor_id ascending, like `row_number` over (cosine desc, id)).
+    *
+    * NULL cosines (a zero-norm vector makes the division NULL) are
+    * dropped before aggregation: the typed Aggregator's input encoder
+    * is non-nullable, and a no-similarity candidate has no rank anyway.
     */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKByScore(k))
-    scored.groupBy("query_id")
+    scored.filter(col("cosine").isNotNull).groupBy("query_id")
       .agg(topk(col("cosine"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t._2").as("neighbor_id"),

@@ -10,25 +10,33 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Quality metrics per document: lengths, word counts, average word
-    * length, stopword ratio, punctuation ratio.
+  /** The quality metric expressions over a text column, exposed so a
+    * composed pass can compute them inline (withColumn + filter on the
+    * corpus itself — no scored-table self-join, one shuffle saved).
     */
-  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityExprs(textCol: String): Seq[(String, Column)] = {
     val t = col(textCol)
     val noSpace = length(t) - length(regexp_replace(t, " ", ""))
     val nWords = noSpace + 1
     val stopCnt = size(regexp_extract_all(t,
       lit("\\b(the|a|of|and|to)\\b"), lit(0)))
     val punctCnt = size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0)))
-    df.select(col(idCol),
-      length(t).as("n_chars_calc"),
-      nWords.cast("long").as("n_words"),
-      ((length(t) - noSpace).cast("double") / nWords.cast("double"))
-        .as("avg_word_len"),
-      stopCnt.cast("long").as("stopword_cnt"),
-      (stopCnt.cast("double") / nWords.cast("double")).as("stopword_ratio"),
-      punctCnt.cast("long").as("punct_cnt"))
+    Seq(
+      "n_chars_calc" -> length(t).cast("int"),
+      "n_words" -> nWords.cast("long"),
+      "avg_word_len" ->
+        ((length(t) - noSpace).cast("double") / nWords.cast("double")),
+      "stopword_cnt" -> stopCnt.cast("long"),
+      "stopword_ratio" -> (stopCnt.cast("double") / nWords.cast("double")),
+      "punct_cnt" -> punctCnt.cast("long"))
   }
+
+  /** Quality metrics per document: lengths, word counts, average word
+    * length, stopword ratio, punctuation ratio.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +:
+      qualityExprs(textCol).map { case (n, c) => c.as(n) }: _*)
 
   /** Token counts: whitespace tokens and regex (BPE-ish word/number
     * pieces) tokens.

@@ -346,4 +346,49 @@ class PipelineSpec extends SparkTestBase {
       assert(f.byte_len > 0 && f.kind == "text")
     }
   }
+
+  test("connected components converge in O(log n) rounds on a 1k chain") {
+    import spark.implicits._
+    import graft.pipeline.Cluster
+    val n = 1024
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("id1", "id2")
+    val (labels, stats) = Cluster.connectedComponentsWithStats(pairs)
+    assert(stats.converged)
+    // the shortcut hop halves label chains each round: ~log2(1023)
+    // propagation rounds plus one no-change round to detect fixpoint
+    assert(stats.rounds <= 14, s"took ${stats.rounds} rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
+  test("connected components throw on non-convergence, never partial labels") {
+    import spark.implicits._
+    import graft.pipeline.Cluster
+    val pairs = (0 until 63).map(i => (i.toLong, i + 1L)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Cluster.connectedComponents(pairs, maxIters = 2)
+    }
+  }
+
+  test("top-k drops NULL cosines from zero-norm vectors instead of crashing") {
+    import spark.implicits._
+    val zero = Seq((900000L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val corpus = embs.unionByName(zero)
+    val out = Similarity.bruteForceTopK(corpus.filter(col("vec_id") < 3),
+      corpus, "vec_id", "embedding", k = 5).collect()
+    assert(out.nonEmpty)
+    // cosine(q, zero) is NULL — the zero vector must never rank
+    assert(!out.exists(_.getLong(1) == 900000L))
+  }
+
+  test("simhash banding survives a degenerate corpus (hot-bucket guard)") {
+    import spark.implicits._
+    // 1000 identical docs put the whole corpus in ONE bucket per band:
+    // without the guard that is 10^6/2 candidate rows (quadratic in
+    // corpus mass at scale); the guard drops the bucket wholesale
+    val all = (0 until 1000).map(i => (i.toLong, "the same text over and over"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(all, "doc_id", "text")
+    assert(pairs.count() == 0)
+  }
 }
