@@ -79,15 +79,15 @@ object Lowering {
     case EMatch(_, _) =>
       fail("MATCH must be resolved at bind time before lowering")
     case EIn(_, _) =>
-      // SELECT positions are rewritten to flag columns before compile
-      // ever sees an EIn; this remains only for DML WHERE and HAVING
+      // every SELECT position (projection, WHERE, group keys, ORDER
+      // BY, HAVING) and every DML WHERE is rewritten to flag columns
+      // before compile sees an EIn; only expression islands without a
+      // carrier frame (join conditions, UPDATE SET, RETURNING) remain
       fail("IN subquery is not supported in this position")
     case EExists(sel) =>
-      // non-WHERE position (projection): uncorrelated, evaluates once
-      // via limit(1). WHERE positions lower lazily in applyWhere — no
-      // job runs at bind time there.
-      val sub = lowerTopSelect(ctx, sel)
-      lit(sub.limit(1).count() > 0)
+      // uncorrelated EXISTS as a lazy subquery expression — no job
+      // runs at bind time in any position
+      lowerTopSelect(ctx, sel).exists()
     case EApp(f, args) => compileApp(ctx, f, args)
   }
 
@@ -143,6 +143,14 @@ object Lowering {
     case EApp(_, args)    => args.exists(containsAgg)
     case EAscribe(e2, _)  => containsAgg(e2)
     case ENav(_, e2)      => containsAgg(e2)
+    case _                => false
+  }
+
+  private def containsSubquery(e: Expr): Boolean = e match {
+    case EIn(_, _) | EExists(_) => true
+    case EApp(_, args)    => args.exists(containsSubquery)
+    case EAscribe(e2, _)  => containsSubquery(e2)
+    case ENav(_, e2)      => containsSubquery(e2)
     case _                => false
   }
 
