@@ -80,9 +80,11 @@ object Lowering {
       fail("MATCH must be resolved at bind time before lowering")
     case EIn(_, _) =>
       // every SELECT position (projection, WHERE, group keys, ORDER
-      // BY, HAVING) and every DML WHERE is rewritten to flag columns
+      // BY, and HAVING via the post-aggregation split) and every DML
+      // WHERE (predicateWithSubqueries) is rewritten to flag columns
       // before compile sees an EIn; only expression islands without a
-      // carrier frame (join conditions, UPDATE SET, RETURNING) remain
+      // carrier frame (join ON conditions, UPDATE SET, RETURNING,
+      // INSERT VALUES) remain
       fail("IN subquery is not supported in this position")
     case EExists(sel) =>
       // uncorrelated EXISTS as a lazy subquery expression — no job
@@ -146,7 +148,7 @@ object Lowering {
     case _                => false
   }
 
-  private def containsSubquery(e: Expr): Boolean = e match {
+  private[frontend] def containsSubquery(e: Expr): Boolean = e match {
     case EIn(_, _) | EExists(_) => true
     case EApp(_, args)    => args.exists(containsSubquery)
     case EAscribe(e2, _)  => containsSubquery(e2)
@@ -195,7 +197,7 @@ object Lowering {
 
   // ---------------- WHERE with subquery predicates ----------------
 
-  private def conjuncts(e: Expr): List[Expr] = e match {
+  private[frontend] def conjuncts(e: Expr): List[Expr] = e match {
     case EApp("AND", List(x, y)) => conjuncts(x) ++ conjuncts(y)
     case _                       => List(e)
   }
@@ -329,6 +331,27 @@ object Lowering {
       flags.df = flags.df.filter(cond)
     }
     flags.df
+  }
+
+  /** DML-facing predicate compiler: rewrites IN/EXISTS subqueries in
+    * `pred` into flag columns materialized on `df` (same machinery as
+    * SELECT positions) and returns the augmented frame plus the
+    * compiled predicate over it. Callers filter on the predicate and
+    * then strip the helpers with [[dropSubqueryFlags]].
+    */
+  private[frontend] def predicateWithSubqueries(ctx: Ctx, df: DataFrame,
+      pred: Expr): (DataFrame, Column) = {
+    val flags = new SubqueryFlags(ctx, df)
+    val rewritten = flags.rewrite(pred)
+    (flags.df, compile(ctx, rewritten))
+  }
+
+  /** Drop every helper column a [[predicateWithSubqueries]] rewrite
+    * added (all share the `__in_flag_` prefix).
+    */
+  private[frontend] def dropSubqueryFlags(df: DataFrame): DataFrame = {
+    val helpers = df.columns.filter(_.startsWith("__in_flag_")).toIndexedSeq
+    if (helpers.isEmpty) df else df.drop(helpers: _*)
   }
 
   // ---------------- SELECT ----------------
