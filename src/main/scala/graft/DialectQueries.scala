@@ -195,7 +195,27 @@ object DialectQueries {
       |FROM customer WHERE c_acctbal > 0.0
       |ORDER BY c_custkey LIMIT 50""".stripMargin
 
+  // HAVING with subqueries: the aggregate conjunct stays a hidden agg
+  // column; the IN and EXISTS conjuncts are rewritten post-aggregation
+  // (flag joins against the aggregated frame)
+  val sq14: Q = (s, dir) => e(s, dir).prepare(
+    """select l_orderkey, sum(l_quantity) as total_qty
+      |from lineitem group by l_orderkey
+      |having sum(l_quantity) > ?min
+      |  and l_orderkey in (select o_orderkey from orders where o_totalprice > 300000.0)
+      |  and exists(select r_regionkey from region where r_regionkey >= 0)
+      |order by l_orderkey""".stripMargin)
+    .bind(Map("min" -> 100.0))
+  val sq14Sql: String =
+    """SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |FROM lineitem GROUP BY l_orderkey
+      |HAVING sum(l_quantity) > 100.0
+      |  AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+      |  AND EXISTS (SELECT r_regionkey FROM region WHERE r_regionkey >= 0)
+      |ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sq14_dialect_having_subquery" -> sq14,
     "sq11_dialect_argmax" -> sq11,
     "sq12_dialect_events" -> sq12,
     "sq13_dialect_composition" -> sq13,
@@ -212,6 +232,7 @@ object DialectQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sq14_dialect_having_subquery" -> sq14Sql,
     "sq11_dialect_argmax" -> sq11Sql,
     "sq12_dialect_events" -> sq12Sql,
     "sq13_dialect_composition" -> sq13Sql,

@@ -47,6 +47,42 @@ object DmlQueries {
       |WHERE doc_id < 100 AND doc_id >= 10
       |ORDER BY doc_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("dm1_dml_roundtrip" -> dm1Roundtrip)
-  val oracleSql: Map[String, String] = Map("dm1_dml_roundtrip" -> dm1Sql)
+  /** DML WHERE with IN subqueries (self-referential: the subselect
+    * reads the managed table's pre-statement state, exactly SQL
+    * semantics — the swap-in write happens after the plan over the
+    * old files is staged).
+    */
+  val dm2Subquery: Q = (s, dir) => {
+    val root = Files.createTempDirectory("graft_dml2").toString
+    val env = new Analyzer.Env().addDecls(
+      """create table mdocs (
+        |  doc_id int not null primary key,
+        |  lang string not null,
+        |  n_chars int not null)""".stripMargin)
+    val catalog = new ManagedCatalog(s, root, env)
+    val managed = new ManagedEngine(catalog,
+      new Engine(s, env, catalog.load _))
+    catalog.overwrite("mdocs",
+      Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 100))
+    managed.exec(
+      "delete from mdocs where doc_id in (select doc_id from mdocs where n_chars > 300)")
+    managed.exec(
+      "update mdocs set lang = 'mid' where doc_id in (select doc_id from mdocs where n_chars > 200)")
+    managed.exec("select doc_id, lang, n_chars from mdocs order by doc_id")
+  }
+  val dm2Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN n_chars > 200 THEN 'mid' ELSE lang END AS lang,
+      |  n_chars
+      |FROM documents
+      |WHERE doc_id < 100 AND NOT (n_chars > 300)
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dm1_dml_roundtrip" -> dm1Roundtrip,
+    "dm2_dml_subquery_where" -> dm2Subquery)
+  val oracleSql: Map[String, String] = Map(
+    "dm1_dml_roundtrip" -> dm1Sql,
+    "dm2_dml_subquery_where" -> dm2Sql)
 }

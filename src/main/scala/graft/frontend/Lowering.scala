@@ -374,21 +374,51 @@ object Lowering {
     val fields = emission(scope, sel.proj)
       .map { case (n, e) => (n, flags.rewrite(e)) }
     val groups2 = sel.groupBy.map(_.map(flags.rewrite))
-    val orderBy2 = sel.orderBy.map(_.map { case (e, d) =>
-      (flags.rewrite(e), d)
-    })
+    // ORDER BY subqueries only rewrite on the pre-aggregation frame in
+    // the ungrouped branch; grouped queries handle them post-agg below
+    val orderBy2 =
+      if (groups2.isDefined) sel.orderBy
+      else sel.orderBy.map(_.map { case (e, d) => (flags.rewrite(e), d) })
     val filtered = flags.df
 
     groups2 match {
       case Some(groups) =>
         val groupCols = groups.map(compile(ctx, _))
         val hidden = List.newBuilder[(String, Column)]
-        sel.having.foreach { h =>
-          hidden += ("__having" -> compile(ctx, h))
-        }
+        // HAVING splits by conjunct: subquery-free conjuncts compile
+        // into one hidden agg column and filter right after the
+        // aggregation; conjuncts carrying IN/EXISTS are rewritten on
+        // the POST-aggregation frame — their aggregate/group-key parts
+        // are lifted into hidden agg columns first, then the
+        // subqueries become flag joins against the aggregated rows.
+        val (havingSub, havingPlain) = sel.having
+          .map(h => conjuncts(h).partition(containsSubquery))
+          .getOrElse((Nil, Nil))
+        if (havingPlain.nonEmpty)
+          hidden += ("__having" ->
+            havingPlain.map(compile(ctx, _)).reduce(_ && _))
+        var hsqIdx = 0
+        def liftNonSubquery(e: Expr): Expr =
+          if (!containsSubquery(e)) {
+            val n = s"__hsq_$hsqIdx"
+            hsqIdx += 1
+            hidden += (n -> compile(ctx, e))
+            EName(n)
+          } else e match {
+            case EIn(es, s2)    => EIn(es.map(liftNonSubquery), s2)
+            case EApp(f, as)    => EApp(f, as.map(liftNonSubquery))
+            case EAscribe(x, t) => EAscribe(liftNonSubquery(x), t)
+            case other          => other // EExists: independent subplan
+          }
+        val havingSub2 = havingSub.map(liftNonSubquery)
+        // ORDER BY expressions with subqueries get the same treatment:
+        // computed after the aggregation instead of inside agg()
+        val obPost = List.newBuilder[(Int, Expr)]
         orderBy2.getOrElse(Nil).zipWithIndex.foreach { case ((e, _), i) =>
-          hidden += (s"__ob_$i" -> compile(ctx, e))
+          if (containsSubquery(e)) obPost += (i -> liftNonSubquery(e))
+          else hidden += (s"__ob_$i" -> compile(ctx, e))
         }
+        val obPost2 = obPost.result()
         val aggCols =
           fields.map { case (n, e) => compile(ctx, e).as(n) } ++
             hidden.result().map { case (n, c) => c.as(n) }
@@ -398,10 +428,26 @@ object Lowering {
           case head :: tail =>
             filtered.groupBy(groupCols: _*).agg(head, tail: _*)
         }
-        val havinged = sel.having match {
-          case Some(_) => agged.filter(col("__having"))
-          case None    => agged
-        }
+        val plainFiltered =
+          if (havingPlain.nonEmpty) agged.filter(col("__having")) else agged
+        val havinged =
+          if (havingSub2.isEmpty && obPost2.isEmpty) plainFiltered
+          else {
+            val postFlags = new SubqueryFlags(ctx, plainFiltered)
+            val havingConds = havingSub2.map(postFlags.rewrite)
+              .map(compile(ctx, _))
+            val obCols = obPost2.map { case (i, e) =>
+              (i, compile(ctx, postFlags.rewrite(e)))
+            }
+            var out = havingConds.reduceOption(_ && _) match {
+              case Some(c) => postFlags.df.filter(c)
+              case None    => postFlags.df
+            }
+            obCols.foreach { case (i, c) =>
+              out = out.withColumn(s"__ob_$i", c)
+            }
+            postFlags.dropFlags(out)
+          }
         val ordered = orderBy2 match {
           case Some(obs) =>
             havinged.orderBy(obs.zipWithIndex.map {

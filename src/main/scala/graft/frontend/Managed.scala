@@ -310,9 +310,18 @@ final class ManagedEngine(
     val existing = catalog.load(d.table)
     val nsd = existing.select(existing.columns.map(c =>
       col(c).as(s"${d.table}__$c")).toIndexedSeq: _*)
-    val cond = d.where.map(Lowering.compile(ctx, _)).getOrElse(lit(true))
-    val deleted = nsd.filter(coalesce(cond, lit(false))).localCheckpoint(true)
-    val kept = nsd.filter(!coalesce(cond, lit(false)))
+    // WHERE may carry IN/EXISTS subqueries: rewrite them to flag
+    // columns materialized on the frame (the same machinery SELECT
+    // positions use), filter on the compiled predicate, then strip
+    // the helper columns
+    val (withPred, cond) = d.where match {
+      case Some(w) => Lowering.predicateWithSubqueries(ctx, nsd, w)
+      case None    => (nsd, lit(true))
+    }
+    val deleted = Lowering.dropSubqueryFlags(
+      withPred.filter(coalesce(cond, lit(false)))).localCheckpoint(true)
+    val kept = Lowering.dropSubqueryFlags(
+      withPred.filter(!coalesce(cond, lit(false))))
     catalog.overwrite(d.table, kept.select(existing.columns.map(c =>
       col(s"${d.table}__$c").as(c)).toIndexedSeq: _*))
     if (d.returning.isEmpty) deleted.limit(0).select()
@@ -332,16 +341,39 @@ final class ManagedEngine(
     // UPDATE ... FROM: join the extra sources; rows may match multiple
     // join rows — keep the first per base row (classic UPDATE FROM
     // nondeterminism, made deterministic here)
-    val cond = u.where.map(Lowering.compile(ctx, _)).getOrElse(lit(true))
     val matched = u.from match {
-      case None => nsd.filter(coalesce(cond, lit(false)))
+      case None =>
+        // WHERE may carry IN/EXISTS subqueries — same flag-column
+        // rewrite as DELETE
+        val (withPred, cond) = u.where match {
+          case Some(w) => Lowering.predicateWithSubqueries(ctx, nsd, w)
+          case None    => (nsd, lit(true))
+        }
+        Lowering.dropSubqueryFlags(
+          withPred.filter(coalesce(cond, lit(false))))
       case Some(f) =>
         val scope = info.innerScope
         val fromDf = LoweringAccess.lowerFromPublic(ctx, scope, f)
         // an explicit inner join (not crossJoin+filter) keeps the
         // WHERE's equi-predicates visible as the join condition, so a
-        // pathological WHERE can never plan as a full cartesian
-        nsd.join(fromDf, coalesce(cond, lit(false)), "inner")
+        // pathological WHERE can never plan as a full cartesian;
+        // subquery conjuncts can't join-condition anyway — they are
+        // rewritten to flag columns on the joined frame and filtered
+        val (subConjs, plainConjs) = u.where
+          .map(Lowering.conjuncts).getOrElse(Nil)
+          .partition(Lowering.containsSubquery)
+        val joinCond = plainConjs.map(Lowering.compile(ctx, _))
+          .reduceOption(_ && _)
+          .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+        val joined = nsd.join(fromDf, joinCond, "inner")
+        if (subConjs.isEmpty) joined
+        else {
+          val pred = subConjs.reduce((a, b) => EApp("AND", List(a, b)))
+          val (withPred, cond) =
+            Lowering.predicateWithSubqueries(ctx, joined, pred)
+          Lowering.dropSubqueryFlags(
+            withPred.filter(coalesce(cond, lit(false))))
+        }
     }
     val pks = primaryKeys(u.table)
     val keyCols = if (pks.nonEmpty) pks.map(c => s"${u.table}__$c")

@@ -272,6 +272,102 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(rows.length == 5 && rows.forall(_.getBoolean(1)))
   }
 
+  test("HAVING: aggregate conjunct AND IN-subquery conjunct") {
+    val df = engine.sql(
+      """select l_orderkey, sum(l_quantity) as total_qty
+        |from lineitem group by l_orderkey
+        |having sum(l_quantity) > 150.0
+        |  and l_orderkey in (select o_orderkey from orders where o_totalprice > 300000.0)
+        |order by l_orderkey""".stripMargin)
+    val want = viaSql(
+      """SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING sum(l_quantity) > 150.0
+        |  AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+        |ORDER BY l_orderkey""".stripMargin)
+    assert(want.nonEmpty)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("HAVING: count conjunct AND EXISTS conjunct (round-3 runtime trap)") {
+    val nonEmptyGate = engine.sql(
+      """select l_orderkey, count(1) as n
+        |from lineitem group by l_orderkey
+        |having count(1) > 5 and exists(select r_regionkey from region where r_name = 'ASIA')
+        |order by l_orderkey""".stripMargin)
+    val want = viaSql(
+      """SELECT l_orderkey, count(1) AS n
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING count(1) > 5
+        |ORDER BY l_orderkey""".stripMargin)
+    assert(want.nonEmpty)
+    assert(nonEmptyGate.collect().toSeq == want)
+    val emptyGate = engine.sql(
+      """select l_orderkey, count(1) as n
+        |from lineitem group by l_orderkey
+        |having count(1) > 5 and exists(select r_regionkey from region where r_name = 'NO_SUCH')
+        |order by l_orderkey""".stripMargin)
+    assert(emptyGate.count() == 0)
+  }
+
+  test("HAVING: aggregate probe inside the IN subquery conjunct") {
+    // sum(l_quantity) is the probe — it must be lifted into a hidden
+    // agg column before the post-aggregation flag join
+    val df = engine.sql(
+      """select l_orderkey from lineitem
+        |group by l_orderkey
+        |having sum(l_quantity) in (select l2.l_quantity from lineitem as l2 where l2.l_orderkey < 100)
+        |order by l_orderkey""".stripMargin)
+    val want = viaSql(
+      """SELECT l_orderkey FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING sum(l_quantity) IN (SELECT l2.l_quantity FROM lineitem l2 WHERE l2.l_orderkey < 100)
+        |ORDER BY l_orderkey""".stripMargin)
+    assert(want.nonEmpty)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("grouped ORDER BY on an IN-subquery flag") {
+    val df = engine.sql(
+      """select l_orderkey, count(1) as n from lineitem
+        |group by l_orderkey
+        |order by (l_orderkey in (select o_orderkey from orders where o_totalprice > 400000.0)) desc, l_orderkey
+        |limit 20""".stripMargin)
+    // Spark SQL rejects IN-subqueries in ORDER BY outright; compare
+    // against the explicit flag-column rewrite our lowering performs
+    val want = viaSql(
+      """SELECT l_orderkey, n FROM (
+        |  SELECT l_orderkey, count(1) AS n,
+        |         l_orderkey IN (SELECT o_orderkey FROM orders
+        |                        WHERE o_totalprice > 400000.0) AS big
+        |  FROM lineitem GROUP BY l_orderkey)
+        |ORDER BY big DESC, l_orderkey LIMIT 20""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("EXISTS in a projection lowers lazily: no count job at bind time") {
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        sites.add(Option(j.properties)
+          .map(p => String.valueOf(p.getProperty("callSite.short")))
+          .getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = engine.sql(
+        """select o_orderkey, exists(select r_regionkey from region where r_name = 'ASIA') as asia
+          |from orders""".stripMargin)
+      Thread.sleep(500) // listener bus is async
+      val atBind = sites.toArray.mkString(", ")
+      assert(!atBind.contains("count"),
+        s"building the plan ran a count job: [$atBind]")
+      assert(df.count() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("deeply nested open scopes (3 levels) with outer navigation") {
     val df = engine.sql(
       """select x.y.z.o_orderkey, x.(y.z.o_totalprice * 2.0)

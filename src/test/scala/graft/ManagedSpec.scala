@@ -109,6 +109,66 @@ class ManagedSpec extends SparkTestBase {
     assert(r.getDouble(1) == 10.0 && r.getString(2) == "boost")
   }
 
+  test("DELETE with IN-subquery WHERE and RETURNING") {
+    val (_, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec(
+      "insert into todos(text, created, completed) values ('a', 1.0, false), ('b', 2.0, true), ('c', 3.0, true)")
+    val del = managed.exec(
+      "delete from todos where id in (select id from todos where completed = true) returning id, text")
+    assert(del.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "b"), (3L, "c")))
+    val left = managed.exec("select text from todos order by text")
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("a"))
+  }
+
+  test("UPDATE WHERE combines EXISTS and NOT-IN subqueries") {
+    val (_, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec(
+      "insert into todos(text, created, completed) values ('a', 1.0, false), ('b', 2.0, true)")
+    // EXISTS gate is satisfied (the migration seeds a 'default'
+    // project); NOT IN excludes already-completed rows
+    managed.exec(
+      """update todos set completed = true
+        |where exists(select name from projects where name = 'default')
+        |  and not (id in (select id from todos where completed = true))""".stripMargin)
+    val n = managed.exec(
+      "select count(1) as n from todos where completed = true group by ()")
+      .collect()(0).getLong(0)
+    assert(n == 2)
+    // an unsatisfied EXISTS gate updates nothing
+    managed.exec(
+      """update todos set completed = false
+        |where exists(select name from projects where name = 'no_such')""".stripMargin)
+    val still = managed.exec(
+      "select count(1) as n from todos where completed = true group by ()")
+      .collect()(0).getLong(0)
+    assert(still == 2)
+  }
+
+  test("UPDATE ... FROM with an IN-subquery conjunct in WHERE") {
+    val (_, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec(
+      "insert into todos(text, created, completed) values ('x', 1.0, false), ('y', 2.0, true)")
+    managed.exec("insert into projects(name, created) values ('boost', 10.0)")
+    // the equi-conjuncts stay the join condition; the IN conjunct is
+    // rewritten to a flag on the joined frame
+    val ret = managed.exec(
+      """update todos set created = p.created
+        |from projects as p
+        |where p.name = 'boost'
+        |  and todos.id in (select id from todos where completed = false)
+        |returning id, todos.created""".stripMargin)
+    val rows = ret.collect()
+    assert(rows.length == 1 && rows(0).getDouble(1) == 10.0)
+    val untouched = managed.exec(
+      "select created from todos where text = 'y'").collect()(0).getDouble(0)
+    assert(untouched == 2.0)
+  }
+
   test("partitioned managed tables prune directories on partition filters") {
     val (catalog, managed, runner) = freshManaged()
     runner.apply(migrations)
