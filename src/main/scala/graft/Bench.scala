@@ -15,15 +15,25 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
+    // each query runs twice: the reported number is the SECOND run, so
+    // round-over-round deltas measure the operators, not JIT/codegen/GC
+    // noise redistributing across the suite; the cold (first-run) time
+    // is kept as a separate field for startup-sensitive analysis
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      val warm = once()
+      name -> ((cold, warm))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(f: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    val total = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"cold":${obj(_._1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

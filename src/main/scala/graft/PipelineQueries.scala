@@ -48,6 +48,14 @@ object PipelineQueries {
   // pairs): minhashNearDupPairs materializes its tiny result eagerly,
   // so one memoized DataFrame serves both entries instead of re-mining
   // the corpus — the composition a real curation job uses.
+  //
+  // Lifetime/staleness contract: entries live for the JVM's life and
+  // assume the fixture dir is immutable while the process runs — true
+  // for the gate harness (one process per sweep, read-only testdata)
+  // and for Bench (warm runs SHOULD hit the memo: re-using a mined
+  // artifact is the operator's intended composition). Long-lived
+  // applications with mutable inputs should call minhashNearDupPairs
+  // directly rather than going through this gate-harness memo.
   private val plantedPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -178,10 +186,16 @@ object PipelineQueries {
       |SELECT a AS id, least(a, min(b)) AS cluster_id
       |FROM closure GROUP BY a ORDER BY id""".stripMargin
 
-  // Exact char-3-gram Jaccard pairs on a bounded slice (oracle ✓).
+  // Exact char-3-gram Jaccard pairs on a bounded slice, with the
+  // stop-shingle guard ON in the attested path (shingles in >80 of the
+  // 100 docs are dropped before the join — 12 genuinely hot trigrams
+  // on this slice; the oracle mirrors the pruning in its `cold` CTE,
+  // so the guarded semantics — Jaccard over the surviving shingle
+  // sets — are what's hash-checked, over a non-trivial pair set).
   val dd4NgramJaccard: Q = (s, dir) => {
     val d = docs(s, dir).select("doc_id", "text").filter(col("doc_id") < 100)
-    Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.5)
+    Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.5,
+      maxDocFreq = Some(80))
       .orderBy("id1", "id2")
   }
   val dd4Sql: String =
@@ -189,9 +203,13 @@ object PipelineQueries {
       |  SELECT doc_id, text,
       |         unnest(generate_series(1, length(text) - 2)) AS i
       |  FROM documents WHERE doc_id < 100 AND length(text) >= 3),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS shingle
       |  FROM pos),
+      |cold AS (
+      |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 80),
+      |sh AS (
+      |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN cold USING (shingle)),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS m

@@ -115,6 +115,14 @@ final class ManagedCatalog(
     val a = new Path(tablePath(from))
     val b = new Path(tablePath(to))
     if (fs.exists(a) && !fs.rename(a, b)) fail(s"failed to rename $from")
+    // a stale `from.bak` can survive a crash that hit overwrite()
+    // between its tmp→live swap and the final .bak delete; once the
+    // live dir has moved away, leaving it behind would make a later
+    // load of `from` "recover" pre-overwrite data as a live table —
+    // drop it now (recoverIfNeeded above already consumed any .bak
+    // that was a genuine crash survivor)
+    val aBak = new Path(tablePath(from) + ".bak")
+    if (fs.exists(aBak)) fs.delete(aBak, true)
     spark.catalog.refreshByPath(a.toString)
     spark.catalog.refreshByPath(b.toString)
   }
@@ -177,7 +185,8 @@ final class ManagedEngine(
     */
   private def constValue(ctx: Lowering.Ctx, e: Expr,
       target: org.apache.spark.sql.types.DataType): Option[Any] = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType,
+      LongType, StringType, TimestampType}
     def coerce(v: Any): Any = (v, target) match {
       case (null, _)                => null
       case (x: Int, LongType)       => x.toLong
@@ -186,21 +195,37 @@ final class ManagedEngine(
       case (x: Float, DoubleType)   => x.toDouble
       case (x, _)                   => x
     }
+    // defensive gate on the batch fast path: a (value, target) combo
+    // coerce doesn't handle (e.g. a Double reaching a LongType column)
+    // must NOT ride into createDataFrame under the declared schema —
+    // it would fail at row encoding instead of casting. Returning None
+    // falls back to the compile path, which casts like overwrite() does.
+    def fits(v: Any): Boolean = (v, target) match {
+      case (null, _)                         => true
+      case (_: Long, LongType)               => true
+      case (_: Double, DoubleType)           => true
+      case (_: String, StringType)           => true
+      case (_: Boolean, BooleanType)         => true
+      case (_: java.sql.Timestamp, TimestampType) => true
+      case (_: java.sql.Date, DateType)      => true
+      case _                                 => false
+    }
+    def checked(v: Any): Option[Any] = Some(coerce(v)).filter(fits)
     e match {
-      case ELit(LitInt(v))    => Some(coerce(v))
-      case ELit(LitFloat(v))  => Some(coerce(v))
-      case ELit(LitString(v)) => Some(v)
-      case ELit(LitBool(v))   => Some(v)
+      case ELit(LitInt(v))    => checked(v)
+      case ELit(LitFloat(v))  => checked(v)
+      case ELit(LitString(v)) => checked(v)
+      case ELit(LitBool(v))   => checked(v)
       case ENull              => Some(null)
       case EAscribe(e2, _)    => constValue(ctx, e2, target)
       case EApp("datetime", List(ELit(LitString(d)))) =>
-        Some(java.sql.Timestamp.valueOf(d.replace('T', ' ')))
+        checked(java.sql.Timestamp.valueOf(d.replace('T', ' ')))
       case EApp("date", List(ELit(LitString(d)))) =>
-        Some(java.sql.Date.valueOf(d))
+        checked(java.sql.Date.valueOf(d))
       case EParam(n) => ctx.params.get(n) match {
         case Some(None)    => Some(null)
-        case Some(Some(x)) => Some(coerce(x))
-        case Some(x)       => Some(coerce(x))
+        case Some(Some(x)) => checked(x)
+        case Some(x)       => checked(x)
         case None          => fail(s"missing value for param ?$n")
       }
       case _ => None

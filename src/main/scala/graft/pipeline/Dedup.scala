@@ -170,16 +170,25 @@ object Dedup {
     * pairs that share at least one shingle. The per-shingle join is the
     * scale hazard: `maxDocFreq` drops stop-shingles (present in more
     * than that many docs) before the join — the standard skew guard.
+    * The guard is ON by default (a shingle in >1000 docs contributes
+    * >10⁶ pair rows while carrying ~zero similarity signal); pass
+    * `None` only for corpora known to be skew-free. Note the pruning
+    * changes the similarity definition: Jaccard is computed over the
+    * surviving shingle sets — consumers recomputing it without the
+    * guard will diverge on corpora with hot shingles.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.0,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     val shingles = charShingles(df, idCol, textCol, n)
     val pruned = maxDocFreq match {
       case Some(k) =>
         val hot = shingles.groupBy("shingle").count()
           .filter(col("count") > k).select("shingle")
         shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+          // a USING join moves the join keys first — restore column
+          // order before the positional renames below
+          .select(col(idCol), col("shingle"))
       case None => shingles
     }
     val sizes = pruned.groupBy(col(idCol))
@@ -262,15 +271,34 @@ object Dedup {
     * yield B² candidate rows. Exact duplicates should go through
     * exactDedup first; such a hot bucket is all recall-noise.
     */
-  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 200): DataFrame = {
-    val sig = simhash(df, idCol, textCol).cache()
-    val banded0 = sig.select(col(idCol), col("simhash"),
+  /** The 4×16-bit banding of a simhash signature frame (one row per
+    * (id, band, bucket)); shared by the pair miner and the hot-bucket
+    * audit so both always see identical bucketing.
+    */
+  private def simhashBanded(sig: DataFrame, idCol: String): DataFrame =
+    sig.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * 16)
             .bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+
+  /** The buckets simhashNearDupPairs would silently drop at this
+    * `maxBucketSize`, with their member counts — run this alongside a
+    * dedup pass to make the guard's recall loss visible (a huge count
+    * here means the corpus needs exactDedup first, not a bigger
+    * bucket cap).
+    */
+  def simhashHotBuckets(df: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int = 200): DataFrame =
+    simhashBanded(simhash(df, idCol, textCol), idCol)
+      .groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize)
+
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 200): DataFrame = {
+    val sig = simhash(df, idCol, textCol).cache()
+    val banded0 = simhashBanded(sig, idCol)
     val hot = banded0.groupBy("band", "bucket").count()
       .filter(col("count") > maxBucketSize).select("band", "bucket")
     val banded = banded0.join(broadcast(hot), Seq("band", "bucket"),
