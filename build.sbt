@@ -35,8 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // error. Run `sbt validateQueries` in CI before shipping.
 lazy val validateQueries = taskKey[Unit](
   "analyze all statically embedded queries; fail the build on errors")
+// The task also regenerates the typed-row case classes
+// (src/main/scala/graft/generated/Rows.scala) from the analyzer's
+// inferred row types and fails on drift — the decoder layer the
+// reference PPX generates at compile time.
 validateQueries := {
   val cp = (Compile / fullClasspath).value
   val r = (Compile / runner).value
-  r.run("graft.StaticQueries", cp.files, Nil, streams.value.log).get
+  r.run("graft.StaticQueries", cp.files,
+    Seq("src/main/scala/graft/generated/Rows.scala"), streams.value.log).get
 }

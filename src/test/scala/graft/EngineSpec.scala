@@ -154,6 +154,23 @@ class EngineSpec extends SparkTestBase {
     assert(rows.length == 3 && rows.forall(_._2 > 0))
   }
 
+  test("generated static-query rows decode through fetchList") {
+    import spark.implicits._
+    // top-level generated case classes (unlike the local ones above)
+    // derive product encoders — the registry query fetches straight
+    // into its build-time-generated row type
+    val top = engine.fetchList[graft.generated.TopOrdersRow](
+      StaticQueries.registry("top_orders"))
+    assert(top.length == 10)
+    assert(top.map(_.o_totalprice).toSeq ==
+      top.map(_.o_totalprice).sortBy(-_).toSeq)
+    val spenders = engine.fetchList[graft.generated.BigSpendersRow](
+      StaticQueries.registry("big_spenders"),
+      Map("floor" -> 400000.0))
+    assert(spenders.nonEmpty && spenders.forall(_.c_custkey >= 0))
+    assert(spenders.map(_.c_custkey) == spenders.map(_.c_custkey).sorted)
+  }
+
   test("limit/offset with params") {
     val q = engine.prepare(
       "select o_orderkey from orders order by o_orderkey limit ?n offset ?o")

@@ -213,6 +213,34 @@ class PipelineSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: reliable-checkpoint path matches default") {
+    import spark.implicits._
+    import graft.pipeline.Cluster
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      // long enough chain that the periodic truncate actually fires
+      // (checkpointEvery = 2 over several rounds) plus an island
+      val pairs = ((1L to 40L).sliding(2).map(w => (w.head, w.last)).toSeq
+        :+ (100L, 101L)).toDF("id1", "id2")
+      val (labels, stats) = Cluster.connectedComponentsWithStats(pairs,
+        checkpointEvery = 2, reliableCheckpoints = true)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Cluster.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stats.converged)
+      assert(got == want)
+      assert(got.filter(_._1 <= 40L).values.toSet == Set(1L))
+      assert(got(100L) == 100L && got(101L) == 100L)
+    } finally {
+      prev match {
+        case Some(p) => spark.sparkContext.setCheckpointDir(p)
+        case None    => () // no API to unset; harmless for other tests
+      }
+    }
+  }
+
   test("stratified sample is deterministic and tracks the rates") {
     import graft.pipeline.Sampling
     val d = Tables.load(spark, "/root/testdata/sf0.01", "documents")

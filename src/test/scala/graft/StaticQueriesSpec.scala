@@ -14,6 +14,15 @@ class StaticQueriesSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+  test("generated typed-row source is in sync with the registry") {
+    val want = StaticQueries.generatedRowsSource()
+    val path = java.nio.file.Paths.get(
+      "src/main/scala/graft/generated/Rows.scala")
+    val have = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    assert(have == want,
+      "generated/Rows.scala drifted from StaticQueries.registry — run `sbt validateQueries`")
+  }
+
   test("an ill-typed registered query would fail the build") {
     // same path the sbt task takes, with a poisoned registry entry:
     // comparing FLOAT to INT literal is a dialect type error
