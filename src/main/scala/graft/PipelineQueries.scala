@@ -412,6 +412,74 @@ object PipelineQueries {
       |  CAST(greatest(de, en, es, fr) AS BIGINT) AS lang_score
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // Repetition quality metrics (Gopher-rule family): duplicate-word
+  // fraction and top-bigram share, bigram mode via (doc, bigram)
+  // aggregation. Ratios are single IEEE divisions — bit-identical in
+  // the oracle.
+  val tx6Repetition: Q = (s, dir) =>
+    TextAnalysis.repetition(docs(s, dir).select("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id")
+
+  val tx6Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+      |ws AS (
+      |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+      |  FROM w),
+      |bg AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i
+      |        FROM w) p),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bs AS (
+      |  SELECT doc_id, max(c) AS top_bg, sum(c) AS total_bg
+      |  FROM bc GROUP BY doc_id)
+      |SELECT ws.doc_id, CAST(ws.n_words AS BIGINT) AS n_words,
+      |  CAST(ws.n_words - ws.n_distinct AS DOUBLE) / ws.n_words AS dup_word_ratio,
+      |  CAST(bs.top_bg AS DOUBLE) / bs.total_bg AS top_bigram_ratio
+      |FROM ws JOIN bs USING (doc_id) ORDER BY ws.doc_id""".stripMargin
+
+  // Train/eval contamination: eval = docs 0..49, train = docs 50.. plus
+  // re-keyed copies of eval docs 0..9 (planted leakage → those ten are
+  // 100% contaminated, the rest ~0 on word salad). 8-word shingles.
+  val ct1Contamination: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val evalDocs = d.filter(col("doc_id") < 50)
+    val train = d.filter(col("doc_id") >= 50).unionByName(
+      d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+    pipeline.Contamination.ngramContamination(evalDocs, train,
+      "doc_id", "text", w = 8).orderBy("doc_id")
+  }
+
+  val ct1Sql: String =
+    """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      |tr AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 10),
+      |evw AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM ev),
+      |evsh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i
+      |        FROM evw) p),
+      |trw AS (SELECT regexp_split_to_array(text, ' +') AS w FROM tr),
+      |trsh AS (
+      |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS shingle
+      |  FROM (SELECT w,
+      |               unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i
+      |        FROM trw) p),
+      |tot AS (SELECT doc_id, count(*) AS n_shingles FROM evsh GROUP BY doc_id),
+      |hit AS (
+      |  SELECT evsh.doc_id, count(*) AS n_hit
+      |  FROM evsh JOIN trsh USING (shingle) GROUP BY evsh.doc_id)
+      |SELECT tot.doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+      |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_contaminated,
+      |  CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / tot.n_shingles AS contamination
+      |FROM tot LEFT JOIN hit USING (doc_id) ORDER BY tot.doc_id""".stripMargin
+
   // PII redaction over documents with planted emails/phones (the
   // fixture text is clean word salad, so the query plants a contact
   // line per doc and the oracle replays both the plant and the
@@ -648,10 +716,14 @@ object PipelineQueries {
     "tx3_fingerprint" -> tx3Fingerprint,
     "tx4_langid" -> tx4LangId,
     "tx5_pii_redact" -> tx5Redact,
+    "tx6_repetition" -> tx6Repetition,
+    "ct1_contamination" -> ct1Contamination,
     "mm1_media_features" -> mm1MediaFeatures,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx6_repetition" -> tx6Sql,
+    "ct1_contamination" -> ct1Sql,
     "cp1_curation_pipeline" -> cp1Sql,
     "dd1_exact_dedup" -> dd1Sql,
     "dd2_minhash_lsh_pairs" -> dd2Sql,

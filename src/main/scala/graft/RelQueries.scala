@@ -132,12 +132,15 @@ object RelQueries {
   // ---------------------------------------------------------------
   val q6Exists: Q = (s, dir) => {
     val c = t(s, dir, "customer")
-    // Uncorrelated EXISTS = constant flag; limit(1) short-circuits the
-    // scan so this stays O(1) at any scale.
-    val any = t(s, dir, "orders")
-      .filter(col("o_totalprice") > lit(450000.0)).limit(1).count() > 0
-    val base = c.select(col("c_custkey")).orderBy(col("c_custkey"))
-    if (any) base else base.filter(lit(false))
+    // Uncorrelated EXISTS as a lazy gate: a broadcast one-row [true]
+    // frame that is empty iff the subquery is; the limit(1)
+    // short-circuits the subquery scan, and no job runs until the
+    // caller executes the plan (same lowering the engine path uses).
+    val gate = broadcast(t(s, dir, "orders")
+      .filter(col("o_totalprice") > lit(450000.0))
+      .limit(1).select(lit(true).as("__exists")))
+    c.join(gate, lit(true), "left_semi")
+      .select(col("c_custkey")).orderBy(col("c_custkey"))
   }
   val q6ExistsSql: String =
     """SELECT c_custkey FROM customer

@@ -83,6 +83,42 @@ object TextAnalysis {
       redacted.as("redacted"))
   }
 
+  /** Repetition-based quality metrics (the Gopher-rule family:
+    * heavily repetitive documents are low-quality training data):
+    * per document, the duplicate-word fraction and the share of word
+    * bigrams taken by the single most frequent bigram.
+    *
+    * Scale shape: the word-level stats are pure map-side expressions;
+    * the bigram mode can NOT be a per-row expression without O(len²)
+    * work per document, so bigrams explode and aggregate by
+    * (doc, bigram) — a partial+final hash aggregation shuffling on the
+    * composite key, the same shape shingling uses. No self-joins.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize the split once (re-running the regex per lambda
+    // element is a measured 5x slowdown, see wordShingles)
+    val words = col("__words")
+    val base = df.withColumn("__words", split(col(textCol), " +"))
+    val wordStats = base.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct"))
+    // adjacent word bigrams, same slice convention as wordShingles
+    // (documents shorter than 2 words contribute their full text once)
+    val bigrams = base.select(col(idCol), explode(transform(
+      sequence(lit(0), greatest(size(words) - 2, lit(0))),
+      i => array_join(slice(words, i + lit(1), lit(2)), " "))).as("bg"))
+    val bgStats = bigrams.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bg"), sum(col("c")).as("total_bg"))
+    wordStats.join(bgStats, Seq(idCol))
+      .select(col(idCol), col("n_words"),
+        ((col("n_words") - col("n_distinct")).cast("double") /
+          col("n_words").cast("double")).as("dup_word_ratio"),
+        (col("top_bg").cast("double") / col("total_bg").cast("double"))
+          .as("top_bigram_ratio"))
+  }
+
   /** Tiny built-in stopword profiles for the n-gram/stopword language
     * heuristic. Real pipelines plug in fastText-style models; the
     * operator shape (score per language → argmax) is what matters.

@@ -167,6 +167,43 @@ class PipelineSpec extends SparkTestBase {
       out(4L) == "es" && out(5L) == "unk")
   }
 
+  test("repetition metrics match hand-computed values") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "x x x x"),        // 4 words, 1 distinct; bigrams all "x x"
+      (2L, "a b c d"),        // no repetition; 3 distinct bigrams
+      (3L, "a b a b a")       // 5 words, 2 distinct; bigrams a b|b a|a b|b a
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 4L, 0.75, 1.0)))
+    assert(got(1) == ((2L, 4L, 0.0, 1.0 / 3.0)))
+    assert(got(2) == ((3L, 5L, 0.6, 0.5)))
+  }
+
+  test("contamination finds planted train/eval leakage") {
+    import spark.implicits._
+    import graft.pipeline.Contamination
+    val evalDocs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // doc 1's text verbatim (planted leakage) plus unrelated noise
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "totally different words that never overlap with anything here")
+    ).toDF("doc_id", "text")
+    val got = Contamination.ngramContamination(evalDocs, train,
+      "doc_id", "text", w = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 10 words -> 3 distinct 8-shingles, all contaminated for doc 1
+    assert(got(0) == ((1L, 3L, 3L, 1.0)))
+    assert(got(1) == ((2L, 3L, 0L, 0.0)))
+  }
+
   test("quality metrics are internally consistent") {
     val q = TextAnalysis.quality(docs.limit(50), "doc_id", "text").collect()
     q.foreach { r =>
