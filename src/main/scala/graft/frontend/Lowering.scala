@@ -250,7 +250,8 @@ object Lowering {
         val probeNullable = es.exists(x =>
           df.select(compile(ctx, x)).schema.head.nullable)
         val subNullable = sub.schema.exists(_.nullable)
-        df = df.join(sub.distinct().withColumn(raw, lit(true)), cond,
+        val distinctSub = sub.distinct()
+        df = df.join(distinctSub.withColumn(raw, lit(true)), cond,
           "left_outer").drop(sub.columns.toIndexedSeq: _*)
         val value =
           if (!probeNullable && !subNullable)
@@ -259,12 +260,20 @@ object Lowering {
           else if (es.length == 1) {
             // exact 3VL: TRUE on a definite match; NULL when the probe
             // is null and the subquery is non-empty, or the subquery
-            // contains a null; FALSE otherwise
+            // contains a null; FALSE otherwise. Non-emptiness and
+            // has-a-null are set properties, so the stats aggregate
+            // runs over the SAME distinct frame the join probes (one
+            // lowering, provably consistent with the joined set); the
+            // subquery still scans twice in the physical plan —
+            // DeduplicateRelations re-ids one branch, which defeats
+            // ReuseExchange — but both scans carry the subquery's
+            // pushed filters, and the path only engages for
+            // single-column INs over nullable data
             val n = s"${flag}_n"
             val nn = s"${flag}_nn"
-            val sub2 = lowerTopSelect(ctx, sel)
-            val stats = broadcast(sub2.agg(
-              count(lit(1)).as(n), count(col(sub2.columns.head)).as(nn)))
+            val stats = broadcast(distinctSub.agg(
+              count(lit(1)).as(n),
+              count(col(distinctSub.columns.head)).as(nn)))
             df = df.join(stats, lit(true), "left_outer")
             when(col(raw), lit(true))
               .when(probes.head.isNull && col(n) > 0,
