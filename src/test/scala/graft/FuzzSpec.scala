@@ -83,14 +83,42 @@ class FuzzSpec extends SparkTestBase {
 
   val genQuery: Gen[Q] = for {
     t <- Gen.oneOf(orders, customer, lineitem)
-    kind <- Gen.chooseNum(0, 3)
+    kind <- Gen.chooseNum(0, 4)
     q <- kind match {
       case 0 => plainQuery(t)
       case 1 => groupedQuery(t)
       case 2 => joinQuery
+      case 3 => havingSubQuery(t)
       case _ => inQuery(t)
     }
   } yield q
+
+  /** HAVING mixing an aggregate conjunct with IN / NOT IN / EXISTS
+    * subquery conjuncts (the post-aggregation split): probes are the
+    * group key or an aggregate over it, differentially checked against
+    * Spark SQL's filter-position subqueries (standard 3VL there).
+    */
+  def havingSubQuery(t: Tbl): Gen[Q] = for {
+    sub <- boolExpr(orders)
+    neg <- Gen.oneOf(true, false)
+    aggCmp <- Gen.chooseNum(1, 6)
+    probeAgg <- Gen.oneOf(true, false)
+    withExists <- Gen.oneOf(true, false)
+    exSub <- boolExpr(orders)
+  } yield {
+    val key = t.key
+    val subKey = if (t == customer) "o_custkey" else "o_orderkey"
+    val probe = if (probeAgg) s"min($key)" else key
+    val inD = s"$probe in (select $subKey from orders where ${sub.dialect})"
+    val inS = s"$probe IN (SELECT $subKey FROM orders WHERE ${sub.sql})"
+    val (pd, ps) = if (neg) (s"not ($inD)", s"NOT ($inS)") else (inD, inS)
+    val exD = if (withExists)
+      s" and exists(select o_orderkey from orders where ${exSub.dialect})" else ""
+    val exS = if (withExists)
+      s" AND EXISTS (SELECT o_orderkey FROM orders WHERE ${exSub.sql})" else ""
+    Q(s"select $key, count(1) as n from ${t.name} group by $key having count(1) >= $aggCmp and $pd$exD order by $key limit 100",
+      s"SELECT $key, count(1) AS n FROM ${t.name} GROUP BY $key HAVING count(1) >= $aggCmp AND $ps$exS ORDER BY $key LIMIT 100")
+  }
 
   /** customer ⋈ orders equi-join with filters on either side. */
   def joinQuery: Gen[Q] = for {
