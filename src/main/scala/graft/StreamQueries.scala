@@ -63,6 +63,25 @@ object StreamQueries {
       |SELECT DISTINCT event_id, ts, user_id, event_type, value
       |FROM feed ORDER BY event_id""".stripMargin
 
+  // Stream-stream interval join (batch twin): all (click, view) pairs
+  // of a user with the view inside the hour before the click.
+  val ev4Attribution: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(s, dir, "events")
+    EventStreams.attributionJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"))
+      .orderBy("click_id", "view_id")
+  }
+  val ev4Sql: String =
+    """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |       v.event_id AS view_id, v.ts AS view_ts
+      |FROM events c JOIN events v
+      |  ON v.user_id = c.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 60 MINUTE
+      |ORDER BY click_id, view_id""".stripMargin
+
   // As-of join: every click gets the user's latest view at-or-before
   // it (click-to-view attribution) — union+window formulation, one
   // shuffle on user_id.
@@ -120,11 +139,13 @@ object StreamQueries {
     "ev1_windowed_agg" -> ev1WindowedAgg,
     "ev2_sessionize" -> ev2Sessions,
     "ev3_dedup" -> ev3Dedup,
+    "ev4_interval_join" -> ev4Attribution,
     "aj1_asof_join" -> aj1AsofJoin,
     "rj1_range_join" -> rj1RangeJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev4_interval_join" -> ev4Sql,
     "ev1_windowed_agg" -> ev1Sql,
     "ev2_sessionize" -> ev2Sql,
     "ev3_dedup" -> ev3Sql,

@@ -148,6 +148,39 @@ object EventStreams {
   def dedupEventsBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  // ---------------- stream-stream interval join ----------------
+
+  /** Click→view attribution pairs: every (click, view) of one user
+    * where the view happened at or before the click and within
+    * `windowMinutes` of it — the canonical stream-stream interval
+    * join (enrichment/attribution). The same plan serves batch and
+    * streams; on streams BOTH sides must carry watermarks, and the
+    * interval condition is what lets Spark evict join state (each
+    * side's buffered rows age out once the other side's watermark
+    * passes the bound) — state stays O(watermark horizon), not
+    * O(stream). Equi-key user_id keeps it a hash join shuffled on
+    * user, never a cross product.
+    */
+  def attributionJoin(clicks: DataFrame, views: DataFrame,
+      windowMinutes: Int = 60,
+      withWatermark: Boolean = false): DataFrame = {
+    val l0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val r0 = views.select(col("event_id").as("view_id"),
+      col("user_id").as("view_user_id"), col("ts").as("view_ts"))
+    val l = if (withWatermark) l0.withWatermark("click_ts", "10 minutes")
+      else l0
+    val r = if (withWatermark) r0.withWatermark("view_ts", "10 minutes")
+      else r0
+    l.join(r,
+      col("user_id") === col("view_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") -
+          expr(s"interval $windowMinutes minutes"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** File-based streaming source over an events parquet directory —
     * the production shape: readStream → transform → writeStream.
     */

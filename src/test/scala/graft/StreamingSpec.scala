@@ -93,6 +93,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: streaming equals batch, bound enforced") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = EventStreams.attributionJoin(
+      clicks.toDF(), views.toDF(), windowMinutes = 60,
+      withWatermark = true)
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // user 1: views at 0 and 30, click at 50 → both in the hour;
+      // a view at 120 is AFTER the click → excluded;
+      // user 2: view at 0, click at 90 → outside the hour → excluded
+      views.addData(
+        Event(10, ts(0), 1, "view", 0.0),
+        Event(11, ts(30), 1, "view", 0.0),
+        Event(12, ts(0), 2, "view", 0.0),
+        Event(13, ts(120), 1, "view", 0.0))
+      clicks.addData(
+        Event(1, ts(50), 1, "click", 0.0),
+        Event(2, ts(90), 2, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attr")
+        .orderBy("click_id", "view_id").collect()
+      assert(streamed.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+        Seq((1L, 10L), (1L, 11L)))
+      val batch = EventStreams.attributionJoin(
+        Seq(Event(1, ts(50), 1, "click", 0.0),
+          Event(2, ts(90), 2, "click", 0.0)).toDF(),
+        Seq(Event(10, ts(0), 1, "view", 0.0),
+          Event(11, ts(30), 1, "view", 0.0),
+          Event(12, ts(0), 2, "view", 0.0),
+          Event(13, ts(120), 1, "view", 0.0)).toDF())
+        .orderBy("click_id", "view_id").collect()
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("stream sinks into a managed table via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
