@@ -79,12 +79,14 @@ object Lowering {
     case EMatch(_, _) =>
       fail("MATCH must be resolved at bind time before lowering")
     case EIn(_, _) =>
-      // every SELECT position (projection, WHERE, group keys, ORDER
-      // BY, and HAVING via the post-aggregation split) and every DML
-      // WHERE (predicateWithSubqueries) is rewritten to flag columns
-      // before compile sees an EIn; only expression islands without a
-      // carrier frame (join ON conditions, UPDATE SET, RETURNING,
-      // INSERT VALUES) remain
+      // every position with a carrier frame rewrites INs to flag
+      // columns before compile sees one: SELECT positions (projection,
+      // WHERE, group keys, ORDER BY, HAVING via the post-aggregation
+      // split), DML WHERE / SET / RETURNING / non-constant VALUES, and
+      // inner-join ON conditions. The only remaining island is a LEFT
+      // JOIN's ON gate (no carrier frame — lowerFrom fails it with a
+      // position-specific message before reaching here), so this arm
+      // is a defensive backstop
       fail("IN subquery is not supported in this position")
     case EExists(sel) =>
       // uncorrelated EXISTS as a lazy subquery expression — no job
@@ -165,11 +167,27 @@ object Lowering {
       case FromJoin(left, right, kind, cond) =>
         val l = lowerFrom(ctx, scope, left)
         val r = lowerFromOne(ctx, scope, right)
-        val joinType = kind match {
-          case JoinInner => "inner"
-          case JoinLeft  => "left_outer"
+        kind match {
+          case JoinInner if containsSubquery(cond) =>
+            // inner-join ON ≡ post-join filter: subquery-free
+            // conjuncts stay the join condition (the planner keeps
+            // seeing the equi keys), IN/EXISTS conjuncts rewrite to
+            // flag columns on the joined frame and filter after
+            val (sub, plain) = conjuncts(cond).partition(containsSubquery)
+            val joinCond = plain.map(compile(ctx, _))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            val joined = l.join(r, joinCond, "inner")
+            val pred = sub.reduce((a, b) => EApp("AND", List(a, b)))
+            val (withPred, c) = predicateWithSubqueries(ctx, joined, pred)
+            dropSubqueryFlags(withPred.filter(coalesce(c, lit(false))))
+          case JoinLeft if containsSubquery(cond) =>
+            // a LEFT JOIN's ON gates matching, not row existence — a
+            // post-join filter would drop the preserved null-extended
+            // rows, so there is no carrier frame to rewrite on
+            fail("IN subquery is not supported in a LEFT JOIN ON condition")
+          case JoinInner => l.join(r, compile(ctx, cond), "inner")
+          case JoinLeft  => l.join(r, compile(ctx, cond), "left_outer")
         }
-        l.join(r, compile(ctx, cond), joinType)
     }
 
   private def aliasOf(one: FromOne): String = one match {
@@ -361,6 +379,33 @@ object Lowering {
   private[frontend] def dropSubqueryFlags(df: DataFrame): DataFrame = {
     val helpers = df.columns.filter(_.startsWith("__in_flag_")).toIndexedSeq
     if (helpers.isEmpty) df else df.drop(helpers: _*)
+  }
+
+  /** Project named expressions over `df`, rewriting IN/EXISTS
+    * subqueries in them to flag columns first — the final select
+    * keeps only the named outputs, so the helpers vanish with it.
+    * Serves the DML projection islands (RETURNING, non-constant
+    * INSERT VALUES rows).
+    */
+  private[frontend] def projectWithSubqueries(ctx: Ctx, df: DataFrame,
+      cols: Seq[(String, Expr)]): DataFrame = {
+    val flags = new SubqueryFlags(ctx, df)
+    val rewritten = cols.map { case (n, e) => (n, flags.rewrite(e)) }
+    flags.df.select(rewritten.map { case (n, e) =>
+      compile(ctx, e).as(n) }: _*)
+  }
+
+  /** Add named computed columns to `df` with the same subquery
+    * rewrite, then strip the helpers (UPDATE SET's island).
+    */
+  private[frontend] def withColumnsWithSubqueries(ctx: Ctx, df: DataFrame,
+      cols: Seq[(String, Expr)]): DataFrame = {
+    val flags = new SubqueryFlags(ctx, df)
+    val rewritten = cols.map { case (n, e) => (n, flags.rewrite(e)) }
+    val out = rewritten.foldLeft(flags.df) { case (d, (n, e)) =>
+      d.withColumn(n, compile(ctx, e))
+    }
+    flags.dropFlags(out)
   }
 
   // ---------------- SELECT ----------------

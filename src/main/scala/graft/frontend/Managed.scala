@@ -163,7 +163,10 @@ final class ManagedEngine(
   }
 
   /** Project RETURNING fields against affected rows carried in the
-    * `table__col` namespace.
+    * `table__col` namespace. IN/EXISTS subqueries in the fields are
+    * rewritten to flag joins; when any are present the result is
+    * materialized by the caller's pre-swap checkpoint discipline (see
+    * [[checkpointIfSubqueries]]).
     */
   private def returningDf(ctx: Lowering.Ctx, table: String,
       affected: DataFrame, returning: List[SelectField],
@@ -172,11 +175,24 @@ final class ManagedEngine(
     else {
       val nsd = affected.select(affected.columns.map(c =>
         col(c).as(s"${table}__$c")).toIndexedSeq: _*)
-      val cols = returning.collect { case FieldE(Some(n), e, true) =>
-        Lowering.compile(ctx, e).as(n)
-      }
-      nsd.select(cols: _*)
+      val cols = returning.collect { case FieldE(Some(n), e, true) => (n, e) }
+      checkpointIfSubqueries(
+        Lowering.projectWithSubqueries(ctx, nsd, cols), returning)
     }
+  }
+
+  /** RETURNING plans are built over checkpointed affected-row frames,
+    * so plain projections lazily observe pre-write values; a subquery
+    * in RETURNING would instead lazily re-read its tables AFTER the
+    * swap — materialize those before any write happens.
+    */
+  private def checkpointIfSubqueries(df: DataFrame,
+      returning: List[SelectField]): DataFrame = {
+    val hasSub = returning.exists {
+      case FieldE(_, e, _) => Lowering.containsSubquery(e)
+      case _               => false
+    }
+    if (hasSub) df.localCheckpoint(true) else df
   }
 
   /** Driver-side evaluation of a constant VALUES expression to the
@@ -264,13 +280,11 @@ final class ManagedEngine(
             spark.createDataFrame(
               vals.map(Row.fromSeq(_)).asJava, schema)
           case None =>
-            // non-constant VALUES (now(), arithmetic): rare and small —
-            // the per-row plan is acceptable there
+            // non-constant VALUES (now(), arithmetic, subqueries):
+            // rare and small — the per-row plan is acceptable there
             rows.map { row =>
-              val cols = i.columns.zip(row).map { case (c, e) =>
-                Lowering.compile(ctx, e).as(c)
-              }
-              spark.range(1).select(cols: _*)
+              Lowering.projectWithSubqueries(ctx,
+                spark.range(1).toDF(), i.columns.zip(row))
             }.reduce(_.unionByName(_))
         }
       case InsertSelect(sel) =>
@@ -326,8 +340,11 @@ final class ManagedEngine(
     // materialize before the swap: RETURNING must observe the
     // pre-write state, not lazily recompute over the new files
     val inserted = finalNew.localCheckpoint(true)
+    // RETURNING is built (and, with subqueries, materialized) BEFORE
+    // the swap so it observes pre-write state
+    val ret = returningDf(ctx, i.table, inserted, i.returning, info.row)
     catalog.overwrite(i.table, finalExisting.unionByName(inserted))
-    returningDf(ctx, i.table, inserted, i.returning, info.row)
+    ret
   }
 
   private def execDelete(ctx: Lowering.Ctx, info: QueryInfo,
@@ -347,15 +364,19 @@ final class ManagedEngine(
       withPred.filter(coalesce(cond, lit(false)))).localCheckpoint(true)
     val kept = Lowering.dropSubqueryFlags(
       withPred.filter(!coalesce(cond, lit(false))))
+    // RETURNING first (pre-write observation), then the swap
+    val ret =
+      if (d.returning.isEmpty) deleted.limit(0).select()
+      else {
+        val cols = d.returning.collect {
+          case FieldE(Some(n), e, true) => (n, e)
+        }
+        checkpointIfSubqueries(
+          Lowering.projectWithSubqueries(ctx, deleted, cols), d.returning)
+      }
     catalog.overwrite(d.table, kept.select(existing.columns.map(c =>
       col(s"${d.table}__$c").as(c)).toIndexedSeq: _*))
-    if (d.returning.isEmpty) deleted.limit(0).select()
-    else {
-      val cols = d.returning.collect { case FieldE(Some(n), e, true) =>
-        Lowering.compile(ctx, e).as(n)
-      }
-      deleted.select(cols: _*)
-    }
+    ret
   }
 
   private def execUpdate(ctx: Lowering.Ctx, info: QueryInfo,
@@ -407,9 +428,10 @@ final class ManagedEngine(
     // compute updated values, then re-enter the namespaced world with
     // the SET columns replaced (RETURNING sees post-update values and
     // may reference FROM-source columns, reference update.t:50-58)
-    val updated = u.set.foldLeft(firstMatch) { case (df, (name, e)) =>
-      df.withColumn(s"__new_$name", Lowering.compile(ctx, e))
-    }
+    // SET expressions may carry IN/EXISTS subqueries: rewritten to
+    // flag joins on the matched frame, helpers stripped after
+    val updated = Lowering.withColumnsWithSubqueries(ctx, firstMatch,
+      u.set.map { case (name, e) => (s"__new_$name", e) })
     val postNs = updated.select(updated.columns.collect {
       case c if !c.startsWith("__new_") =>
         val base = c.stripPrefix(s"${u.table}__")
@@ -431,14 +453,18 @@ final class ManagedEngine(
       } else
         existing.exceptAll(firstMatch.select(existing.columns.map(c =>
           col(s"${u.table}__$c").as(c)).toIndexedSeq: _*))
-    catalog.overwrite(u.table, untouched.unionByName(updatedRows))
-    if (u.returning.isEmpty) postNs.limit(0).select()
-    else {
-      val cols = u.returning.collect { case FieldE(Some(n), e, true) =>
-        Lowering.compile(ctx, e).as(n)
+    // RETURNING first (pre-write observation), then the swap
+    val ret =
+      if (u.returning.isEmpty) postNs.limit(0).select()
+      else {
+        val cols = u.returning.collect {
+          case FieldE(Some(n), e, true) => (n, e)
+        }
+        checkpointIfSubqueries(
+          Lowering.projectWithSubqueries(ctx, postNs, cols), u.returning)
       }
-      postNs.select(cols: _*)
-    }
+    catalog.overwrite(u.table, untouched.unionByName(updatedRows))
+    ret
   }
 }
 

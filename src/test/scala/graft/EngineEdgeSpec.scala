@@ -368,6 +368,34 @@ class EngineEdgeSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("IN subquery inside an inner-join ON condition") {
+    val df = engine.sql(
+      """select c_custkey, o_orderkey
+        |from customer join orders
+        |on c_custkey = o_custkey
+        |  and o_orderkey in (select l2.l_orderkey from lineitem as l2 where l2.l_quantity > 45.0)
+        |order by c_custkey, o_orderkey limit 50""".stripMargin)
+    val want = viaSql(
+      """SELECT c_custkey, o_orderkey
+        |FROM customer JOIN orders
+        |ON c_custkey = o_custkey
+        |  AND o_orderkey IN (SELECT l2.l_orderkey FROM lineitem l2 WHERE l2.l_quantity > 45.0)
+        |ORDER BY c_custkey, o_orderkey LIMIT 50""".stripMargin)
+    assert(want.nonEmpty)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("IN subquery in a LEFT JOIN ON fails fast with a position message") {
+    val e = intercept[SqlppError] {
+      engine.sql(
+        """select n_name from nation left join customer
+          |on c_nationkey = n_nationkey
+          |  and c_custkey in (select o_custkey from orders)
+          |order by n_name""".stripMargin)
+    }
+    assert(e.msg.contains("LEFT JOIN ON"))
+  }
+
   test("deeply nested open scopes (3 levels) with outer navigation") {
     val df = engine.sql(
       """select x.y.z.o_orderkey, x.(y.z.o_totalprice * 2.0)

@@ -169,6 +169,49 @@ class ManagedSpec extends SparkTestBase {
     assert(untouched == 2.0)
   }
 
+  test("UPDATE SET with an IN-subquery value") {
+    val (_, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec(
+      "insert into todos(text, created, completed) values ('a', 1.0, false), ('b', 2.0, false)")
+    managed.exec(
+      "update todos set completed = (id in (select id from todos where created > 1.5))")
+    val rows = managed.exec(
+      "select text, completed from todos order by text").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(rows == Seq(("a", false), ("b", true)))
+  }
+
+  test("RETURNING with an IN-subquery observes pre-write state") {
+    val (_, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec(
+      "insert into todos(text, created, completed) values ('a', 1.0, false), ('b', 2.0, true)")
+    // the subquery reads todos BEFORE the delete lands: post-write it
+    // would find no completed row and yield false
+    val ret = managed.exec(
+      """delete from todos where completed = true
+        |returning id, (id in (select id from todos where completed = true)) as was_completed""".stripMargin)
+    val rows = ret.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(rows == Seq((2L, true)))
+    assert(managed.exec("select count(1) as n from todos group by ()")
+      .collect()(0).getLong(0) == 1)
+  }
+
+  test("INSERT VALUES with a subquery expression") {
+    val (_, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    // the migration seeds a 'default' project → true; 'nope' → false
+    managed.exec(
+      "insert into todos(text, created, completed) values ('z', 9.0, ('default' in (select name from projects)))")
+    managed.exec(
+      "insert into todos(text, created, completed) values ('w', 9.5, ('nope' in (select name from projects)))")
+    val rows = managed.exec(
+      "select text, completed from todos order by text").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(rows == Seq(("w", false), ("z", true)))
+  }
+
   test("partitioned managed tables prune directories on partition filters") {
     val (catalog, managed, runner) = freshManaged()
     runner.apply(migrations)
