@@ -81,12 +81,15 @@ object Lowering {
     case EIn(_, _) =>
       // every position with a carrier frame rewrites INs to flag
       // columns before compile sees one: SELECT positions (projection,
-      // WHERE, group keys, ORDER BY, HAVING via the post-aggregation
-      // split), DML WHERE / SET / RETURNING / non-constant VALUES, and
-      // inner-join ON conditions. The only remaining island is a LEFT
-      // JOIN's ON gate (no carrier frame — lowerFrom fails it with a
-      // position-specific message before reaching here), so this arm
-      // is a defensive backstop
+      // WHERE, group keys, ORDER BY, HAVING — grouped queries defer
+      // non-group-key subqueries to the post-aggregation frame), DML
+      // WHERE / SET / RETURNING / non-constant VALUES, and join ON
+      // conditions (each conjunct's flag lives on the side owning its
+      // probes; probes spanning both sides go post-join for inner
+      // joins). The only remaining island is a LEFT JOIN ON conjunct
+      // probing both sides (no carrier frame — lowerFrom fails it with
+      // a position-specific message), so this arm is a defensive
+      // backstop
       fail("IN subquery is not supported in this position")
     case EExists(sel) =>
       // uncorrelated EXISTS as a lazy subquery expression — no job
@@ -167,26 +170,61 @@ object Lowering {
       case FromJoin(left, right, kind, cond) =>
         val l = lowerFrom(ctx, scope, left)
         val r = lowerFromOne(ctx, scope, right)
-        kind match {
-          case JoinInner if containsSubquery(cond) =>
-            // inner-join ON ≡ post-join filter: subquery-free
-            // conjuncts stay the join condition (the planner keeps
-            // seeing the equi keys), IN/EXISTS conjuncts rewrite to
-            // flag columns on the joined frame and filter after
-            val (sub, plain) = conjuncts(cond).partition(containsSubquery)
-            val joinCond = plain.map(compile(ctx, _))
-              .reduceOption(_ && _).getOrElse(lit(true))
-            val joined = l.join(r, joinCond, "inner")
-            val pred = sub.reduce((a, b) => EApp("AND", List(a, b)))
-            val (withPred, c) = predicateWithSubqueries(ctx, joined, pred)
-            dropSubqueryFlags(withPred.filter(coalesce(c, lit(false))))
-          case JoinLeft if containsSubquery(cond) =>
-            // a LEFT JOIN's ON gates matching, not row existence — a
-            // post-join filter would drop the preserved null-extended
-            // rows, so there is no carrier frame to rewrite on
-            fail("IN subquery is not supported in a LEFT JOIN ON condition")
-          case JoinInner => l.join(r, compile(ctx, cond), "inner")
-          case JoinLeft  => l.join(r, compile(ctx, cond), "left_outer")
+        val joinType = kind match {
+          case JoinInner => "inner"
+          case JoinLeft  => "left_outer"
+        }
+        if (!containsSubquery(cond)) l.join(r, compile(ctx, cond), joinType)
+        else {
+          // IN/EXISTS conjuncts in ON: rewrite each to a flag column
+          // on the side that owns its probe columns (an uncorrelated
+          // EXISTS, probing nothing, goes on the right) — the flag is
+          // then an ordinary boolean conjunct of the ON, so the
+          // planner still sees the equi keys and LEFT JOIN matching
+          // semantics are preserved. Only a conjunct probing BOTH
+          // sides needs the joined frame: post-join filter for inner
+          // joins, unsupported for left joins (a post-join filter
+          // would drop the preserved null-extended rows).
+          var lf = l
+          var rf = r
+          val onConds = List.newBuilder[Column]
+          val post = List.newBuilder[Expr]
+          var (li, ri) = (0, 0)
+          conjuncts(cond).foreach { c =>
+            if (!containsSubquery(c)) onConds += compile(ctx, c)
+            else {
+              val refs = exprColumns(c)
+              if (refs.subsetOf(rf.columns.toSet)) {
+                val (df2, cc) = predicateWithSubqueries(ctx, rf, c,
+                  s"__in_flag_r${ri}_")
+                ri += 1
+                rf = df2
+                onConds += coalesce(cc, lit(false))
+              } else if (refs.subsetOf(lf.columns.toSet)) {
+                val (df2, cc) = predicateWithSubqueries(ctx, lf, c,
+                  s"__in_flag_l${li}_")
+                li += 1
+                lf = df2
+                onConds += coalesce(cc, lit(false))
+              } else post += c
+            }
+          }
+          val postConjs = post.result()
+          if (postConjs.nonEmpty && kind == JoinLeft)
+            fail("IN/EXISTS subqueries probing both sides of a " +
+              "LEFT JOIN ON condition are not supported")
+          val joined = lf.join(rf,
+            onConds.result().reduceOption(_ && _).getOrElse(lit(true)),
+            joinType)
+          val filtered = postConjs match {
+            case Nil => joined
+            case cs =>
+              val pred = cs.reduce((a, b) => EApp("AND", List(a, b)))
+              val (withPred, c) =
+                predicateWithSubqueries(ctx, joined, pred)
+              withPred.filter(coalesce(c, lit(false)))
+          }
+          dropSubqueryFlags(filtered)
         }
     }
 
@@ -234,14 +272,27 @@ object Lowering {
     * 3VL there). Flags are memoized per structural expression, so a
     * group key and a projection mentioning the same IN share one flag.
     */
-  private final class SubqueryFlags(ctx: Ctx, var df: DataFrame) {
+  private final class SubqueryFlags(ctx: Ctx, var df: DataFrame,
+      prefix: String = "__in_flag_") {
     private var flagIdx = 0
     private val memo = scala.collection.mutable.Map[Expr, EName]()
 
     private def nextFlag(): String = {
-      val f = s"__in_flag_$flagIdx"
+      val f = s"$prefix$flagIdx"
       flagIdx += 1
       f
+    }
+
+    /** Substitute ONLY already-memoized subqueries (no new joins) —
+      * lets a grouped projection reuse a flag its group key created
+      * while deferring unmemoized subqueries to the post-agg frame.
+      */
+    def rewriteMemoized(e: Expr): Expr = e match {
+      case in @ EIn(_, _)   => memo.getOrElse(in, in)
+      case ex @ EExists(_)  => memo.getOrElse(ex, ex)
+      case EApp(f, as)      => EApp(f, as.map(rewriteMemoized))
+      case EAscribe(x, t)   => EAscribe(rewriteMemoized(x), t)
+      case other            => other
     }
 
     def lowerInDf(es: List[Expr], sel: Select): (DataFrame, Column) = {
@@ -367,10 +418,24 @@ object Lowering {
     * then strip the helpers with [[dropSubqueryFlags]].
     */
   private[frontend] def predicateWithSubqueries(ctx: Ctx, df: DataFrame,
-      pred: Expr): (DataFrame, Column) = {
-    val flags = new SubqueryFlags(ctx, df)
+      pred: Expr, prefix: String = "__in_flag_"): (DataFrame, Column) = {
+    val flags = new SubqueryFlags(ctx, df, prefix)
     val rewritten = flags.rewrite(pred)
     (flags.df, compile(ctx, rewritten))
+  }
+
+  /** Column names (namespaced form) an expression references OUTSIDE
+    * its subselects — used to decide which join side can carry a
+    * subquery conjunct's flag rewrite.
+    */
+  private def exprColumns(e: Expr): Set[String] = e match {
+    case ENav(a, EName(f)) => Set(ns(a, f))
+    case EName(n)          => Set(n)
+    case EIn(es, _)        => es.flatMap(exprColumns).toSet
+    case EExists(_)        => Set.empty
+    case EApp(_, args)     => args.flatMap(exprColumns).toSet
+    case EAscribe(x, _)    => exprColumns(x)
+    case _                 => Set.empty
   }
 
   /** Drop every helper column a [[predicateWithSubqueries]] rewrite
@@ -422,14 +487,19 @@ object Lowering {
     }
     val flags = new SubqueryFlags(ctx, base)
     sel.where.foreach(w => applyWhere(ctx, flags.df, w, flags))
-    // IN/EXISTS in projection / group keys / ORDER BY become flag
-    // columns materialized on the pre-aggregation frame (memoized, so
-    // a group key and a projection of the same subquery share a flag)
-    val fields = emission(scope, sel.proj)
-      .map { case (n, e) => (n, flags.rewrite(e)) }
+    // IN/EXISTS in group keys become flag columns materialized on the
+    // pre-aggregation frame. Projection subqueries pre-rewrite only in
+    // the ungrouped case; under GROUP BY they may only reuse a flag a
+    // group key already created (memo substitution) — anything else
+    // must wait for the post-aggregation frame, where a flag column is
+    // a legal projection (pre-agg flags inside agg() are neither group
+    // keys nor aggregates and Spark rejects them)
     val groups2 = sel.groupBy.map(_.map(flags.rewrite))
-    // ORDER BY subqueries only rewrite on the pre-aggregation frame in
-    // the ungrouped branch; grouped queries handle them post-agg below
+    val fields = emission(scope, sel.proj).map { case (n, e) =>
+      (n, if (groups2.isDefined) flags.rewriteMemoized(e)
+          else flags.rewrite(e))
+    }
+    // same split for ORDER BY: pre-agg rewrite only when ungrouped
     val orderBy2 =
       if (groups2.isDefined) sel.orderBy
       else sel.orderBy.map(_.map { case (e, d) => (flags.rewrite(e), d) })
@@ -438,6 +508,11 @@ object Lowering {
     groups2 match {
       case Some(groups) =>
         val groupCols = groups.map(compile(ctx, _))
+        // projection fields still carrying subqueries after the memo
+        // substitution are computed on the post-aggregation frame
+        val (subFields, plainFields) = fields.partition {
+          case (_, e) => containsSubquery(e)
+        }
         val hidden = List.newBuilder[(String, Column)]
         // HAVING splits by conjunct: subquery-free conjuncts compile
         // into one hidden agg column and filter right after the
@@ -473,8 +548,11 @@ object Lowering {
           else hidden += (s"__ob_$i" -> compile(ctx, e))
         }
         val obPost2 = obPost.result()
+        val subFields2 = subFields.map { case (n, e) =>
+          (n, liftNonSubquery(e))
+        }
         val aggCols =
-          fields.map { case (n, e) => compile(ctx, e).as(n) } ++
+          plainFields.map { case (n, e) => compile(ctx, e).as(n) } ++
             hidden.result().map { case (n, c) => c.as(n) }
         val agged = aggCols match {
           case Nil => filtered.groupBy(groupCols: _*)
@@ -485,7 +563,8 @@ object Lowering {
         val plainFiltered =
           if (havingPlain.nonEmpty) agged.filter(col("__having")) else agged
         val havinged =
-          if (havingSub2.isEmpty && obPost2.isEmpty) plainFiltered
+          if (havingSub2.isEmpty && obPost2.isEmpty && subFields2.isEmpty)
+            plainFiltered
           else {
             val postFlags = new SubqueryFlags(ctx, plainFiltered)
             val havingConds = havingSub2.map(postFlags.rewrite)
@@ -493,12 +572,18 @@ object Lowering {
             val obCols = obPost2.map { case (i, e) =>
               (i, compile(ctx, postFlags.rewrite(e)))
             }
+            val projCols = subFields2.map { case (n, e) =>
+              (n, compile(ctx, postFlags.rewrite(e)))
+            }
             var out = havingConds.reduceOption(_ && _) match {
               case Some(c) => postFlags.df.filter(c)
               case None    => postFlags.df
             }
             obCols.foreach { case (i, c) =>
               out = out.withColumn(s"__ob_$i", c)
+            }
+            projCols.foreach { case (n, c) =>
+              out = out.withColumn(n, c)
             }
             postFlags.dropFlags(out)
           }

@@ -114,15 +114,17 @@ final class ManagedCatalog(
     recoverIfNeeded(from)
     val a = new Path(tablePath(from))
     val b = new Path(tablePath(to))
-    if (fs.exists(a) && !fs.rename(a, b)) fail(s"failed to rename $from")
     // a stale `from.bak` can survive a crash that hit overwrite()
     // between its tmp→live swap and the final .bak delete; once the
-    // live dir has moved away, leaving it behind would make a later
-    // load of `from` "recover" pre-overwrite data as a live table —
-    // drop it now (recoverIfNeeded above already consumed any .bak
-    // that was a genuine crash survivor)
+    // live dir moves away it would make a later load of `from`
+    // "recover" pre-overwrite data as a live table. Delete it BEFORE
+    // the rename: at this point the live dir exists (recoverIfNeeded
+    // above consumed any genuine crash survivor), so the .bak is
+    // provably stale — deleting first leaves no window where the live
+    // dir is gone but the stale .bak remains
     val aBak = new Path(tablePath(from) + ".bak")
-    if (fs.exists(aBak)) fs.delete(aBak, true)
+    if (fs.exists(a) && fs.exists(aBak)) fs.delete(aBak, true)
+    if (fs.exists(a) && !fs.rename(a, b)) fail(s"failed to rename $from")
     spark.catalog.refreshByPath(a.toString)
     spark.catalog.refreshByPath(b.toString)
   }
@@ -162,37 +164,25 @@ final class ManagedEngine(
     ddl.cols.filter(_.primaryKey).map(_.name)
   }
 
-  /** Project RETURNING fields against affected rows carried in the
-    * `table__col` namespace. IN/EXISTS subqueries in the fields are
-    * rewritten to flag joins; when any are present the result is
-    * materialized by the caller's pre-swap checkpoint discipline (see
-    * [[checkpointIfSubqueries]]).
+  /** The one RETURNING discipline, shared by INSERT/UPDATE/DELETE:
+    * project the fields over the affected rows (already carried in
+    * `table__col` namespace), rewriting IN/EXISTS subqueries to flag
+    * joins. Callers build this BEFORE the table swap: the affected
+    * frame is checkpointed so plain projections lazily observe
+    * pre-write values, and a subquery field — which would otherwise
+    * lazily re-read its tables after the swap — forces an eager
+    * materialization here, pre-swap.
     */
-  private def returningDf(ctx: Lowering.Ctx, table: String,
-      affected: DataFrame, returning: List[SelectField],
-      row: List[(String, Ty)]): DataFrame = {
-    if (returning.isEmpty) affected.limit(0).select()
-    else {
-      val nsd = affected.select(affected.columns.map(c =>
-        col(c).as(s"${table}__$c")).toIndexedSeq: _*)
-      val cols = returning.collect { case FieldE(Some(n), e, true) => (n, e) }
-      checkpointIfSubqueries(
-        Lowering.projectWithSubqueries(ctx, nsd, cols), returning)
-    }
-  }
-
-  /** RETURNING plans are built over checkpointed affected-row frames,
-    * so plain projections lazily observe pre-write values; a subquery
-    * in RETURNING would instead lazily re-read its tables AFTER the
-    * swap — materialize those before any write happens.
-    */
-  private def checkpointIfSubqueries(df: DataFrame,
+  private def returningProjection(ctx: Lowering.Ctx, nsFrame: DataFrame,
       returning: List[SelectField]): DataFrame = {
-    val hasSub = returning.exists {
-      case FieldE(_, e, _) => Lowering.containsSubquery(e)
-      case _               => false
+    if (returning.isEmpty) nsFrame.limit(0).select()
+    else {
+      val cols = returning.collect { case FieldE(Some(n), e, true) => (n, e) }
+      val proj = Lowering.projectWithSubqueries(ctx, nsFrame, cols)
+      if (cols.exists { case (_, e) => Lowering.containsSubquery(e) })
+        proj.localCheckpoint(true)
+      else proj
     }
-    if (hasSub) df.localCheckpoint(true) else df
   }
 
   /** Driver-side evaluation of a constant VALUES expression to the
@@ -342,7 +332,10 @@ final class ManagedEngine(
     val inserted = finalNew.localCheckpoint(true)
     // RETURNING is built (and, with subqueries, materialized) BEFORE
     // the swap so it observes pre-write state
-    val ret = returningDf(ctx, i.table, inserted, i.returning, info.row)
+    val ret = returningProjection(ctx,
+      inserted.select(inserted.columns.map(c =>
+        col(c).as(s"${i.table}__$c")).toIndexedSeq: _*),
+      i.returning)
     catalog.overwrite(i.table, finalExisting.unionByName(inserted))
     ret
   }
@@ -360,20 +353,17 @@ final class ManagedEngine(
       case Some(w) => Lowering.predicateWithSubqueries(ctx, nsd, w)
       case None    => (nsd, lit(true))
     }
-    val deleted = Lowering.dropSubqueryFlags(
-      withPred.filter(coalesce(cond, lit(false)))).localCheckpoint(true)
+    // the deleted-rows frame is only materialized when RETURNING will
+    // read it — a plain DELETE shouldn't pay an eager job for rows
+    // nothing observes
+    val deleted0 = Lowering.dropSubqueryFlags(
+      withPred.filter(coalesce(cond, lit(false))))
+    val deleted =
+      if (d.returning.isEmpty) deleted0 else deleted0.localCheckpoint(true)
     val kept = Lowering.dropSubqueryFlags(
       withPred.filter(!coalesce(cond, lit(false))))
     // RETURNING first (pre-write observation), then the swap
-    val ret =
-      if (d.returning.isEmpty) deleted.limit(0).select()
-      else {
-        val cols = d.returning.collect {
-          case FieldE(Some(n), e, true) => (n, e)
-        }
-        checkpointIfSubqueries(
-          Lowering.projectWithSubqueries(ctx, deleted, cols), d.returning)
-      }
+    val ret = returningProjection(ctx, deleted, d.returning)
     catalog.overwrite(d.table, kept.select(existing.columns.map(c =>
       col(s"${d.table}__$c").as(c)).toIndexedSeq: _*))
     ret
@@ -432,13 +422,17 @@ final class ManagedEngine(
     // flag joins on the matched frame, helpers stripped after
     val updated = Lowering.withColumnsWithSubqueries(ctx, firstMatch,
       u.set.map { case (name, e) => (s"__new_$name", e) })
-    val postNs = updated.select(updated.columns.collect {
+    val postNs0 = updated.select(updated.columns.collect {
       case c if !c.startsWith("__new_") =>
         val base = c.stripPrefix(s"${u.table}__")
         if (c.startsWith(s"${u.table}__") && u.set.exists(_._1 == base))
           col(s"__new_$base").as(c)
         else col(c)
-    }.toIndexedSeq: _*).localCheckpoint(true)
+    }.toIndexedSeq: _*)
+    // materialized only when RETURNING will lazily read it after the
+    // swap; a plain UPDATE computes it once, inside the write
+    val postNs =
+      if (u.returning.isEmpty) postNs0 else postNs0.localCheckpoint(true)
     val updatedRows = postNs.select(existing.columns.map(c =>
       col(s"${u.table}__$c").as(c)).toIndexedSeq: _*)
     // anti-join on the PRE-update key values: when SET touches a
@@ -454,15 +448,7 @@ final class ManagedEngine(
         existing.exceptAll(firstMatch.select(existing.columns.map(c =>
           col(s"${u.table}__$c").as(c)).toIndexedSeq: _*))
     // RETURNING first (pre-write observation), then the swap
-    val ret =
-      if (u.returning.isEmpty) postNs.limit(0).select()
-      else {
-        val cols = u.returning.collect {
-          case FieldE(Some(n), e, true) => (n, e)
-        }
-        checkpointIfSubqueries(
-          Lowering.projectWithSubqueries(ctx, postNs, cols), u.returning)
-      }
+    val ret = returningProjection(ctx, postNs, u.returning)
     catalog.overwrite(u.table, untouched.unionByName(updatedRows))
     ret
   }

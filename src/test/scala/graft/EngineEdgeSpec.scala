@@ -385,15 +385,70 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(df.collect().toSeq == want)
   }
 
-  test("IN subquery in a LEFT JOIN ON fails fast with a position message") {
+  test("LEFT JOIN ON with a right-side IN conjunct preserves left rows") {
+    def run(threshold: String): (Seq[org.apache.spark.sql.Row],
+        Seq[org.apache.spark.sql.Row]) = {
+      val df = engine.sql(
+        s"""select n_name, c_custkey
+           |from nation left join customer
+           |on c_nationkey = n_nationkey
+           |  and c_custkey in (select o_custkey from orders where o_totalprice > $threshold)
+           |order by n_name, c_custkey""".stripMargin)
+      val want = viaSql(
+        s"""SELECT n_name, c_custkey
+           |FROM nation LEFT JOIN customer
+           |ON c_nationkey = n_nationkey
+           |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > $threshold)
+           |ORDER BY n_name, c_custkey""".stripMargin)
+      (df.collect().toSeq, want)
+    }
+    // matched case: plenty of qualifying customers
+    val (gotLow, wantLow) = run("400000.0")
+    assert(wantLow.nonEmpty && gotLow == wantLow)
+    // empty-subquery case: EVERY nation survives null-extended
+    val (gotHigh, wantHigh) = run("99999999.0")
+    assert(wantHigh.nonEmpty && wantHigh.forall(_.isNullAt(1)))
+    assert(gotHigh == wantHigh)
+  }
+
+  test("inner join whose ON is ONLY a subquery conjunct still works") {
+    val df = engine.sql(
+      """select r_name, n_name
+        |from region join nation
+        |on n_regionkey in (select r2.r_regionkey from region as r2 where r2.r_name = 'ASIA')
+        |order by r_name, n_name""".stripMargin)
+    val want = viaSql(
+      """SELECT r_name, n_name
+        |FROM region JOIN nation
+        |ON n_regionkey IN (SELECT r2.r_regionkey FROM region r2 WHERE r2.r_name = 'ASIA')
+        |ORDER BY r_name, n_name""".stripMargin)
+    assert(want.nonEmpty)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("LEFT JOIN ON probing both sides fails fast with a position message") {
     val e = intercept[SqlppError] {
       engine.sql(
         """select n_name from nation left join customer
           |on c_nationkey = n_nationkey
-          |  and c_custkey in (select o_custkey from orders)
+          |  and (c_custkey + n_nationkey) in (select o_custkey from orders)
           |order by n_name""".stripMargin)
     }
     assert(e.msg.contains("LEFT JOIN ON"))
+  }
+
+  test("IN subquery in a grouped projection (not a group key)") {
+    val df = engine.sql(
+      """select l_orderkey, sum(l_quantity) as q,
+        |  (l_orderkey in (select o_orderkey from orders where o_totalprice > 400000.0)) as big
+        |from lineitem group by l_orderkey
+        |order by l_orderkey limit 30""".stripMargin)
+    val want = viaSql(
+      """SELECT l_orderkey, sum(l_quantity) AS q,
+        |  l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0) AS big
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey LIMIT 30""".stripMargin)
+    assert(df.collect().toSeq == want)
   }
 
   test("deeply nested open scopes (3 levels) with outer navigation") {
