@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.frontend.Engine
+
+/** Physical-plan shape assertions: the scale posture the operators
+  * were designed around (semi/anti joins for IN, no cartesian
+  * products, broadcast dims, pruned scans) pinned so a refactor that
+  * silently degrades the plan fails here, not on a cluster.
+  */
+class PlanSpec extends SparkTestBase {
+
+  lazy val engine: Engine = Catalog.engine(spark, sf)
+
+  def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("IN-conjunct WHERE lowers to a left-semi join") {
+    val p = plan(engine.sql(
+      """select c_custkey from customer
+        |where c_custkey in (select o_custkey from orders where o_totalprice > 400000.0)""".stripMargin))
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("NOT IN conjunct lowers to a left-anti join") {
+    val p = plan(engine.sql(
+      """select c_custkey from customer
+        |where not (c_custkey in (select o_custkey from orders where o_totalprice > 400000.0))""".stripMargin))
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("equi-join keeps its hash/merge join when ON carries a subquery conjunct") {
+    val p = plan(engine.sql(
+      """select c_custkey, o_orderkey
+        |from customer join orders
+        |on c_custkey = o_custkey
+        |  and o_orderkey in (select l2.l_orderkey from lineitem as l2 where l2.l_quantity > 45.0)""".stripMargin))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(800))
+  }
+
+  test("small-dim equi-join plans a broadcast hash join") {
+    val p = plan(RelQueries.q2JoinAgg(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("n-gram Jaccard mining plans equi joins, never a cartesian") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 50)
+    val p = plan(graft.pipeline.Dedup.ngramJaccardPairs(
+      d, "doc_id", "text", n = 3, minJaccard = 0.5))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("contamination check plans an equi join on the shingle") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val p = plan(graft.pipeline.Contamination.ngramContamination(
+      d.filter(col("doc_id") < 20), d.filter(col("doc_id") >= 20),
+      "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("grouped aggregation is partial+final (map-side combine)") {
+    val p = plan(RelQueries.q1Agg(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_"), p.take(800))
+  }
+}
