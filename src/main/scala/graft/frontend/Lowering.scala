@@ -145,13 +145,8 @@ object Lowering {
     }
   }
 
-  private def containsAgg(e: Expr): Boolean = e match {
-    case EApp(f, _) if Set("count", "sum", "min", "max")(f) => true
-    case EApp(_, args)    => args.exists(containsAgg)
-    case EAscribe(e2, _)  => containsAgg(e2)
-    case ENav(_, e2)      => containsAgg(e2)
-    case _                => false
-  }
+  /** Aggregate function names (mirror of the analyzer's set). */
+  private val aggFuncNames = Set("count", "sum", "min", "max", "argMax")
 
   private[frontend] def containsSubquery(e: Expr): Boolean = e match {
     case EIn(_, _) | EExists(_) => true
@@ -283,16 +278,41 @@ object Lowering {
       f
     }
 
-    /** Substitute ONLY already-memoized subqueries (no new joins) —
-      * lets a grouped projection reuse a flag its group key created
-      * while deferring unmemoized subqueries to the post-agg frame.
-      */
+    /** Substitute ONLY already-memoized subqueries (no new joins). */
     def rewriteMemoized(e: Expr): Expr = e match {
       case in @ EIn(_, _)   => memo.getOrElse(in, in)
       case ex @ EExists(_)  => memo.getOrElse(ex, ex)
       case EApp(f, as)      => EApp(f, as.map(rewriteMemoized))
       case EAscribe(x, t)   => EAscribe(rewriteMemoized(x), t)
       case other            => other
+    }
+
+    /** Rewrite for a projection field under GROUP BY. Inside agg(),
+      * a pre-aggregation flag column is only legal where Spark's
+      * grouping check allows it, so:
+      *  - a subquery UNDER an aggregate function rewrites to a
+      *    pre-agg flag (aggregate arguments evaluate on the pre-agg
+      *    frame — `max(k in (sub))` becomes `max(flag)`);
+      *  - a subquery that IS a whole group key reuses that key's
+      *    flag (the flag is a grouping column);
+      *  - anything else is left in place for the caller to compute
+      *    on the post-aggregation frame.
+      * WHERE-memoized flags must NOT leak in here: they live on the
+      * pre-agg frame but are not grouping columns, so only flags in
+      * `groupKeyFlags` substitute outside aggregate arguments.
+      */
+    def rewriteForGroupedProjection(e: Expr,
+        groupKeyFlags: Set[String]): Expr = e match {
+      case in @ EIn(_, _) =>
+        memo.get(in).filter(f => groupKeyFlags(f.name)).getOrElse(in)
+      case ex @ EExists(_) =>
+        memo.get(ex).filter(f => groupKeyFlags(f.name)).getOrElse(ex)
+      case EApp(f, as) if aggFuncNames(f) => EApp(f, as.map(rewrite))
+      case EApp(f, as) =>
+        EApp(f, as.map(rewriteForGroupedProjection(_, groupKeyFlags)))
+      case EAscribe(x, t) =>
+        EAscribe(rewriteForGroupedProjection(x, groupKeyFlags), t)
+      case other => other
     }
 
     def lowerInDf(es: List[Expr], sel: Select): (DataFrame, Column) = {
@@ -488,22 +508,35 @@ object Lowering {
     val flags = new SubqueryFlags(ctx, base)
     sel.where.foreach(w => applyWhere(ctx, flags.df, w, flags))
     // IN/EXISTS in group keys become flag columns materialized on the
-    // pre-aggregation frame. Projection subqueries pre-rewrite only in
-    // the ungrouped case; under GROUP BY they may only reuse a flag a
-    // group key already created (memo substitution) — anything else
-    // must wait for the post-aggregation frame, where a flag column is
-    // a legal projection (pre-agg flags inside agg() are neither group
-    // keys nor aggregates and Spark rejects them)
+    // pre-aggregation frame. Projection subqueries pre-rewrite fully
+    // in the ungrouped case; under GROUP BY a pre-agg flag is only
+    // legal inside agg() where Spark's grouping check allows it, so a
+    // field either (a) IS a group-expression occurrence after memo
+    // substitution (legal wholesale), or (b) goes through the
+    // restricted rewrite: subqueries under aggregates → pre-agg
+    // flags, whole-group-key subqueries → their grouping flag,
+    // anything else deferred to the post-aggregation frame
     val groups2 = sel.groupBy.map(_.map(flags.rewrite))
+    val groupKeyFlags: Set[String] = groups2.getOrElse(Nil)
+      .collect { case EName(n) => n }.toSet
     val fields = emission(scope, sel.proj).map { case (n, e) =>
-      (n, if (groups2.isDefined) flags.rewriteMemoized(e)
-          else flags.rewrite(e))
+      val e2 = groups2 match {
+        case None => flags.rewrite(e)
+        case Some(groups) =>
+          val subst = flags.rewriteMemoized(e)
+          if (groups.contains(subst)) subst
+          else flags.rewriteForGroupedProjection(e, groupKeyFlags)
+      }
+      (n, e2)
     }
-    // same split for ORDER BY: pre-agg rewrite only when ungrouped
+    // same split for ORDER BY: pre-agg rewrite only when ungrouped.
+    // NOTE: the pre-aggregation frame is read as `flags.df` at each
+    // use site below, never captured early — the grouped branch keeps
+    // adding pre-agg flag joins (aggregate-argument subqueries) while
+    // building its agg column list
     val orderBy2 =
       if (groups2.isDefined) sel.orderBy
       else sel.orderBy.map(_.map { case (e, d) => (flags.rewrite(e), d) })
-    val filtered = flags.df
 
     groups2 match {
       case Some(groups) =>
@@ -527,13 +560,22 @@ object Lowering {
           hidden += ("__having" ->
             havingPlain.map(compile(ctx, _)).reduce(_ && _))
         var hsqIdx = 0
+        def lift(c: Column): Expr = {
+          val n = s"__hsq_$hsqIdx"
+          hsqIdx += 1
+          hidden += (n -> c)
+          EName(n)
+        }
         def liftNonSubquery(e: Expr): Expr =
-          if (!containsSubquery(e)) {
-            val n = s"__hsq_$hsqIdx"
-            hsqIdx += 1
-            hidden += (n -> compile(ctx, e))
-            EName(n)
-          } else e match {
+          if (!containsSubquery(e)) lift(compile(ctx, e))
+          else e match {
+            case EApp(f, as) if aggFuncNames(f) =>
+              // an aggregate whose ARGUMENTS carry subqueries:
+              // those evaluate on the pre-aggregation frame, so they
+              // rewrite to pre-agg flags and the whole aggregate
+              // lifts into a hidden agg column (max(k in (sub)) →
+              // max(flag) inside agg())
+              lift(compile(ctx, EApp(f, as.map(flags.rewrite))))
             case EIn(es, s2)    => EIn(es.map(liftNonSubquery), s2)
             case EApp(f, as)    => EApp(f, as.map(liftNonSubquery))
             case EAscribe(x, t) => EAscribe(liftNonSubquery(x), t)
@@ -555,10 +597,10 @@ object Lowering {
           plainFields.map { case (n, e) => compile(ctx, e).as(n) } ++
             hidden.result().map { case (n, c) => c.as(n) }
         val agged = aggCols match {
-          case Nil => filtered.groupBy(groupCols: _*)
+          case Nil => flags.df.groupBy(groupCols: _*)
             .agg(count(lit(1)).as("__dummy"))
           case head :: tail =>
-            filtered.groupBy(groupCols: _*).agg(head, tail: _*)
+            flags.df.groupBy(groupCols: _*).agg(head, tail: _*)
         }
         val plainFiltered =
           if (havingPlain.nonEmpty) agged.filter(col("__having")) else agged
@@ -601,11 +643,11 @@ object Lowering {
       case None =>
         val ordered = orderBy2 match {
           case Some(obs) =>
-            filtered.orderBy(obs.map {
+            flags.df.orderBy(obs.map {
               case (e, Asc)  => compile(ctx, e).asc
               case (e, Desc) => compile(ctx, e).desc
             }: _*)
-          case None => filtered
+          case None => flags.df
         }
         val limited = applyLimitOffset(ctx, ordered, sel)
         limited.select(fields.map { case (n, e) =>

@@ -451,6 +451,64 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(df.collect().toSeq == want)
   }
 
+  test("same IN in WHERE-under-OR and grouped projection (memo must not leak)") {
+    // the WHERE rewrite memoizes its flag on the pre-agg frame; the
+    // projection under GROUP BY must NOT reuse it (not a group key) —
+    // it computes its own post-aggregation flag instead
+    val df = engine.sql(
+      """select l_orderkey, count(1) as n,
+        |  (l_orderkey in (select o_orderkey from orders where o_totalprice > 400000.0)) as big
+        |from lineitem
+        |where (l_orderkey in (select o_orderkey from orders where o_totalprice > 400000.0))
+        |   or l_quantity > 0.0
+        |group by l_orderkey
+        |order by l_orderkey limit 30""".stripMargin)
+    val want = viaSql(
+      """SELECT l_orderkey, count(1) AS n,
+        |  l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0) AS big
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |   OR l_quantity > 0.0
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey LIMIT 30""".stripMargin)
+    assert(df.collect().toSeq == want)
+  }
+
+  test("aggregate over an IN subquery in a grouped projection") {
+    // count(nullif((k in sub), false)) counts the group's matches:
+    // the subquery rewrites to a PRE-agg flag (aggregate arguments
+    // evaluate pre-aggregation), count(nullif(flag, false)) is a
+    // legal agg column. (min/max are NUMERIC-typed in the dialect,
+    // so count/argMax are the aggregates that can see a BOOL.)
+    val df = engine.sql(
+      """select c_nationkey,
+        |  count(nullif((c_custkey in (select o_custkey from orders where o_totalprice > 400000.0)), false)) as n_buyers
+        |from customer group by c_nationkey
+        |order by c_nationkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_nationkey,
+        |  count(nullif(c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0), false)) AS n_buyers
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+    assert(want.exists(_.getLong(1) > 0))
+    assert(df.collect().toSeq == want)
+  }
+
+  test("HAVING on an aggregate over an IN subquery") {
+    val df = engine.sql(
+      """select c_nationkey, count(1) as n
+        |from customer group by c_nationkey
+        |having count(nullif((c_custkey in (select o_custkey from orders where o_totalprice > 450000.0)), false)) > 0
+        |order by c_nationkey""".stripMargin)
+    val want = viaSql(
+      """SELECT c_nationkey, count(1) AS n
+        |FROM customer GROUP BY c_nationkey
+        |HAVING count(nullif(c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0), false)) > 0
+        |ORDER BY c_nationkey""".stripMargin)
+    assert(want.nonEmpty)
+    assert(df.collect().toSeq == want)
+  }
+
   test("deeply nested open scopes (3 levels) with outer navigation") {
     val df = engine.sql(
       """select x.y.z.o_orderkey, x.(y.z.o_totalprice * 2.0)

@@ -65,6 +65,6 @@ class PlanSpec extends SparkTestBase {
 
   test("grouped aggregation is partial+final (map-side combine)") {
     val p = plan(RelQueries.q1Agg(spark, sf))
-    assert(p.contains("partial_sum") || p.contains("partial_"), p.take(800))
+    assert(p.contains("partial_sum"), p.take(800))
   }
 }
