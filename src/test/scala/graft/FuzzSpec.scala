@@ -213,7 +213,9 @@ class FuzzSpec extends SparkTestBase {
   test("200 random queries: engine pipeline equals Spark SQL") {
     views
     var checked = 0
-    (0 until 220).foreach { i =>
+    // soak knob: -Dgraft.fuzz.n=1500 for a deeper one-off sweep
+    val n = sys.props.getOrElse("graft.fuzz.n", "220").toInt
+    (0 until n).foreach { i =>
       genQuery.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { q =>
         val mine = engine.sql(q.dialect).collect().toSeq
         val ref = spark.sql(q.sql).collect().toSeq
