@@ -663,6 +663,30 @@ object PipelineQueries {
       |FROM dims d JOIN agg a ON a.media_id = d.media_id
       |ORDER BY d.media_id""".stripMargin
 
+  // ---------------- profiling ----------------
+
+  // Numeric corpus profile: one wide single-scan aggregation unpivoted
+  // to a row per column; exact quartiles match DuckDB's quantile_cont
+  // bit-for-bit (both interpolate continuously over sorted doubles).
+  val pf1Profile: Q = (s, dir) =>
+    pipeline.Profiling.numericProfile(
+      Tables.load(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy("col_name")
+
+  val pf1Sql: String = {
+    def one(c: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+         |  quantile_cont($c, 0.25) AS p25, quantile_cont($c, 0.5) AS median,
+         |  quantile_cont($c, 0.75) AS p75
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // ---------------- composed curation pass ----------------
 
   // quality gate → exact dedup → near-dup drop → per-source stats,
@@ -718,12 +742,14 @@ object PipelineQueries {
     "tx5_pii_redact" -> tx5Redact,
     "tx6_repetition" -> tx6Repetition,
     "ct1_contamination" -> ct1Contamination,
+    "pf1_numeric_profile" -> pf1Profile,
     "mm1_media_features" -> mm1MediaFeatures,
   )
 
   val oracleSql: Map[String, String] = Map(
     "tx6_repetition" -> tx6Sql,
     "ct1_contamination" -> ct1Sql,
+    "pf1_numeric_profile" -> pf1Sql,
     "cp1_curation_pipeline" -> cp1Sql,
     "dd1_exact_dedup" -> dd1Sql,
     "dd2_minhash_lsh_pairs" -> dd2Sql,

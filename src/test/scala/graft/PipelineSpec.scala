@@ -167,6 +167,25 @@ class PipelineSpec extends SparkTestBase {
       out(4L) == "es" && out(5L) == "unk")
   }
 
+  test("numeric profile matches hand-computed stats incl. nulls") {
+    import spark.implicits._
+    import graft.pipeline.Profiling
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 20.0), (3.0, null), (100.0, 20.0))
+      .toDF("a", "b")
+    val got = Profiling.numericProfile(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 4 &&
+      a.getLong(2) == 0 && a.getLong(3) == 4)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 100.0)
+    assert(a.getDouble(7) == 2.5) // median of 1,2,3,100 interpolates
+    val b = got(1)
+    assert(b.getString(0) == "b" && b.getLong(1) == 4 &&
+      b.getLong(2) == 1 && b.getLong(3) == 2)
+    assert(b.getDouble(7) == 20.0) // median over non-null 10,20,20
+  }
+
   test("repetition metrics match hand-computed values") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
