@@ -152,6 +152,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("continuous ingestion: stream dedups against a managed fingerprint store") {
+    // the kappa-style corpus-ingestion composition: each micro-batch
+    // drops rows whose content fingerprint is already in a persistent
+    // managed store (cross-BATCH exact dedup — beyond the watermark
+    // horizon dropDuplicatesWithinWatermark covers), then appends the
+    // novel rows' fingerprints back to the store
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val env = new graft.frontend.Analyzer.Env().addDecls(
+      """create table corpus (doc_id int not null, fp string not null);
+        |create table fingerprints (fp string not null primary key)""".stripMargin)
+    val catalog = new graft.frontend.ManagedCatalog(spark, root, env)
+    val mem = MemoryStream[(Long, String)]
+    val fingerprinted = graft.pipeline.TextAnalysis.fingerprint(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("fingerprint_md5").as("fp"))
+    val q = fingerprinted.writeStream
+      .option("checkpointLocation", s"$root/_ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val seen = catalog.load("fingerprints")
+        val novel = batch.join(seen, Seq("fp"), "left_anti")
+          .select("doc_id", "fp").localCheckpoint(true)
+        catalog.overwrite("corpus",
+          catalog.load("corpus").unionByName(novel))
+        catalog.overwrite("fingerprints",
+          seen.unionByName(novel.select("fp")).distinct())
+      }
+      .start()
+    try {
+      mem.addData((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"))
+      q.processAllAvailable()
+      // batch 2 replays doc 1's content under a new id and adds one
+      // genuinely new doc — only the new one may land
+      mem.addData((10L, "the quick brown fox"), (3L, "completely new text"))
+      q.processAllAvailable()
+      val ids = catalog.load("corpus").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+      assert(catalog.load("fingerprints").count() == 3)
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed islands") {
     import spark.implicits._
     val events = Seq(
