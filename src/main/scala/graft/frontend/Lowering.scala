@@ -28,10 +28,14 @@ import Analyzer._
   *  - Uncorrelated IN subqueries in WHERE conjuncts lower to
   *    left-semi joins (NOT IN → null-aware left-anti, SQL 3VL); in
   *    other positions (under OR/NOT, projection, group keys, ORDER
-  *    BY) they become materialized flag columns fed by distinct
-  *    left-outer joins. Uncorrelated EXISTS in WHERE is a lazy
-  *    broadcast gate join against its limit(1) subquery — no job
-  *    runs until the caller executes the plan.
+  *    BY, HAVING, join ON, DML SET/RETURNING/VALUES) they become
+  *    materialized flag columns fed by distinct left-outer joins —
+  *    on the pre-aggregation frame where that frame is legal, on the
+  *    post-aggregation frame for grouped HAVING/ORDER BY/projection
+  *    positions, and on the probe-owning side for join ON conjuncts.
+  *    Uncorrelated EXISTS in WHERE is a lazy broadcast gate join
+  *    against its limit(1) subquery — no job runs until the caller
+  *    executes the plan.
   */
 object Lowering {
 
