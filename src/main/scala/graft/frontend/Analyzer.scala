@@ -552,7 +552,9 @@ object Analyzer {
     case _ => fail("expects two arguments")
   }
 
-  private val aggFuncs = Set("count", "sum", "max", "min", "argMax")
+  // shared with Lowering's grouped-subquery rewrite — one definition,
+  // so a new aggregate can't silently diverge between the two layers
+  private[frontend] val aggFuncs = Set("count", "sum", "max", "min", "argMax")
 
   /** The complete built-in function registry
     * (reference analyze.ml:546-621).

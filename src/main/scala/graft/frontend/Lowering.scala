@@ -149,8 +149,8 @@ object Lowering {
     }
   }
 
-  /** Aggregate function names (mirror of the analyzer's set). */
-  private val aggFuncNames = Set("count", "sum", "min", "max", "argMax")
+  /** Aggregate function names — the analyzer's set, not a copy. */
+  private def aggFuncNames: Set[String] = Analyzer.aggFuncs
 
   private[frontend] def containsSubquery(e: Expr): Boolean = e match {
     case EIn(_, _) | EExists(_) => true
@@ -557,8 +557,15 @@ object Lowering {
         // the POST-aggregation frame — their aggregate/group-key parts
         // are lifted into hidden agg columns first, then the
         // subqueries become flag joins against the aggregated rows.
+        // HAVING/ORDER BY conjuncts go through the same restricted
+        // rewrite as projection fields first: a subquery that IS a
+        // group key becomes its grouping flag, aggregate-argument
+        // subqueries become pre-agg flags — only what remains needs
+        // the post-aggregation frame
         val (havingSub, havingPlain) = sel.having
-          .map(h => conjuncts(h).partition(containsSubquery))
+          .map(h => conjuncts(h)
+            .map(flags.rewriteForGroupedProjection(_, groupKeyFlags))
+            .partition(containsSubquery))
           .getOrElse((Nil, Nil))
         if (havingPlain.nonEmpty)
           hidden += ("__having" ->
@@ -570,26 +577,26 @@ object Lowering {
           hidden += (n -> c)
           EName(n)
         }
+        // every expression entering this lift already went through
+        // rewriteForGroupedProjection, so aggregate arguments carry no
+        // subqueries here (they were rewritten to pre-agg flags) —
+        // what remains is lifted around the surviving subquery nodes
         def liftNonSubquery(e: Expr): Expr =
           if (!containsSubquery(e)) lift(compile(ctx, e))
           else e match {
-            case EApp(f, as) if aggFuncNames(f) =>
-              // an aggregate whose ARGUMENTS carry subqueries:
-              // those evaluate on the pre-aggregation frame, so they
-              // rewrite to pre-agg flags and the whole aggregate
-              // lifts into a hidden agg column (max(k in (sub)) →
-              // max(flag) inside agg())
-              lift(compile(ctx, EApp(f, as.map(flags.rewrite))))
             case EIn(es, s2)    => EIn(es.map(liftNonSubquery), s2)
             case EApp(f, as)    => EApp(f, as.map(liftNonSubquery))
             case EAscribe(x, t) => EAscribe(liftNonSubquery(x), t)
             case other          => other // EExists: independent subplan
           }
         val havingSub2 = havingSub.map(liftNonSubquery)
-        // ORDER BY expressions with subqueries get the same treatment:
-        // computed after the aggregation instead of inside agg()
+        // ORDER BY expressions get the same two-stage treatment:
+        // restricted rewrite first (group-key flags, pre-agg flags for
+        // aggregate arguments), then anything still carrying a
+        // subquery is computed after the aggregation
         val obPost = List.newBuilder[(Int, Expr)]
-        orderBy2.getOrElse(Nil).zipWithIndex.foreach { case ((e, _), i) =>
+        orderBy2.getOrElse(Nil).zipWithIndex.foreach { case ((e0, _), i) =>
+          val e = flags.rewriteForGroupedProjection(e0, groupKeyFlags)
           if (containsSubquery(e)) obPost += (i -> liftNonSubquery(e))
           else hidden += (s"__ob_$i" -> compile(ctx, e))
         }

@@ -22,6 +22,7 @@ object Profiling {
     * bounded corpora, not an oversight.
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
@@ -29,9 +30,9 @@ object Profiling {
         countDistinct(col(c)).as(s"${c}__nd"),
         min(col(c).cast("double")).as(s"${c}__min"),
         max(col(c).cast("double")).as(s"${c}__max"),
-        expr(s"percentile($c, 0.25)").as(s"${c}__p25"),
-        expr(s"percentile($c, 0.5)").as(s"${c}__p50"),
-        expr(s"percentile($c, 0.75)").as(s"${c}__p75"))
+        percentile(col(c), lit(0.25)).as(s"${c}__p25"),
+        percentile(col(c), lit(0.5)).as(s"${c}__p50"),
+        percentile(col(c), lit(0.75)).as(s"${c}__p75"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val structs = array(cols.map { c =>

@@ -509,6 +509,27 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(df.collect().toSeq == want)
   }
 
+  test("grouped HAVING and ORDER BY on a subquery that IS the group key") {
+    // the group key's flag must be reused (a grouping column), not
+    // re-lifted — lifting the raw probe into agg() would throw
+    val in = "(c_custkey in (select o_custkey from orders where o_totalprice > 400000.0))"
+    val df = engine.sql(
+      s"""select $in as big, count(1) as n
+         |from customer
+         |group by $in
+         |having $in
+         |order by $in desc""".stripMargin)
+    val want = viaSql(
+      """SELECT big, n FROM (
+        |  SELECT c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0) AS big,
+        |         count(1) AS n
+        |  FROM customer
+        |  GROUP BY c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0))
+        |WHERE big ORDER BY big DESC""".stripMargin)
+    assert(want.length == 1 && want.head.getBoolean(0))
+    assert(df.collect().toSeq == want)
+  }
+
   test("deeply nested open scopes (3 levels) with outer navigation") {
     val df = engine.sql(
       """select x.y.z.o_orderkey, x.(y.z.o_totalprice * 2.0)
