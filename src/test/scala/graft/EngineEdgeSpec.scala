@@ -530,6 +530,23 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(df.collect().toSeq == want)
   }
 
+  test("EXISTS in a grouped projection computes post-aggregation") {
+    val df = engine.sql(
+      """select c_nationkey, count(1) as n,
+        |  exists(select r_regionkey from region where r_name = 'ASIA') as asia,
+        |  exists(select r_regionkey from region where r_name = 'NO_SUCH') as nope
+        |from customer group by c_nationkey
+        |order by c_nationkey""".stripMargin)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(2) && !r.getBoolean(3)))
+    val plain = viaSql(
+      """SELECT c_nationkey, count(1) AS n FROM customer
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    assert(rows.map(r => (r.get(0), r.get(1))).toSeq ==
+      plain.map(r => (r.get(0), r.get(1))).toSeq)
+  }
+
   test("deeply nested open scopes (3 levels) with outer navigation") {
     val df = engine.sql(
       """select x.y.z.o_orderkey, x.(y.z.o_totalprice * 2.0)
