@@ -214,7 +214,37 @@ object DialectQueries {
       |  AND EXISTS (SELECT r_regionkey FROM region WHERE r_regionkey >= 0)
       |ORDER BY l_orderkey""".stripMargin
 
+  // LEFT JOIN whose ON mixes a side-owned IN conjunct with a conjunct
+  // probing BOTH sides — the one shape with no single flag-carrier
+  // side, lowered via the inner pair frame + left-anti restore
+  // (Lowering.lowerFrom). Neither Spark SQL nor DuckDB accepts the
+  // direct syntax (both reject subqueries referencing both join
+  // inputs in ON), so the oracle is the standard expansion: matched
+  // pairs as an inner join with the predicate in WHERE, re-joined on
+  // the unique left key.
+  val sq15: Q = (s, dir) => e(s, dir).prepare(
+    """select n_name, c_custkey
+      |from nation left join customer
+      |on c_nationkey = n_nationkey
+      |  and n_regionkey in (select r_regionkey from region where r_name != 'ASIA')
+      |  and c_acctbal > ?minbal
+      |  and (c_custkey + n_nationkey) in
+      |    (select o_custkey from orders where o_totalprice > 150000.0)
+      |order by n_name, c_custkey""".stripMargin)
+    .bind(Map("minbal" -> 500.0))
+  val sq15Sql: String =
+    """SELECT n_name, m.c_custkey AS c_custkey FROM nation LEFT JOIN (
+      |  SELECT n2.n_nationkey AS k, c_custkey FROM nation n2 JOIN customer
+      |  ON c_nationkey = n2.n_nationkey
+      |  WHERE n2.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name != 'ASIA')
+      |    AND c_acctbal > 500.0
+      |    AND (c_custkey + n2.n_nationkey) IN
+      |      (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+      |) m ON n_nationkey = m.k
+      |ORDER BY n_name, m.c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sq15_dialect_left_join_on_subquery" -> sq15,
     "sq14_dialect_having_subquery" -> sq14,
     "sq11_dialect_argmax" -> sq11,
     "sq12_dialect_events" -> sq12,
@@ -232,6 +262,7 @@ object DialectQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sq15_dialect_left_join_on_subquery" -> sq15Sql,
     "sq14_dialect_having_subquery" -> sq14Sql,
     "sq11_dialect_argmax" -> sq11Sql,
     "sq12_dialect_events" -> sq12Sql,

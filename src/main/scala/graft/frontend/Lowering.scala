@@ -182,8 +182,11 @@ object Lowering {
           // planner still sees the equi keys and LEFT JOIN matching
           // semantics are preserved. Only a conjunct probing BOTH
           // sides needs the joined frame: post-join filter for inner
-          // joins, unsupported for left joins (a post-join filter
-          // would drop the preserved null-extended rows).
+          // joins; for left joins the matched pairs are computed the
+          // same way on the inner pair frame, then left rows with no
+          // surviving pair are restored null-extended (value-keyed
+          // left-anti — duplicate left rows are indistinguishable and
+          // match identically, so value equality is row identity here).
           var lf = l
           var rf = r
           val onConds = List.newBuilder[Column]
@@ -209,21 +212,38 @@ object Lowering {
             }
           }
           val postConjs = post.result()
-          if (postConjs.nonEmpty && kind == JoinLeft)
-            fail("IN/EXISTS subqueries probing both sides of a " +
-              "LEFT JOIN ON condition are not supported")
-          val joined = lf.join(rf,
-            onConds.result().reduceOption(_ && _).getOrElse(lit(true)),
-            joinType)
-          val filtered = postConjs match {
-            case Nil => joined
-            case cs =>
-              val pred = cs.reduce((a, b) => EApp("AND", List(a, b)))
-              val (withPred, c) =
-                predicateWithSubqueries(ctx, joined, pred)
-              withPred.filter(coalesce(c, lit(false)))
+          val onCond =
+            onConds.result().reduceOption(_ && _).getOrElse(lit(true))
+          if (postConjs.isEmpty)
+            dropSubqueryFlags(lf.join(rf, onCond, joinType))
+          else {
+            val pred = postConjs.reduce((a, b) => EApp("AND", List(a, b)))
+            val pairs = lf.join(rf, onCond, "inner")
+            val (withPred, c) = predicateWithSubqueries(ctx, pairs, pred)
+            val matched =
+              dropSubqueryFlags(withPred.filter(coalesce(c, lit(false))))
+            kind match {
+              case JoinInner => matched
+              case JoinLeft =>
+                // Restore unmatched left rows. The left side is scanned
+                // twice (pair join + anti restore) — the cost of the one
+                // ON shape with no single carrier side; both scans keep
+                // their pushed filters and the anti join is a hash join
+                // on the left row's columns.
+                val leftCols = l.columns.toIndexedSeq
+                val matchedKeys = matched.select(
+                  leftCols.map(c0 => col(c0).as(s"__lj_$c0")): _*)
+                val antiCond = leftCols
+                  .map(c0 => col(c0) <=> col(s"__lj_$c0"))
+                  .reduce(_ && _)
+                val unmatched =
+                  dropSubqueryFlags(lf.join(matchedKeys, antiCond, "left_anti"))
+                    .select(leftCols.map(col) ++ r.schema.fields.toIndexedSeq
+                      .map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+                matched.union(unmatched.select(
+                  matched.columns.toIndexedSeq.map(col): _*))
+            }
           }
-          dropSubqueryFlags(filtered)
         }
     }
 

@@ -426,15 +426,66 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(df.collect().toSeq == want)
   }
 
-  test("LEFT JOIN ON probing both sides fails fast with a position message") {
-    val e = intercept[SqlppError] {
-      engine.sql(
-        """select n_name from nation left join customer
-          |on c_nationkey = n_nationkey
-          |  and (c_custkey + n_nationkey) in (select o_custkey from orders)
-          |order by n_name""".stripMargin)
+  test("LEFT JOIN ON subquery conjunct probing both sides") {
+    // the one ON shape with no single carrier side: lowered via the
+    // inner pair frame + value-keyed left-anti restore
+    def run(threshold: String) = {
+      val df = engine.sql(
+        s"""select n_name, c_custkey from nation left join customer
+           |on c_nationkey = n_nationkey
+           |  and (c_custkey + n_nationkey) in
+           |    (select o_custkey from orders where o_totalprice > $threshold)
+           |order by n_name, c_custkey""".stripMargin)
+      // Spark SQL itself cannot express this ON shape
+      // (UNSUPPORTED_CORRELATED_EXPRESSION_IN_JOIN_CONDITION), which is
+      // why the engine lowers it manually; the reference result comes
+      // from the standard expansion — matched pairs as an inner join
+      // with the predicate in WHERE, re-joined on the unique left key
+      val want = viaSql(
+        s"""SELECT n_name, m.c_custkey FROM nation LEFT JOIN (
+           |  SELECT n2.n_nationkey AS k, c_custkey FROM nation n2 JOIN customer
+           |  ON c_nationkey = n2.n_nationkey
+           |  WHERE (c_custkey + n2.n_nationkey) IN
+           |    (SELECT o_custkey FROM orders WHERE o_totalprice > $threshold)
+           |) m ON n_nationkey = m.k
+           |ORDER BY n_name, m.c_custkey""".stripMargin)
+      (df.collect().toSeq, want)
     }
-    assert(e.msg.contains("LEFT JOIN ON"))
+    // matched case: some pairs survive, other nations null-extend
+    val (gotLow, wantLow) = run("100000.0")
+    assert(wantLow.nonEmpty && wantLow.exists(!_.isNullAt(1)) && gotLow == wantLow)
+    // empty-subquery case: EVERY nation survives null-extended
+    val (gotHigh, wantHigh) = run("99999999.0")
+    assert(wantHigh.nonEmpty && wantHigh.forall(_.isNullAt(1)))
+    assert(gotHigh == wantHigh)
+  }
+
+  test("LEFT JOIN ON mixes side-owned and both-sides subquery conjuncts") {
+    // all three ON regimes at once: a left-owned IN (flag on left), a
+    // plain right-owned conjunct, and a both-sides IN (pair frame +
+    // anti restore)
+    val df = engine.sql(
+      """select n_name, c_custkey from nation left join customer
+        |on c_nationkey = n_nationkey
+        |  and n_regionkey in (select r_regionkey from region where r_name != 'ASIA')
+        |  and c_acctbal > 0.0
+        |  and (c_custkey + n_nationkey) in
+        |    (select o_custkey from orders where o_totalprice > 100000.0)
+        |order by n_name, c_custkey""".stripMargin)
+    // same expansion as above: Spark SQL rejects both-sides subquery
+    // probes in ON, so the reference is the inner-pairs + re-join form
+    val want = viaSql(
+      """SELECT n_name, m.c_custkey FROM nation LEFT JOIN (
+        |  SELECT n2.n_nationkey AS k, c_custkey FROM nation n2 JOIN customer
+        |  ON c_nationkey = n2.n_nationkey
+        |  WHERE n2.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name != 'ASIA')
+        |    AND c_acctbal > 0.0
+        |    AND (c_custkey + n2.n_nationkey) IN
+        |      (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+        |) m ON n_nationkey = m.k
+        |ORDER BY n_name, m.c_custkey""".stripMargin)
+    assert(want.nonEmpty && want.exists(!_.isNullAt(1)) && want.exists(_.isNullAt(1)))
+    assert(df.collect().toSeq == want)
   }
 
   test("IN subquery in a grouped projection (not a group key)") {
