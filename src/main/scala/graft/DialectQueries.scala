@@ -243,7 +243,37 @@ object DialectQueries {
       |) m ON n_nationkey = m.k
       |ORDER BY n_name, m.c_custkey""".stripMargin
 
+  // multi-column IN subquery with NULLs on both sides, projected —
+  // exact 3VL row comparison (TRUE definite match / NULL when some
+  // subquery row null-matches / FALSE otherwise). DuckDB has no
+  // multi-column IN subquery, so the oracle is the explicit 3VL
+  // expansion over correlated EXISTS.
+  val sq16: Q = (s, dir) => e(s, dir).sql(
+    """select c_custkey,
+      |  ((nullif(c_nationkey, 3), c_custkey) in
+      |   (select n_nationkey, nullif(o_custkey, 370)
+      |    from nation join orders on o_custkey = n_nationkey * 100)) as f
+      |from customer
+      |order by c_custkey""".stripMargin)
+  val sq16Sql: String =
+    """SELECT c_custkey,
+      |  CASE
+      |    WHEN EXISTS (SELECT 1
+      |                 FROM nation JOIN orders ON o_custkey = n_nationkey * 100
+      |                 WHERE n_nationkey = nullif(c_nationkey, 3)
+      |                   AND nullif(o_custkey, 370) = c_custkey) THEN true
+      |    WHEN EXISTS (SELECT 1
+      |                 FROM nation JOIN orders ON o_custkey = n_nationkey * 100
+      |                 WHERE (nullif(c_nationkey, 3) IS NULL
+      |                        OR n_nationkey = nullif(c_nationkey, 3))
+      |                   AND (nullif(o_custkey, 370) IS NULL
+      |                        OR nullif(o_custkey, 370) = c_custkey)) THEN NULL
+      |    ELSE false END AS f
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sq16_dialect_multicol_in_3vl" -> sq16,
     "sq15_dialect_left_join_on_subquery" -> sq15,
     "sq14_dialect_having_subquery" -> sq14,
     "sq11_dialect_argmax" -> sq11,
@@ -262,6 +292,7 @@ object DialectQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sq16_dialect_multicol_in_3vl" -> sq16Sql,
     "sq15_dialect_left_join_on_subquery" -> sq15Sql,
     "sq14_dialect_having_subquery" -> sq14Sql,
     "sq11_dialect_argmax" -> sq11Sql,

@@ -284,12 +284,13 @@ object Lowering {
     * `compile` anywhere (WHERE remainder, projection, group keys,
     * aggregate arguments, ORDER BY).
     *
-    * Single-column INs over nullable data get exact three-valued
-    * flags (via the uncorrelated has-null/non-empty scalars);
-    * multi-column INs over nullable data fall back to two-valued
-    * flags (documented divergence — the reference's backends apply
-    * 3VL there). Flags are memoized per structural expression, so a
-    * group key and a projection mentioning the same IN share one flag.
+    * INs over nullable data get exact three-valued flags:
+    * single-column via the uncorrelated has-null/non-empty scalars,
+    * multi-column via a null-tolerant ExistenceJoin for the NULL
+    * verdict (matching the 3VL row comparison the reference's
+    * backends apply). Flags are memoized per structural expression,
+    * so a group key and a projection mentioning the same IN share
+    * one flag.
     */
   private final class SubqueryFlags(ctx: Ctx, var df: DataFrame,
       prefix: String = "__in_flag_") {
@@ -393,7 +394,36 @@ object Lowering {
                 lit(null).cast("boolean"))
               .when(col(nn) < col(n), lit(null).cast("boolean"))
               .otherwise(lit(false))
-          } else coalesce(col(raw), lit(false))
+          } else {
+            // exact 3VL for multi-column IN: TRUE on a definite
+            // full-row match (the equi join above); else NULL when
+            // some subquery row NULL-MATCHES the probe — no component
+            // definitely differs, i.e. per component either side is
+            // NULL or they are equal — else FALSE. The null-match
+            // verdict is an ExistenceJoin (Dataset.exists + outer
+            // refs): a mark join sets one boolean per probe row, so
+            // the one-to-many null-tolerant comparison can never
+            // duplicate probe rows. The condition is non-equi, so the
+            // planner uses a broadcast nested-loop against the
+            // DISTINCT subquery rows — engages only for multi-column
+            // INs over nullable data.
+            val probeCols = probes.zipWithIndex.map { case (p, i) =>
+              (s"${flag}_p$i", p)
+            }
+            df = probeCols.foldLeft(df) { case (d, (n, p)) =>
+              d.withColumn(n, p)
+            }
+            val nmPred = probeCols.map(_._1).zip(
+              distinctSub.columns.toIndexedSeq).map { case (pn, sc) =>
+              val p = col(pn).outer()
+              p.isNull || col(sc).isNull || (p === col(sc))
+            }.reduce(_ && _)
+            val nm = s"${flag}_nm"
+            df = df.withColumn(nm, distinctSub.where(nmPred).exists())
+            when(col(raw), lit(true))
+              .when(col(nm), lit(null).cast("boolean"))
+              .otherwise(lit(false))
+          }
         df = df.withColumn(flag, value)
         EName(flag)
       })

@@ -488,6 +488,55 @@ class EngineEdgeSpec extends SparkTestBase {
     assert(df.collect().toSeq == want)
   }
 
+  test("multi-column IN with NULLs is exact 3VL in flag positions") {
+    // probe (nullif(n_nationkey,3), n_regionkey) against subquery rows
+    // (r_regionkey, nullif(r_regionkey,2)) = (0,0),(1,1),(2,NULL),
+    // (3,3),(4,4). Hand truth (confirmed against DuckDB, which applies
+    // standard 3VL row comparison — Spark SQL has no multi-col IN
+    // subquery to compare against):
+    //   TRUE  for nations 0,1,4 (exact full-row match)
+    //   NULL  for nation 2 (non-null probe null-matches (2,NULL))
+    //         and nation 3 (NULL probe component, second matches)
+    //   FALSE for every other nation
+    val got = engine.sql(
+      """select n_nationkey,
+        |  ((nullif(n_nationkey, 3), n_regionkey) in
+        |   (select r_regionkey, nullif(r_regionkey, 2) from region)) as f
+        |from nation order by n_nationkey""".stripMargin)
+      .collect().toSeq.map(r =>
+        (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+    val want = (0 to 24).map { k =>
+      (k, k match {
+        case 0 | 1 | 4 => Some(true)
+        case 2 | 3     => None
+        case _         => Some(false)
+      })
+    }
+    assert(got == want)
+    // under OR in WHERE: NULL and FALSE both drop the row, TRUE keeps
+    // it — and the other disjunct rescues one FALSE row (nation 20)
+    val kept = engine.sql(
+      """select n_nationkey from nation
+        |where ((nullif(n_nationkey, 3), n_regionkey) in
+        |       (select r_regionkey, nullif(r_regionkey, 2) from region))
+        |   or n_name = 'NATION_20'
+        |order by n_nationkey""".stripMargin)
+      .collect().toSeq.map(_.getInt(0))
+    assert(kept == Seq(0, 1, 4, 20))
+    // NOT over the flag (kept under OR so it takes the flag path,
+    // not the conjunct-position anti join): NOT(NULL)=NULL drops
+    // nations 2 and 3 too — only definite non-matches survive
+    val notKept = engine.sql(
+      """select n_nationkey from nation
+        |where ((not ((nullif(n_nationkey, 3), n_regionkey) in
+        |       (select r_regionkey, nullif(r_regionkey, 2) from region)))
+        |       or n_name = 'NO_SUCH')
+        |  and n_nationkey < 6
+        |order by n_nationkey""".stripMargin)
+      .collect().toSeq.map(_.getInt(0))
+    assert(notKept == Seq(5))
+  }
+
   test("IN subquery in a grouped projection (not a group key)") {
     val df = engine.sql(
       """select l_orderkey, sum(l_quantity) as q,
