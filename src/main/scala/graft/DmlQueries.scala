@@ -14,8 +14,27 @@ object DmlQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // One managed-table root per entry, reused across invocations (the
+  // seeding overwrite resets state each run, so reuse is safe) and
+  // deleted on JVM exit — Bench's cold+warm double execution must not
+  // leak a directory per run.
+  private val roots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tempRoot(tag: String): String =
+    roots.computeIfAbsent(tag, { _ =>
+      val p = Files.createTempDirectory(s"graft_$tag")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(p.toFile)
+      }
+      p.toString
+    })
+
   val dm1Roundtrip: Q = (s, dir) => {
-    val root = Files.createTempDirectory("graft_dml").toString
+    val root = tempRoot("dml1")
     val env = new Analyzer.Env().addDecls(
       """create table mdocs (
         |  doc_id int not null primary key,
@@ -53,7 +72,7 @@ object DmlQueries {
     * old files is staged).
     */
   val dm2Subquery: Q = (s, dir) => {
-    val root = Files.createTempDirectory("graft_dml2").toString
+    val root = tempRoot("dml2")
     val env = new Analyzer.Env().addDecls(
       """create table mdocs (
         |  doc_id int not null primary key,

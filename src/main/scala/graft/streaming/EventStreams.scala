@@ -163,14 +163,22 @@ object EventStreams {
     */
   def attributionJoin(clicks: DataFrame, views: DataFrame,
       windowMinutes: Int = 60,
-      withWatermark: Boolean = false): DataFrame = {
+      withWatermark: Boolean = false,
+      watermarkDelayMinutes: Option[Int] = None): DataFrame = {
     val l0 = clicks.select(col("event_id").as("click_id"),
       col("user_id"), col("ts").as("click_ts"))
     val r0 = views.select(col("event_id").as("view_id"),
       col("user_id").as("view_user_id"), col("ts").as("view_ts"))
-    val l = if (withWatermark) l0.withWatermark("click_ts", "10 minutes")
+    // The watermark bounds BOTH lateness tolerance and join state: it
+    // defaults to the attribution window itself so that an event late
+    // by less than the window is never dropped while it could still
+    // pair (a fixed delay shorter than windowMinutes would silently
+    // lose pairs relative to the batch twin). Callers trading
+    // completeness for smaller state pass an explicit delay.
+    val delay = s"${watermarkDelayMinutes.getOrElse(windowMinutes)} minutes"
+    val l = if (withWatermark) l0.withWatermark("click_ts", delay)
       else l0
-    val r = if (withWatermark) r0.withWatermark("view_ts", "10 minutes")
+    val r = if (withWatermark) r0.withWatermark("view_ts", delay)
       else r0
     l.join(r,
       col("user_id") === col("view_user_id") &&
