@@ -83,15 +83,63 @@ class FuzzSpec extends SparkTestBase {
 
   val genQuery: Gen[Q] = for {
     t <- Gen.oneOf(orders, customer, lineitem)
-    kind <- Gen.chooseNum(0, 4)
+    kind <- Gen.chooseNum(0, 5)
     q <- kind match {
       case 0 => plainQuery(t)
       case 1 => groupedQuery(t)
       case 2 => joinQuery
       case 3 => havingSubQuery(t)
+      case 4 => joinOnSubQuery
       case _ => inQuery(t)
     }
   } yield q
+
+  /** IN/EXISTS subquery conjuncts inside a join's ON — inner and LEFT,
+    * probing the right side, the left side, or both. Spark SQL rejects
+    * subqueries in join conditions outright, so the twin uses the
+    * standard expansions: for inner joins an ON conjunct is a WHERE
+    * conjunct; for LEFT joins the filtered inner pair frame is
+    * re-joined on the (unique) left key — the same expansion the sq15
+    * oracle uses.
+    */
+  def joinOnSubQuery: Gen[Q] = for {
+    sub <- boolExpr(orders)
+    probeKind <- Gen.chooseNum(0, 2) // 0 right-side, 1 left-side, 2 both
+    outer <- Gen.oneOf(true, false)
+    withExists <- Gen.oneOf(true, false)
+    exSub <- boolExpr(orders)
+    lim <- Gen.chooseNum(20, 80)
+  } yield {
+    // probe referencing the right input, the left input, or both
+    val probe = probeKind match {
+      case 0 => "o_custkey"
+      case 1 => "c_custkey"
+      case _ => "(c_nationkey + o_custkey)"
+    }
+    val inD = s"$probe in (select o_custkey from orders where ${sub.dialect})"
+    def inS(leftQual: String): String = {
+      val p = probeKind match {
+        case 0 => "o_custkey"
+        case 1 => s"$leftQual.c_custkey"
+        case _ => s"($leftQual.c_nationkey + o_custkey)"
+      }
+      s"$p IN (SELECT o_custkey FROM orders WHERE ${sub.sql})"
+    }
+    val exD = if (withExists)
+      s" and exists(select o_orderkey from orders where ${exSub.dialect})" else ""
+    def exS: String = if (withExists)
+      s" AND EXISTS (SELECT o_orderkey FROM orders WHERE ${exSub.sql})" else ""
+    if (!outer)
+      Q(s"select c_custkey, o_orderkey from customer join orders on o_custkey = c_custkey and $inD$exD order by c_custkey, o_orderkey limit $lim",
+        s"SELECT c_custkey, o_orderkey FROM customer JOIN orders ON o_custkey = c_custkey WHERE ${inS("customer")}$exS ORDER BY c_custkey, o_orderkey LIMIT $lim")
+    else
+      Q(s"select c_custkey, o_orderkey from customer left join orders on o_custkey = c_custkey and $inD$exD order by c_custkey, o_orderkey limit $lim",
+        s"""SELECT c_custkey, m.o_orderkey AS o_orderkey FROM customer LEFT JOIN (
+           |  SELECT c2.c_custkey AS k, o_orderkey FROM customer c2 JOIN orders
+           |  ON o_custkey = c2.c_custkey WHERE ${inS("c2")}$exS
+           |) m ON c_custkey = m.k
+           |ORDER BY c_custkey, m.o_orderkey LIMIT $lim""".stripMargin)
+  }
 
   /** HAVING mixing an aggregate conjunct with IN / NOT IN / EXISTS
     * subquery conjuncts (the post-aggregation split): probes are the
@@ -146,16 +194,18 @@ class FuzzSpec extends SparkTestBase {
     neg <- Gen.oneOf(true, false)
     nullSub0 <- Gen.oneOf(true, false)
     nullProbe0 <- Gen.frequency(3 -> false, 1 -> true)
+    multi <- Gen.oneOf(true, false)
     shape <- Gen.chooseNum(0, 2)
     k <- Gen.chooseNum(1, 400)
   } yield {
     // NULL injection only in the WHERE-conjunct shape: there Spark's
-    // null-aware anti join is standard 3VL like us. In projection /
-    // under-OR positions Spark SQL itself is NON-standard (its
-    // ExistenceJoin treats `2 IN (1, NULL)` as false where the
-    // standard, DuckDB, and the reference's backends say NULL), so a
-    // Spark differential would flag OUR standard behavior as wrong —
-    // those positions are oracle-checked deterministically instead.
+    // null-aware anti join is standard 3VL like us (single- AND
+    // multi-column). In projection / under-OR positions Spark SQL
+    // itself is NON-standard (its ExistenceJoin treats `2 IN (1,
+    // NULL)` as false where the standard, DuckDB, and the reference's
+    // backends say NULL), so a Spark differential would flag OUR
+    // standard behavior as wrong — those positions are oracle-checked
+    // deterministically instead (sq3, sq16, EngineEdgeSpec 3VL suite).
     val nullSub = nullSub0 && shape == 0
     val nullProbe = nullProbe0 && shape == 0
     val keyCol = t match {
@@ -163,9 +213,20 @@ class FuzzSpec extends SparkTestBase {
       case `lineitem` => "l_orderkey"
       case _          => "o_orderkey"
     }
+    val key2 = t match {
+      case `customer` => "c_nationkey"
+      case `lineitem` => "l_linenumber"
+      case _          => "o_custkey"
+    }
     val subKey = if (t == customer) "o_custkey" else "o_orderkey"
-    val subExpr = if (nullSub) s"nullif($subKey, $k)" else subKey
-    val probe = if (nullProbe) s"nullif($keyCol, $k)" else keyCol
+    val subExpr0 = if (nullSub) s"nullif($subKey, $k)" else subKey
+    val probe0 = if (nullProbe) s"nullif($keyCol, $k)" else keyCol
+    // multi-column probes pair the key with a second column; the
+    // second subquery column is nullif-injected alongside the first so
+    // the per-component NULL verdict (null-match row comparison) is
+    // exercised, not just all-null rows
+    val probe = if (multi) s"($probe0, $key2)" else probe0
+    val subExpr = if (multi) s"$subExpr0, nullif(o_custkey, 3)" else subExpr0
     val inD = s"$probe in (select $subExpr from orders where ${sub.dialect})"
     val inS = s"$probe IN (SELECT $subExpr FROM orders WHERE ${sub.sql})"
     val (pd, ps) = if (neg) (s"not ($inD)", s"NOT ($inS)") else (inD, inS)
@@ -208,6 +269,99 @@ class FuzzSpec extends SparkTestBase {
     val hS = if (having) " HAVING count(1) > 2" else ""
     Q(s"select $g, $aggD as a, count(1) as n from ${t.name}$wD group by $g$hD order by $g",
       s"SELECT $g, $aggD AS a, count(1) AS n FROM ${t.name}$wS GROUP BY $g$hS ORDER BY $g")
+  }
+
+  /** Randomized DML with IN subqueries in WHERE / SET / RETURNING:
+    * run each statement through the managed engine against a seeded
+    * table, then compare BOTH the final table state and the RETURNING
+    * frame against a declarative Spark SQL twin over the immutable
+    * seed view. Covers the round-5/6 positions (DML WHERE IN / NOT
+    * IN, SET values containing IN subqueries, RETURNING) that example
+    * specs pinned individually.
+    */
+  case class Dml(stmt: String, finalSql: String, returning: Option[String])
+
+  def fzPred: Gen[E] = {
+    val numCmp = for {
+      c <- Gen.oneOf("id", "n")
+      op <- Gen.oneOf(">", "<", ">=", "<=", "!=")
+      v <- Gen.chooseNum(0, 400)
+    } yield E(s"$c $op $v", s"$c $op $v")
+    val strCmp = for (p <- Gen.oneOf("aa", "ff", "mm", "ss"))
+      yield E(s"s > '$p'", s"s > '$p'")
+    val base = Gen.oneOf(numCmp, strCmp)
+    Gen.oneOf(base,
+      for { a <- base; b <- base; op <- Gen.oneOf("and", "or") }
+        yield E(s"(${a.dialect} $op ${b.dialect})",
+          s"(${a.sql} ${op.toUpperCase} ${b.sql})"))
+  }
+
+  val genDml: Gen[Dml] = for {
+    p <- fzPred
+    p2 <- fzPred
+    shape <- Gen.chooseNum(0, 4)
+    d <- Gen.chooseNum(1, 9)
+  } yield {
+    val inD = s"id in (select id from fz where ${p.dialect})"
+    val inS = s"id IN (SELECT id FROM fzseed WHERE ${p.sql})"
+    shape match {
+      case 0 => Dml(
+        s"delete from fz where $inD",
+        s"SELECT id, n, s, b FROM fzseed WHERE NOT ($inS)", None)
+      case 1 => Dml(
+        s"update fz set s = 'zz' where $inD",
+        s"SELECT id, n, CASE WHEN $inS THEN 'zz' ELSE s END AS s, b FROM fzseed",
+        None)
+      case 2 => Dml(
+        s"update fz set b = ($inD) where ${p2.dialect}",
+        s"SELECT id, n, s, CASE WHEN ${p2.sql} THEN $inS ELSE b END AS b FROM fzseed",
+        None)
+      case 3 => Dml(
+        s"update fz set n = n + $d where $inD returning id, n",
+        s"SELECT id, CASE WHEN $inS THEN n + $d ELSE n END AS n, s, b FROM fzseed",
+        Some(s"SELECT id, n + $d AS n FROM fzseed WHERE $inS"))
+      case _ => Dml(
+        s"delete from fz where not ($inD) returning id, s",
+        s"SELECT id, n, s, b FROM fzseed WHERE $inS",
+        Some(s"SELECT id, s FROM fzseed WHERE NOT ($inS)"))
+    }
+  }
+
+  test("randomized DML with subqueries: managed state equals declarative twin") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fuzz_dml")
+    val env = new graft.frontend.Analyzer.Env().addDecls(
+      """create table fz (
+        |  id int not null primary key, n int not null,
+        |  s string not null, b bool not null)""".stripMargin)
+    val catalog = new graft.frontend.ManagedCatalog(spark, root.toString, env)
+    val managed = new graft.frontend.ManagedEngine(catalog,
+      new Engine(spark, env, catalog.load _))
+    val seed = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id AS id", "n_chars AS n", "lang AS s",
+        "n_chars > 250 AS b")
+      .filter("id < 120")
+    seed.createOrReplaceTempView("fzseed")
+    val n = sys.props.getOrElse("graft.fuzz.dml.n", "10").toInt
+    var checked = 0
+    (0 until n).foreach { i =>
+      genDml.apply(Gen.Parameters.default, Seed(1000L + i)).foreach { q =>
+        catalog.overwrite("fz", seed)
+        val ret = managed.exec(q.stmt)
+        q.returning.foreach { rSql =>
+          val mine = ret.collect().map(_.toString).sorted.toSeq
+          val want = spark.sql(rSql).collect().map(_.toString).sorted.toSeq
+          assert(mine == want, s"seed $i RETURNING\n stmt: ${q.stmt}")
+        }
+        val state = managed.exec("select id, n, s, b from fz order by id")
+          .collect().map(_.toString).toSeq
+        val want = spark.sql(q.finalSql + " ORDER BY id")
+          .collect().map(_.toString).toSeq
+        assert(state == want, s"seed $i\n stmt: ${q.stmt}\n twin: ${q.finalSql}")
+        checked += 1
+      }
+    }
+    info(s"$checked random DML statements matched")
+    assert(checked >= n / 2)
   }
 
   test("200 random queries: engine pipeline equals Spark SQL") {
