@@ -10,31 +10,41 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   /** Per-column numeric profile — row count, null count, exact
-    * distinct count, min/max, exact quartiles — as one row per column.
+    * distinct count, min/max, quartiles — as one row per column.
     *
     * Scale shape: ONE wide aggregation over a single scan (the
     * multiple DISTINCT aggregates plan through Expand), then a
-    * driver-free unpivot of the single result row via explode. The
-    * quartiles use Spark's exact `percentile` so an external oracle
-    * matches bit-for-bit; a 100 TB profile would swap them for
-    * `approx_percentile` (same plan shape, bounded memory) — the
-    * exact form is a deliberate choice for attestable profiling of
-    * bounded corpora, not an oversight.
+    * driver-free unpivot of the single result row via explode. With
+    * `approx = false` the quartiles use Spark's exact `percentile` so
+    * an external oracle matches bit-for-bit — a deliberate choice for
+    * attestable profiling of bounded corpora, at O(distinct values)
+    * aggregation memory. `approx = true` is the 100 TB path: ONE
+    * `approx_percentile` sketch per column (all three quantiles read
+    * from the same bounded-memory digest, error <= 1/accuracy in
+    * rank), identical output schema.
     */
-  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def numericProfile(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
+    val qs = Seq(0.25, 0.5, 0.75)
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
         count(col(c)).as(s"${c}__nn"),
         countDistinct(col(c)).as(s"${c}__nd"),
         min(col(c).cast("double")).as(s"${c}__min"),
-        max(col(c).cast("double")).as(s"${c}__max"),
-        percentile(col(c), lit(0.25)).as(s"${c}__p25"),
-        percentile(col(c), lit(0.5)).as(s"${c}__p50"),
-        percentile(col(c), lit(0.75)).as(s"${c}__p75"))
+        max(col(c).cast("double")).as(s"${c}__max")) ++ (
+        if (approx) Seq(
+          approx_percentile(col(c).cast("double"),
+            array(qs.map(lit): _*), lit(accuracy)).as(s"${c}__pq"))
+        else qs.zipWithIndex.map { case (q, i) =>
+          percentile(col(c), lit(q)).as(s"${c}__q$i")
+        })
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    def quant(c: String, i: Int) =
+      if (approx) element_at(col(s"${c}__pq"), i + 1)
+      else col(s"${c}__q$i")
     val structs = array(cols.map { c =>
       struct(
         lit(c).as("col_name"),
@@ -43,9 +53,9 @@ object Profiling {
         col(s"${c}__nd").as("n_distinct"),
         col(s"${c}__min").as("min_v"),
         col(s"${c}__max").as("max_v"),
-        col(s"${c}__p25").as("p25"),
-        col(s"${c}__p50").as("median"),
-        col(s"${c}__p75").as("p75"))
+        quant(c, 0).as("p25"),
+        quant(c, 1).as("median"),
+        quant(c, 2).as("p75"))
     }: _*)
     wide.select(explode(structs).as("s")).select("s.*")
   }

@@ -18,6 +18,11 @@ class EngineCompositionSpec extends SparkTestBase {
         |  from orders group by o_custkey;
         |create fieldset cust_info(from customer AS c) as
         |  select c.c_custkey as cid, c.c_name as cname;
+        |create query cust_flag as
+        |  select o_custkey as k, with count(1) as n,
+        |    with (min(o_orderkey) in
+        |      (select o_orderkey from orders where o_totalprice > 200000.0)) as hot
+        |  from orders group by o_custkey;
         |""".stripMargin)
     new Engine(spark, env, name => Tables.load(spark, sf, name))
   }
@@ -92,6 +97,43 @@ class EngineCompositionSpec extends SparkTestBase {
          |   WHERE l_quantity > 49.0)
          |ORDER BY l_orderkey, l_partkey""".stripMargin).collect()
     assert(df.collect().toSeq == expected.toSeq)
+  }
+
+  /** The reference documents a known bug here: `Expr_in` scopes are
+    * NOT copied fresh when a named query is inlined (reference
+    * README.md:261-263), so a query inlined twice shares one recorded
+    * subquery scope. Our Engine re-keys the scope memo per rewritten
+    * node — this pins that a named query CONTAINING an IN subquery can
+    * be used twice in one statement, with each use site marking its
+    * lazy fields independently.
+    */
+  test("named query with an IN subquery inlines fresh twice in one statement") {
+    // both sites use the IN-backed lazy field
+    val df = engine.sql(
+      """select a.k, a.hot, b.hot as hot2
+        |from cust_flag as a join cust_flag as b on a.k = b.k
+        |order by a.k limit 20""".stripMargin)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getBoolean(1) == r.getBoolean(2)))
+    val expected = spark.sql(
+      s"""WITH cf AS (
+         |  SELECT o_custkey AS k,
+         |         min(o_orderkey) IN (SELECT o_orderkey
+         |                             FROM parquet.`$sf/orders.parquet`
+         |                             WHERE o_totalprice > 200000.0) AS hot
+         |  FROM parquet.`$sf/orders.parquet` GROUP BY o_custkey)
+         |SELECT a.k, a.hot, b.hot AS hot2 FROM cf a JOIN cf b ON a.k = b.k
+         |ORDER BY a.k LIMIT 20""".stripMargin).collect()
+    assert(rows.toSeq == expected.toSeq)
+
+    // asymmetric use: only site A marks the IN-backed field used, site
+    // B prunes it — per-use-site laziness with a shared source AST
+    val asym = engine.sql(
+      """select a.k, a.hot, b.n
+        |from cust_flag as a join cust_flag as b on a.k = b.k
+        |order by a.k limit 20""".stripMargin)
+    assert(asym.columns.toSeq == Seq("k", "hot", "n"))
+    assert(asym.collect().forall(_.getLong(2) > 0))
   }
 
   test("named query twice in one FROM keeps the namespaces apart") {

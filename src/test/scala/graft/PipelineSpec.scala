@@ -186,6 +186,30 @@ class PipelineSpec extends SparkTestBase {
     assert(b.getDouble(7) == 20.0) // median over non-null 10,20,20
   }
 
+  test("approx numeric profile agrees with the exact one within rank tolerance") {
+    import graft.pipeline.Profiling
+    val df = Tables.load(spark, sf, "documents")
+    val cols = Seq("doc_id", "n_chars")
+    def byCol(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r).toMap
+    val exact = byCol(Profiling.numericProfile(df, cols))
+    val approx = byCol(Profiling.numericProfile(df, cols, approx = true))
+    assert(exact.keySet == approx.keySet)
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      // counts/min/max don't go through the sketch — identical
+      (1 to 5).foreach(i => assert(e.get(i) == a.get(i), s"$c field $i"))
+      // quantiles: exact interpolates, the sketch returns an observed
+      // value within 1/accuracy rank error — compare within a small
+      // fraction of the value range
+      val tol = (e.getDouble(5) - e.getDouble(4)) * 0.02 + 1e-9
+      (6 to 8).foreach { i =>
+        assert(math.abs(e.getDouble(i) - a.getDouble(i)) <= tol,
+          s"$c quantile field $i: exact ${e.getDouble(i)} approx ${a.getDouble(i)}")
+      }
+    }
+  }
+
   test("repetition metrics match hand-computed values") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
