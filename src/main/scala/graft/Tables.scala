@@ -20,17 +20,24 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(path(sfDir, name))
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long (legacy conf) and convert to a
-    * proper timestamp with integer µs division (exact — a double
-    * division would lose precision above 2^53 ns).
+  /** The driver's events table stores TIMESTAMP(NANOS) which Spark's
+    * parquet reader rejects; read nanos as long (legacy conf) and
+    * convert to a proper timestamp with integer µs division (exact —
+    * a double division would lose precision above 2^53 ns). A re-
+    * written events table (e.g. the scaled soak fixture) already has
+    * a µs timestamp column and needs no conversion — dispatch on the
+    * read type.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(sfDir, "events"))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(path(sfDir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
   }
 
   /** Register every test table as a temp view named after itself. */

@@ -30,6 +30,21 @@ object Dedup {
 
   // ---------------- shingling ----------------
 
+  /** Repartition a low-parallelism input before CPU-heavy per-row map
+    * work (shingling, per-shingle hashing). A local fixture is often
+    * ONE parquet split, which would serialize the whole map stage on a
+    * single core; a real corpus arrives in thousands of splits, where
+    * this is a no-op (the input is already at least cluster-parallel,
+    * and an extra shuffle of raw text would only cost). Streaming
+    * frames are returned untouched.
+    */
+  private[pipeline] def spread(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+
   /** Distinct word w-shingles per document, one row per (id, shingle).
     * Built-ins only: split → transform(sequence) → array_distinct →
     * explode, all inside whole-stage codegen.
@@ -43,7 +58,7 @@ object Dedup {
     val shingles = array_distinct(transform(
       sequence(lit(0), greatest(size(words) - w, lit(0))),
       i => array_join(slice(words, i + lit(1), lit(w)), " ")))
-    df.withColumn("__words", split(col(textCol), " +"))
+    spread(df).withColumn("__words", split(col(textCol), " +"))
       .select(col(idCol), explode(shingles).as("shingle"))
   }
 
@@ -53,7 +68,7 @@ object Dedup {
     */
   def charShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.filter(length(col(textCol)) >= n)
+    spread(df).filter(length(col(textCol)) >= n)
       .select(col(idCol), explode(array_distinct(expr(
         s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))"
       ))).as("shingle"))

@@ -96,9 +96,10 @@ object TextAnalysis {
     */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // materialize the split once (re-running the regex per lambda
-    // element is a measured 5x slowdown, see wordShingles)
+    // element is a measured 5x slowdown, see wordShingles); spread a
+    // single-split input so the bigram explode doesn't run one-core
     val words = col("__words")
-    val base = df.withColumn("__words", split(col(textCol), " +"))
+    val base = Dedup.spread(df).withColumn("__words", split(col(textCol), " +"))
     val wordStats = base.select(col(idCol),
       size(words).cast("long").as("n_words"),
       size(array_distinct(words)).cast("long").as("n_distinct"))

@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scale-soak fixture generator: replicate the driver's parquet
+  * fixture k× with disjoint key spaces per replica, so every operator
+  * can be exercised at ~10× data volume (sf0.1 → "sf1") with the SAME
+  * per-replica structure the correctness gate attests.
+  *
+  * Semantics per table:
+  *   - dimension tables (region, nation) are copied as-is — they stay
+  *     broadcast-sized at every scale, like real dims;
+  *   - fact/entity keys shift by `replica * (max(key) + 1)`, with
+  *     foreign keys shifted by the REFERENCED table's offset, so joins
+  *     land exactly as in the base fixture (k disjoint subgraphs);
+  *   - document text gets a per-replica token prefix (replica 0 keeps
+  *     the original), making replicas shingle-DISJOINT: dedup/
+  *     similarity pair structure scales linearly, not quadratically —
+  *     scaling a corpus must not manufacture 10× near-duplicates;
+  *   - embeddings perturb one component per replica, breaking exact
+  *     cosine ties between replicas so top-k stays deterministic.
+  *
+  * Usage: runMain graft.tools.ScaleFixture <srcDir> <dstDir> <k>
+  */
+object ScaleFixture {
+
+  /** df replicated k×, shifting `shifts` columns by replica*offset and
+    * prefixing every word of `prefixText` columns per replica.
+    */
+  def replicate(df: DataFrame, k: Int, shifts: Map[String, Long],
+      prefixText: Set[String] = Set.empty): DataFrame = {
+    val rep = df.withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
+    val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      if (shifts.contains(f.name))
+        (col(f.name) + col("__r") * lit(shifts(f.name)))
+          .cast(f.dataType).as(f.name)
+      else if (prefixText.contains(f.name))
+        when(col("__r") === 0, col(f.name))
+          .otherwise(array_join(
+            transform(split(col(f.name), " "),
+              w => concat(lit("x"), col("__r").cast("string"), w)),
+            " ")).as(f.name)
+      else col(f.name)
+    }
+    rep.select(cols: _*)
+  }
+
+  /** One offset per key family = max(key) + 1 over the base fixture —
+    * an O(1) driver scalar per table.
+    */
+  private def off(df: DataFrame, c: String): Long =
+    df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: ScaleFixture <srcDir> <dstDir> <k>")
+    val Array(src, dst, kStr) = args
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(n: String): DataFrame = Tables.load(spark, src, n)
+    val custOff = off(t("customer"), "c_custkey")
+    val ordOff = off(t("orders"), "o_orderkey")
+    val partOff = off(t("part"), "p_partkey")
+    val suppOff = off(t("supplier"), "s_suppkey")
+    val docOff = off(t("documents"), "doc_id")
+    val vecOff = off(t("embeddings"), "vec_id")
+    val evOff = off(t("events"), "event_id")
+    val userOff = off(t("events"), "user_id")
+
+    val plans: Seq[(String, DataFrame)] = Seq(
+      "region" -> t("region"),
+      "nation" -> t("nation"),
+      "customer" -> replicate(t("customer"), k,
+        Map("c_custkey" -> custOff)),
+      "supplier" -> replicate(t("supplier"), k,
+        Map("s_suppkey" -> suppOff)),
+      "part" -> replicate(t("part"), k,
+        Map("p_partkey" -> partOff)),
+      "orders" -> replicate(t("orders"), k,
+        Map("o_orderkey" -> ordOff, "o_custkey" -> custOff)),
+      "lineitem" -> replicate(t("lineitem"), k,
+        Map("l_orderkey" -> ordOff, "l_partkey" -> partOff,
+          "l_suppkey" -> suppOff)),
+      "events" -> replicate(t("events"), k,
+        Map("event_id" -> evOff, "user_id" -> userOff)),
+      "documents" -> replicate(t("documents"), k,
+        Map("doc_id" -> docOff), prefixText = Set("text")),
+      "embeddings" -> replicate(t("embeddings"), k,
+        Map("vec_id" -> vecOff))
+        .withColumn("embedding",
+          // nudge component 0 per replica (derived from the shifted
+          // id) so replicated vectors are not exact cosine ties
+          transform(col("embedding"),
+            (x, i) => when(i === 0,
+              x + (floor(col("vec_id") / lit(vecOff)) * lit(1e-3f))
+                .cast("float"))
+              .otherwise(x))))
+
+    // single parquet FILE per table (the fixture layout the gate's
+    // DuckDB side and Tables.load both read): write a one-part dir,
+    // then move the part file to <dst>/<table>.parquet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dst), conf)
+    plans.foreach { case (name, df) =>
+      val tmp = new org.apache.hadoop.fs.Path(s"$dst/__tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      val target = new org.apache.hadoop.fs.Path(s"$dst/$name.parquet")
+      if (fs.exists(target)) fs.delete(target, false)
+      fs.rename(part, target)
+      fs.delete(tmp, true)
+      println(s"$name: ${spark.read.parquet(target.toString).count()} rows")
+    }
+    spark.stop()
+  }
+}

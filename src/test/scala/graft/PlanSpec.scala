@@ -40,6 +40,38 @@ class PlanSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"), p.take(800))
   }
 
+  test("LEFT JOIN ON with a both-sides subquery probe stays equi-joined") {
+    // the sq15 lowering: inner pair frame + flag rewrite + left-anti
+    // null-extended restore — every join in the plan must stay an
+    // equi join (hash/merge), never a cartesian product
+    val p = plan(engine.sql(
+      """select n_name, c_custkey
+        |from nation left join customer
+        |on c_nationkey = n_nationkey
+        |  and (c_custkey + n_nationkey) in
+        |    (select o_custkey from orders where o_totalprice > 150000.0)""".stripMargin))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200)) // the unmatched-left restore
+  }
+
+  test("multi-column nullable IN keeps its equi probe join; only the NULL verdict is a mark join") {
+    // sq16 path: the definite-match arm is an equi join on all probe
+    // columns; the null-match verdict is an ExistenceJoin against the
+    // DISTINCT subquery rows (non-equi by construction, so a broadcast
+    // nested loop over O(distinct) rows is the intended shape — what
+    // must NOT appear is a cartesian product materializing pairs)
+    val p = plan(engine.sql(
+      """select c_custkey,
+        |  ((nullif(c_nationkey, 3), c_custkey) in
+        |   (select n_nationkey, nullif(o_custkey, 370)
+        |    from nation join orders on o_custkey = n_nationkey * 100)) as f
+        |from customer""".stripMargin))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("ExistenceJoin"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1200))
+  }
+
   test("small-dim equi-join plans a broadcast hash join") {
     val p = plan(RelQueries.q2JoinAgg(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
