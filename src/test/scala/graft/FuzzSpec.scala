@@ -221,12 +221,17 @@ class FuzzSpec extends SparkTestBase {
     val subKey = if (t == customer) "o_custkey" else "o_orderkey"
     val subExpr0 = if (nullSub) s"nullif($subKey, $k)" else subKey
     val probe0 = if (nullProbe) s"nullif($keyCol, $k)" else keyCol
-    // multi-column probes pair the key with a second column; the
-    // second subquery column is nullif-injected alongside the first so
-    // the per-component NULL verdict (null-match row comparison) is
-    // exercised, not just all-null rows
+    // multi-column probes pair the key with a second column; in the
+    // WHERE-conjunct shape the second subquery column is ALSO
+    // nullif-injected so the per-component NULL verdict (null-match
+    // row comparison) is exercised — but ONLY there: in projection
+    // position a NULL component makes Spark's ExistenceJoin return
+    // false where the standard (and our mark join) says NULL, so an
+    // injected second column would flag our standard answer as wrong
+    // (found by soak seed 411)
     val probe = if (multi) s"($probe0, $key2)" else probe0
-    val subExpr = if (multi) s"$subExpr0, nullif(o_custkey, 3)" else subExpr0
+    val sub2 = if (nullSub) "nullif(o_custkey, 3)" else "o_custkey"
+    val subExpr = if (multi) s"$subExpr0, $sub2" else subExpr0
     val inD = s"$probe in (select $subExpr from orders where ${sub.dialect})"
     val inS = s"$probe IN (SELECT $subExpr FROM orders WHERE ${sub.sql})"
     val (pd, ps) = if (neg) (s"not ($inD)", s"NOT ($inS)") else (inD, inS)
