@@ -38,7 +38,7 @@ object Dedup {
     * and an extra shuffle of raw text would only cost). Streaming
     * frames are returned untouched.
     */
-  private[pipeline] def spread(df: DataFrame): DataFrame =
+  private[graft] def spread(df: DataFrame): DataFrame =
     if (df.isStreaming) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism

@@ -26,15 +26,23 @@ import graft.Tables
   */
 object ScaleFixture {
 
-  /** df replicated k×, shifting `shifts` columns by replica*offset and
-    * prefixing every word of `prefixText` columns per replica.
+  /** df replicated k×, shifting `shifts` columns by replica*offset,
+    * prefixing every word of `prefixText` columns per replica, and
+    * adding replica*step to `jitter` columns (replicated measures
+    * would otherwise be EXACT k-way ties, turning order-by-value
+    * picks like argMax nondeterministic at scale when they were
+    * deterministic at the base SF).
     */
   def replicate(df: DataFrame, k: Int, shifts: Map[String, Long],
-      prefixText: Set[String] = Set.empty): DataFrame = {
+      prefixText: Set[String] = Set.empty,
+      jitter: Map[String, Double] = Map.empty): DataFrame = {
     val rep = df.withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
     val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
       if (shifts.contains(f.name))
         (col(f.name) + col("__r") * lit(shifts(f.name)))
+          .cast(f.dataType).as(f.name)
+      else if (jitter.contains(f.name))
+        (col(f.name) + col("__r") * lit(jitter(f.name)))
           .cast(f.dataType).as(f.name)
       else if (prefixText.contains(f.name))
         when(col("__r") === 0, col(f.name))
@@ -79,13 +87,15 @@ object ScaleFixture {
       "region" -> t("region"),
       "nation" -> t("nation"),
       "customer" -> replicate(t("customer"), k,
-        Map("c_custkey" -> custOff)),
+        Map("c_custkey" -> custOff),
+        jitter = Map("c_acctbal" -> 0.01)),
       "supplier" -> replicate(t("supplier"), k,
         Map("s_suppkey" -> suppOff)),
       "part" -> replicate(t("part"), k,
         Map("p_partkey" -> partOff)),
       "orders" -> replicate(t("orders"), k,
-        Map("o_orderkey" -> ordOff, "o_custkey" -> custOff)),
+        Map("o_orderkey" -> ordOff, "o_custkey" -> custOff),
+        jitter = Map("o_totalprice" -> 0.01)),
       "lineitem" -> replicate(t("lineitem"), k,
         Map("l_orderkey" -> ordOff, "l_partkey" -> partOff,
           "l_suppkey" -> suppOff)),

@@ -186,6 +186,19 @@ class PipelineSpec extends SparkTestBase {
     assert(b.getDouble(7) == 20.0) // median over non-null 10,20,20
   }
 
+  test("spread parallelizes a single-split input and leaves parallel ones alone") {
+    import graft.pipeline.Dedup
+    val single = Tables.load(spark, sf, "documents") // one local file split
+    assert(single.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism)
+    assert(Dedup.spread(single).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    val wide = single.repartition(
+      spark.sparkContext.defaultParallelism + 3)
+    // already at least cluster-parallel: untouched (no extra shuffle)
+    assert(Dedup.spread(wide) eq wide)
+  }
+
   test("approx numeric profile agrees with the exact one within rank tolerance") {
     import graft.pipeline.Profiling
     val df = Tables.load(spark, sf, "documents")
