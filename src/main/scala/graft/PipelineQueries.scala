@@ -430,6 +430,29 @@ object PipelineQueries {
     TextAnalysis.repetition(docs(s, dir).select("doc_id", "text"),
       "doc_id", "text").orderBy("doc_id")
 
+  // Vocabulary profile: top-50 bigrams by total occurrences with
+  // document frequency — integer counts, term as the deterministic
+  // tie-break, so the top-K set and order hash-match the oracle.
+  val tx7Vocab: Q = (s, dir) =>
+    TextAnalysis.vocabProfile(docs(s, dir).select("doc_id", "text"),
+      "doc_id", "text", n = 2, topK = 50)
+
+  val tx7Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+      |t AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS term
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i
+      |        FROM w) p),
+      |dt AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+      |v AS (
+      |  SELECT term, CAST(sum(c) AS BIGINT) AS term_count,
+      |         count(*) AS doc_freq
+      |  FROM dt GROUP BY term)
+      |SELECT term, term_count, doc_freq FROM v
+      |ORDER BY term_count DESC, term LIMIT 50""".stripMargin
+
   val tx6Sql: String =
     """WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
@@ -751,6 +774,7 @@ object PipelineQueries {
     "tx4_langid" -> tx4LangId,
     "tx5_pii_redact" -> tx5Redact,
     "tx6_repetition" -> tx6Repetition,
+    "tx7_vocab_topk" -> tx7Vocab,
     "ct1_contamination" -> ct1Contamination,
     "pf1_numeric_profile" -> pf1Profile,
     "mm1_media_features" -> mm1MediaFeatures,
@@ -758,6 +782,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "tx6_repetition" -> tx6Sql,
+    "tx7_vocab_topk" -> tx7Sql,
     "ct1_contamination" -> ct1Sql,
     "pf1_numeric_profile" -> pf1Sql,
     "cp1_curation_pipeline" -> cp1Sql,

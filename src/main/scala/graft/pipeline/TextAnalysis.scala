@@ -120,6 +120,41 @@ object TextAnalysis {
           .as("top_bigram_ratio"))
   }
 
+  /** Corpus vocabulary profile: the top-K word n-gram terms by total
+    * occurrences, with document frequency — vocabulary building,
+    * stopword discovery, and the term-level "know your data" pass a
+    * pipeline runs before tokenizer training.
+    *
+    * Scale shape: explode (occurrences kept, unlike the dedup
+    * shinglers' array_distinct) → a (doc, term) partial aggregation
+    * (map-side combine bounds the shuffle by per-doc distinct terms)
+    * → a term-level aggregation producing total count and document
+    * frequency in one pass — never a countDistinct Expand over the
+    * raw occurrence stream. The global top-K runs as
+    * TakeOrderedAndProject: per-partition K-heaps, not a full sort of
+    * the vocabulary. Deterministic under count ties (term is the
+    * secondary sort key).
+    */
+  def vocabProfile(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, topK: Int = 100): DataFrame = {
+    require(n >= 1 && topK >= 1, "vocabProfile needs n >= 1, topK >= 1")
+    val words = col("__words")
+    val term =
+      if (n == 1) explode(words)
+      else explode(transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => array_join(slice(words, i + lit(1), lit(n)), " ")))
+    Dedup.spread(df)
+      .withColumn("__words", split(col(textCol), " +"))
+      .select(col(idCol), term.as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("term"))
+      .agg(sum(col("__c")).as("term_count"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("term_count").desc, col("term"))
+      .limit(topK)
+  }
+
   /** Tiny built-in stopword profiles for the n-gram/stopword language
     * heuristic. Real pipelines plug in fastText-style models; the
     * operator shape (score per language → argmax) is what matters.

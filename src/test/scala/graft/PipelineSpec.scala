@@ -239,6 +239,26 @@ class PipelineSpec extends SparkTestBase {
     assert(got(2) == ((3L, 5L, 0.6, 0.5)))
   }
 
+  test("vocabulary profile matches hand-computed counts and tie order") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "a b a"),   // unigrams: a2 b1; bigrams: "a b", "b a"
+      (2L, "a b"),     // a1 b1; "a b"
+      (3L, "c")        // c1; short doc -> its single word as "bigram"
+    ).toDF("doc_id", "text")
+    val uni = TextAnalysis.vocabProfile(docs, "doc_id", "text",
+      n = 1, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(uni == Seq(("a", 3L, 2L), ("b", 2L, 2L), ("c", 1L, 1L)))
+    val bi = TextAnalysis.vocabProfile(docs, "doc_id", "text",
+      n = 2, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // "a b" twice across two docs; tie between "b a" and "c" broken
+    // by term order
+    assert(bi == Seq(("a b", 2L, 2L), ("b a", 1L, 1L)))
+  }
+
   test("contamination finds planted train/eval leakage") {
     import spark.implicits._
     import graft.pipeline.Contamination

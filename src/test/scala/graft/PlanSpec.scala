@@ -95,6 +95,13 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("vocabulary top-K plans per-partition heaps, not a full sort") {
+    val p = plan(graft.pipeline.TextAnalysis.vocabProfile(
+      Tables.load(spark, sf, "documents").select("doc_id", "text"),
+      "doc_id", "text", n = 2, topK = 50))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("grouped aggregation is partial+final (map-side combine)") {
     val p = plan(RelQueries.q1Agg(spark, sf))
     assert(p.contains("partial_sum"), p.take(800))
