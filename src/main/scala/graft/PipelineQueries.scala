@@ -453,6 +453,40 @@ object PipelineQueries {
       |SELECT term, term_count, doc_freq FROM v
       |ORDER BY term_count DESC, term LIMIT 50""".stripMargin
 
+  // Per-document TF-IDF keywords (top-3 per doc over a 300-doc slice).
+  // tf/df/N are exact integers, ln and the multiply are single IEEE
+  // double ops — bit-identical in the oracle; ranks tie-break on the
+  // term so the window is deterministic.
+  val tx8Tfidf: Q = (s, dir) =>
+    TextAnalysis.tfidfKeywords(
+      docs(s, dir).select("doc_id", "text").filter(col("doc_id") < 300),
+      "doc_id", "text", topKPerDoc = 3)
+      .orderBy("doc_id", "rank")
+
+  val tx8Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      |t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS term
+      |  FROM base),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM base),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |         CAST(tf.tf AS DOUBLE) *
+      |           ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE))
+      |           AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, score
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val tx6Sql: String =
     """WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
@@ -775,6 +809,7 @@ object PipelineQueries {
     "tx5_pii_redact" -> tx5Redact,
     "tx6_repetition" -> tx6Repetition,
     "tx7_vocab_topk" -> tx7Vocab,
+    "tx8_tfidf_keywords" -> tx8Tfidf,
     "ct1_contamination" -> ct1Contamination,
     "pf1_numeric_profile" -> pf1Profile,
     "mm1_media_features" -> mm1MediaFeatures,
@@ -783,6 +818,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "tx6_repetition" -> tx6Sql,
     "tx7_vocab_topk" -> tx7Sql,
+    "tx8_tfidf_keywords" -> tx8Sql,
     "ct1_contamination" -> ct1Sql,
     "pf1_numeric_profile" -> pf1Sql,
     "cp1_curation_pipeline" -> cp1Sql,

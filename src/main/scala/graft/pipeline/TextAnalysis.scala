@@ -155,6 +155,45 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document TF-IDF keywords: the top-K terms of each document
+    * by tf·idf — keyword extraction / topic tagging, the per-document
+    * dual of `vocabProfile`'s corpus-level view.
+    *
+    * Scale shape: one (doc, term) partial aggregation for term
+    * frequencies; document frequencies and the corpus size join back
+    * as a term-keyed equi join plus a broadcast one-row frame (both
+    * lazy — no driver-side count action); the per-document top-K is a
+    * row_number window partitioned by document (state = one doc's
+    * terms, shuffled on the doc key), tie-broken by term so ranks are
+    * deterministic. idf = ln((N + 1) / (df + 1)) — the smoothed form,
+    * never division by zero.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      topKPerDoc: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = col("__words")
+    val tf = Dedup.spread(df)
+      .withColumn("__words", split(col(textCol), " +"))
+      .select(col(idCol), explode(words).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    // corpus size from the raw frame: a column-pruned scan, no
+    // shingle work (tf feeds two consumers already; a third would
+    // recompute the explode+agg a third time)
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") *
+        log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topKPerDoc)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
+  }
+
   /** Tiny built-in stopword profiles for the n-gram/stopword language
     * heuristic. Real pipelines plug in fastText-style models; the
     * operator shape (score per language → argmax) is what matters.

@@ -259,6 +259,26 @@ class PipelineSpec extends SparkTestBase {
     assert(bi == Seq(("a b", 2L, 2L), ("b a", 1L, 1L)))
   }
 
+  test("tf-idf keywords rank distinctive terms above shared ones") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common common")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(docs, "doc_id", "text",
+      topKPerDoc = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    // "common" appears in all 3 docs -> idf = ln(4/4) = 0, so the
+    // doc-specific rare terms outrank it everywhere they occur
+    assert(got == Seq(
+      (1L, 1, "rare1"), (1L, 2, "common"),
+      (2L, 1, "rare2"), (2L, 2, "common"),
+      (3L, 1, "common")))
+  }
+
   test("contamination finds planted train/eval leakage") {
     import spark.implicits._
     import graft.pipeline.Contamination
