@@ -673,6 +673,26 @@ object PipelineQueries {
       |                  WHEN 'src2' THEN 0.25 ELSE 0.1 END
       |ORDER BY doc_id""".stripMargin
 
+  // Per-source cap: at most 120 docs per source, drawn by portable
+  // hash order — the oracle replays the same row_number window over
+  // the same hash.
+  val sm2Cap: Q = (s, dir) =>
+    pipeline.Sampling.capPerSource(
+      docs(s, dir).select("doc_id", "source"), "doc_id", "source",
+      cap = 120, seed = 7L)
+      .orderBy("doc_id")
+
+  val sm2Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |         CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS u
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+      |  FROM h)
+      |SELECT doc_id, source FROM r WHERE rn <= 120 ORDER BY doc_id""".stripMargin
+
   // Sequence packing: documents concatenated in id order, cut into
   // 512-token shards via the distributed prefix sum.
   val pk1Pack: Q = (s, dir) => {
@@ -795,6 +815,7 @@ object PipelineQueries {
     "dd5_embed_cosine_neardup" -> dd5EmbedCosine,
     "dd6_neardup_clusters" -> dd6Cluster,
     "sm1_stratified_sample" -> sm1Sample,
+    "sm2_source_cap" -> sm2Cap,
     "pk1_sequence_packing" -> pk1Pack,
     "qz1_embed_quantize" -> qz1Quantize,
     "mm2_resize_features" -> mm2ResizeFeatures,
@@ -829,6 +850,7 @@ object PipelineQueries {
     "dd5_embed_cosine_neardup" -> dd5Sql,
     "dd6_neardup_clusters" -> dd6Sql,
     "sm1_stratified_sample" -> sm1Sql,
+    "sm2_source_cap" -> sm2Sql,
     "pk1_sequence_packing" -> pk1Sql,
     "qz1_embed_quantize" -> qz1Sql,
     "mm2_resize_features" -> mm2Sql,

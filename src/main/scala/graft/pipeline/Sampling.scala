@@ -28,6 +28,32 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Per-source cap (source balancing): keep at most `cap` rows per
+    * stratum, chosen deterministically by portable hash of (seed, id)
+    * — "no source may contribute more than M documents", the standard
+    * anti-domination guard in corpus mixing. Hash order (not id
+    * order) makes the kept subset a uniform random-but-reproducible
+    * draw from each source rather than its oldest rows.
+    *
+    * Scale shape: one row_number window partitioned by the stratum —
+    * state is a single source's rows, shuffled on the stratum key.
+    * Skew note: a source with billions of rows funnels into one
+    * window partition; at that scale pre-filter with
+    * `stratifiedSample` (map-side) to within ~10× the cap first, then
+    * apply the exact window — same result distribution, bounded
+    * partitions.
+    */
+  def capPerSource(df: DataFrame, idCol: String, strataCol: String,
+      cap: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = PortableHash.hash60(concat_ws(":", lit(seed), col(idCol)))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(u.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Sequence packing: concatenate documents in id order into one
     * token stream and cut it into `budget`-token shards — the
     * GPT-style pretraining packing layout. Returns

@@ -259,6 +259,28 @@ class PipelineSpec extends SparkTestBase {
     assert(bi == Seq(("a b", 2L, 2L), ("b a", 1L, 1L)))
   }
 
+  test("per-source cap keeps exactly min(cap, size) rows per source, reproducibly") {
+    import graft.pipeline.Sampling
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "source")
+    val full = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a cap below the largest source size, so the cap actually binds
+    val cap = (full.values.max / 2).toInt.max(1)
+    val capped = Sampling.capPerSource(d, "doc_id", "source", cap = cap)
+    val sizes = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == full.keySet)
+    full.foreach { case (s, n) => assert(sizes(s) == math.min(cap.toLong, n)) }
+    // deterministic: a re-run selects the SAME rows, and a different
+    // seed selects a different draw
+    val again = Sampling.capPerSource(d, "doc_id", "source", cap = cap)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == capped.collect().map(_.getLong(0)).toSet)
+    val other = Sampling.capPerSource(d, "doc_id", "source", cap = cap,
+      seed = 99L).collect().map(_.getLong(0)).toSet
+    assert(other != again)
+  }
+
   test("tf-idf keywords rank distinctive terms above shared ones") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
