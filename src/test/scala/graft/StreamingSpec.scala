@@ -132,6 +132,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("attribution watermark delay derives from the join window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    def delayOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.queryExecution.analyzed.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+          e.delay.microseconds
+      }.toSet
+    // default: the watermark tolerates lateness up to the attribution
+    // window itself — an event late by less than the window can still
+    // pair, so it must not be dropped (was a fixed 10 minutes)
+    val d90 = EventStreams.attributionJoin(clicks.toDF(), views.toDF(),
+      windowMinutes = 90, withWatermark = true)
+    assert(delayOf(d90) == Set(90L * 60 * 1000 * 1000))
+    // explicit override wins
+    val d15 = EventStreams.attributionJoin(clicks.toDF(), views.toDF(),
+      windowMinutes = 90, withWatermark = true,
+      watermarkDelayMinutes = Some(15))
+    assert(delayOf(d15) == Set(15L * 60 * 1000 * 1000))
+  }
+
   test("stream sinks into a managed table via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
