@@ -83,16 +83,42 @@ class FuzzSpec extends SparkTestBase {
 
   val genQuery: Gen[Q] = for {
     t <- Gen.oneOf(orders, customer, lineitem)
-    kind <- Gen.chooseNum(0, 5)
+    kind <- Gen.chooseNum(0, 6)
     q <- kind match {
       case 0 => plainQuery(t)
       case 1 => groupedQuery(t)
       case 2 => joinQuery
       case 3 => havingSubQuery(t)
       case 4 => joinOnSubQuery
+      case 5 => groupedProjInQuery(t)
       case _ => inQuery(t)
     }
   } yield q
+
+  /** IN subqueries inside a GROUPED projection — probing the group
+    * key or an aggregate over it (the post-aggregation flag path with
+    * restricted memo reuse). Probes and subquery are non-null, where
+    * Spark's ExistenceJoin agrees with the standard.
+    */
+  def groupedProjInQuery(t: Tbl): Gen[Q] = for {
+    sub <- boolExpr(orders)
+    probeAgg <- Gen.oneOf(true, false)
+    neg <- Gen.oneOf(true, false)
+    alsoOrder <- Gen.oneOf(true, false)
+  } yield {
+    val key = t.key
+    val subKey = if (t == customer) "o_custkey" else "o_orderkey"
+    val probe = if (probeAgg) s"min($key)" else key
+    val inD = s"$probe in (select $subKey from orders where ${sub.dialect})"
+    val inS = s"$probe IN (SELECT $subKey FROM orders WHERE ${sub.sql})"
+    val (fd, fs) = if (neg) (s"not ($inD)", s"NOT ($inS)") else (inD, inS)
+    // optionally ALSO order by the same flag: the memoized flag must
+    // serve both positions from one join
+    val (od, os) = if (alsoOrder) (s"($fd), $key", s"($fs), $key")
+      else (key, key)
+    Q(s"select $key, count(1) as n, ($fd) as f from ${t.name} group by $key order by $od limit 100",
+      s"SELECT $key, count(1) AS n, ($fs) AS f FROM ${t.name} GROUP BY $key ORDER BY $os LIMIT 100")
+  }
 
   /** IN/EXISTS subquery conjuncts inside a join's ON — inner and LEFT,
     * probing the right side, the left side, or both. Spark SQL rejects
