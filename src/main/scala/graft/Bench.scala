@@ -1,6 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
 object Bench {
+
+  /** Force full evaluation of EVERY output column. A bare `count()`
+    * lets Catalyst prune the final projection, so entries whose cost
+    * lives in projected expressions (regex redaction, quantized
+    * arrays) would be benched as scan+count — a xxhash64 over all
+    * columns folded into one sum makes the timed work the operator's
+    * actual output. Maps aren't hashable by xxhash64; hash their JSON.
+    * The fold is bit_xor, not sum — a long sum overflows under ANSI.
+    */
+  private def materialize(df: DataFrame): Unit = {
+    val cols = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
+        case _ => col(f.name)
+      }
+    }
+    df.select(xxhash64(cols: _*).as("__h")).agg(expr("bit_xor(__h)")).head()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,7 +48,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { materialize(fn(spark, sfDir)) } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.next().take(200)
@@ -40,8 +60,18 @@ object Bench {
       val warm = once()
       name -> ((cold, warm))
     }
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full control-char escaping (same table as Verify.q): an
+    // exception message carrying a tab or newline must not produce
+    // invalid JSON that crashes soak_compare.py downstream
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def obj(f: ((Double, Double)) => Double): String =
       results.map { case (k, v) => jstr(k) + ":" + f(v) }
         .mkString("{", ",", "}")

@@ -78,7 +78,13 @@ object Cli {
         withSpark { spark =>
           val df = Catalog.engine(spark, sfDir).sql(sql)
           if (verb == "plan") df.explain("formatted")
-          else df.toJSON.collect().foreach(println)
+          else {
+            // stream partition-by-partition: toLocalIterator holds at
+            // most one partition on the driver, where collect() would
+            // OOM on a big result
+            val it = df.toJSON.toLocalIterator()
+            while (it.hasNext) println(it.next())
+          }
         }
       case "migrate" =>
         val verbose = rest.contains("--verbose")

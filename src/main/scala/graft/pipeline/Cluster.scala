@@ -52,7 +52,7 @@ object Cluster {
       checkpointEvery: Int = 3,
       reliableCheckpoints: Boolean = false): (DataFrame, CcStats) = {
     def truncate(df: DataFrame): DataFrame =
-      if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint(true)
+      Lineage.truncate(df, reliableCheckpoints)
     val edges = truncate(pairs
       .select(col(id1).as("src"), col(id2).as("dst"))
       .unionByName(pairs.select(col(id2).as("src"), col(id1).as("dst")))

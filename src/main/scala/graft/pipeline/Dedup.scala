@@ -37,12 +37,30 @@ object Dedup {
     * this is a no-op (the input is already at least cluster-parallel,
     * and an extra shuffle of raw text would only cost). Streaming
     * frames are returned untouched.
+    *
+    * Partition-count inspection is confined to map-only plans
+    * (projections/filters/unions over leaf scans): under AQE,
+    * materializing `.rdd` for a plan WITH exchanges executes every
+    * upstream shuffle stage at query-composition time — a frame built
+    * from a join/aggregate would silently run its upstream stages
+    * twice. Such frames are returned untouched: they come out of a
+    * shuffle already at `spark.sql.shuffle.partitions`-way (or
+    * AQE-coalesced, size-targeted) parallelism.
     */
   private[graft] def spread(df: DataFrame): DataFrame =
     if (df.isStreaming) df
     else {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      def mapOnly(p: LogicalPlan): Boolean = p match {
+        case _: LeafNode => true
+        case _: Project | _: Filter | _: SubqueryAlias | _: Union |
+            _: Generate => p.children.forall(mapOnly)
+        case _ => false
+      }
       val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      if (mapOnly(df.queryExecution.analyzed) &&
+          df.rdd.getNumPartitions < target) df.repartition(target)
+      else df
     }
 
   /** Distinct word w-shingles per document, one row per (id, shingle).
@@ -136,7 +154,8 @@ object Dedup {
       shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 200,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      reliableCheckpoints: Boolean = false): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, shingleWidth, numHashes,
       portable).cache()
     // carry the full signature through the bucket rows as one array:
@@ -167,14 +186,14 @@ object Dedup {
       zip_with(col("sig1"), col("sig2"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    val pairs = candidates
+    // materialize the (tiny) pair set so the signature cache can be
+    // freed NOW — otherwise every invocation leaks a cached
+    // signature table into executor storage for the session's life
+    val pairs = Lineage.truncate(candidates
       .select(col("id1"), col("id2"),
         (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEstJaccard)
-      // materialize the (tiny) pair set so the signature cache can be
-      // freed NOW — otherwise every invocation leaks a cached
-      // signature table into executor storage for the session's life
-      .localCheckpoint(true)
+      .filter(col("est_jaccard") >= minEstJaccard),
+      reliableCheckpoints)
     sig.unpersist(false)
     pairs
   }
@@ -311,7 +330,8 @@ object Dedup {
       .filter(col("count") > maxBucketSize)
 
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 200): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 200,
+      reliableCheckpoints: Boolean = false): DataFrame = {
     val sig = simhash(df, idCol, textCol).cache()
     val banded0 = simhashBanded(sig, idCol)
     val hot = banded0.groupBy("band", "bucket").count()
@@ -323,13 +343,13 @@ object Dedup {
       .select(col(idCol), col("simhash"), col("band"), col("bucket"))
     val l = banded.toDF("id1", "sig1", "band", "bucket")
     val r = banded.toDF("id2", "sig2", "band", "bucket")
-    val pairs = l.join(r, Seq("band", "bucket"))
+    val pairs = Lineage.truncate(l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         hamming(col("sig1"), col("sig2")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .localCheckpoint(true)
+      .filter(col("hamming") <= maxHamming),
+      reliableCheckpoints)
     sig.unpersist(false)
     pairs
   }

@@ -123,17 +123,40 @@ object Similarity {
     * banding); exact cosine reranks within candidates. The join
     * shuffles on (band, bucket) — at 100 TB this is the scale path
     * versus the brute-force scan.
+    *
+    * `dims` is the embedding dimensionality the hyperplanes are built
+    * for. The default (0) derives it from the first query row — one
+    * tiny job on the queries side, which is broadcast-small by this
+    * operator's contract; pass it explicitly to avoid even that.
+    * Every vector on BOTH sides is then length-checked at scan time
+    * and a mismatch fails the job: hyperplanes of the wrong length
+    * would NULL the dot product and silently file every vector into
+    * bucket 0 of every band — recall collapses and the bucket join
+    * degenerates toward all-pairs, the exact blowup LSH exists to
+    * avoid.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, bands: Int = 4, bitsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val dims = 64
+      seed: Long = 42L, dims: Int = 0): DataFrame = {
+    require(dims >= 0, s"lshTopK: dims must be positive (or 0 = derive), got $dims")
+    val d =
+      if (dims > 0) dims
+      else queries.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0))
+        // no query rows: the result is empty whatever the planes are;
+        // 1 keeps the plan well-formed
+        .getOrElse(1)
+    def checked(c: Column): Column =
+      when(size(c) === d, c).otherwise(raise_error(concat(
+        lit(s"lshTopK: expected $d-dim vectors (pass dims= explicitly " +
+          "for a different dimensionality), found length "),
+        size(c).cast("string"))))
     val bandCols = (0 until bands).map { b =>
-      val planes = hyperplanes(bitsPerBand, dims, seed + b)
+      val planes = hyperplanes(bitsPerBand, d, seed + b)
       struct(lit(b).as("band"), bandBucket(col("__vd"), planes).as("bucket"))
     }
     def bucketize(df: DataFrame, side: String): DataFrame =
-      df.withColumn("__vd", transform(col(vecCol), x => x.cast("double")))
+      df.withColumn("__vd", transform(checked(col(vecCol)), x => x.cast("double")))
         .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
           explode(array(bandCols: _*)).as("bb"))
         .select(col(s"${side}_id"), col(s"${side}_vec"),

@@ -574,4 +574,92 @@ class PipelineSpec extends SparkTestBase {
     val pairs = Dedup.simhashNearDupPairs(all, "doc_id", "text")
     assert(pairs.count() == 0)
   }
+
+  test("LSH ANN recall on a non-64-dim corpus (dims derived from data)") {
+    // slice the fixture embeddings to 32 dims: the cluster structure
+    // survives, and the hyperplanes must be built for 32 — the old
+    // hardcoded dims=64 NULLed every dot product here and filed all
+    // vectors into bucket 0 of every band
+    val embs32 = embs.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val queries = embs32.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, embs32, "vec_id",
+      "embedding", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(queries, embs32, "vec_id", "embedding",
+      k = 10, bands = 8, bitsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"32-dim LSH recall@10 = $recall")
+    // explicit dims must agree with the derived path
+    val explicit = Similarity.lshTopK(queries, embs32, "vec_id",
+      "embedding", k = 10, bands = 8, bitsPerBand = 4, dims = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(explicit == lsh)
+  }
+
+  test("lshTopK fails fast on vectors of the wrong dimensionality") {
+    val mixed = embs.filter(col("vec_id") < 10).select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding"))
+      .unionByName(embs.filter(col("vec_id") === 50L))
+    val ex = intercept[Exception] {
+      Similarity.lshTopK(mixed, mixed, "vec_id", "embedding",
+        k = 5, dims = 32).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("lshTopK: expected 32-dim")),
+      messages(ex).mkString(" | "))
+  }
+
+  test("near-dup miners and packing: reliable-checkpoint path matches default") {
+    import graft.pipeline.{Sampling, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_ckpt")
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val corpus = docs.filter(col("doc_id") < 60)
+      val planted = corpus.filter(col("doc_id") < 15).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val in = corpus.unionByName(planted)
+      def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairSet(Dedup.minhashNearDupPairs(in, "doc_id", "text",
+          reliableCheckpoints = true)) ==
+        pairSet(Dedup.minhashNearDupPairs(in, "doc_id", "text")))
+      assert(pairSet(Dedup.simhashNearDupPairs(in, "doc_id", "text",
+          reliableCheckpoints = true)) ==
+        pairSet(Dedup.simhashNearDupPairs(in, "doc_id", "text")))
+      val toks = TextAnalysis.tokenCounts(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens").as("n_tokens"))
+      def packed(reliable: Boolean): Seq[(Long, Long, Long)] =
+        Sampling.packSequences(toks, "doc_id", "n_tokens", budget = 256,
+          partitions = 5, reliableCheckpoints = reliable)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      assert(packed(true) == packed(false))
+    } finally {
+      prev match {
+        case Some(p) => spark.sparkContext.setCheckpointDir(p)
+        case None    => ()
+      }
+    }
+  }
+
+  test("spread repartitions bare scans but leaves shuffled frames untouched") {
+    // single-file local parquet arrives as one split: map-only plans
+    // get repartitioned up to cluster parallelism...
+    val scan = docs
+    assert(Dedup.spread(scan).rdd.getNumPartitions >=
+      math.min(spark.sparkContext.defaultParallelism, 2))
+    // ...but a frame with an exchange upstream must come back
+    // UNTOUCHED (reference-equal): probing its .rdd would execute the
+    // upstream join here at composition time under AQE
+    val joined = docs.join(docs.select("doc_id"), Seq("doc_id"))
+    assert(Dedup.spread(joined) eq joined)
+    val agged = docs.groupBy("doc_id").count()
+    assert(Dedup.spread(agged) eq agged)
+  }
 }
