@@ -776,11 +776,17 @@ object PipelineQueries {
 
   // ---------------- composed curation pass ----------------
 
-  // quality gate → exact dedup → near-dup drop → per-source stats,
-  // with the portable-hash MinHash stage so the whole composed pass is
-  // oracle-attested end to end.
+  // quality gate → exact dedup → near-dup drop → per-source stats.
+  // The near-dup pair set is the SAME memoized frame dd2 mines and
+  // dd6 clusters — one mining pass serves reporting, clustering and
+  // curation, the composition a real job uses (re-shingling the
+  // corpus inside the composed pass was cp1's dominant cost at
+  // scale). The oracle mirrors this: losers derive from pairs mined
+  // over the dd2 corpus (documents ∪ planted near-dups), then drop
+  // from the gated/exact-deduped survivors.
   val cp1Curation: Q = (s, dir) =>
-    pipeline.Curation.curationStats(docs(s, dir), portable = true)
+    pipeline.Curation.curationStats(docs(s, dir), portable = true,
+      precomputedPairs = Some(plantedMinhashPairs(s, dir)))
 
   val cp1Sql: String =
     s"""WITH q AS (
@@ -791,15 +797,20 @@ object PipelineQueries {
       |  SELECT * FROM q WHERE n_words >= 10 AND n_words <= 100000),
       |keep AS (
       |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
-      |base AS (
+      |deduped AS (
       |  SELECT g.doc_id, g.text, g.source, g.n_words
       |  FROM gated g JOIN keep USING (doc_id)),
+      |base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'zzz ' || substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id < 50),
       |${minhashPairsCtes()},
       |losers AS (
       |  SELECT DISTINCT id2 AS doc_id FROM agree
       |  WHERE CAST(m AS DOUBLE) / 32 >= 0.9),
       |survivors AS (
-      |  SELECT * FROM base
+      |  SELECT * FROM deduped
       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))
       |SELECT source, count(*) AS n_docs,
       |       CAST(sum(n_words) AS BIGINT) AS total_words,

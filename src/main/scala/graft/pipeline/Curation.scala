@@ -22,9 +22,23 @@ object Curation {
     * @param nearDupEst  drop the higher-id member of every MinHash
     *                    near-dup candidate pair at or above this
     *                    estimated Jaccard
+    * @param precomputedPairs a near-dup pair frame
+    *                    (id1, id2, est_jaccard) already mined over
+    *                    this corpus (or a superset — pair ids absent
+    *                    from the corpus drop nothing). At 100 TB the
+    *                    mining pass dominates the job; a pipeline
+    *                    that also reports/clusters the pairs should
+    *                    mine ONCE and feed the same frame here rather
+    *                    than have curate re-shingle the corpus.
+    *                    Note the semantic difference: pairs mined on
+    *                    the RAW corpus may name a pre-gate document
+    *                    as id1 where the internal pass (which mines
+    *                    after the quality gate and exact dedup) would
+    *                    not have generated the pair.
     */
   def curate(docs: DataFrame, minWords: Long = 10, maxWords: Long = 100000,
-      nearDupEst: Double = 0.9, portable: Boolean = false): DataFrame = {
+      nearDupEst: Double = 0.9, portable: Boolean = false,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     // stage 1: quality gate — the metric expressions are computed
     // inline on the corpus (map-side withColumn + filter), not joined
     // back from a scored table: same rows, one shuffle fewer
@@ -40,9 +54,11 @@ object Curation {
     val exactDeduped = gated.join(keep, Seq("doc_id"))
 
     // stage 3: near-dup drop — higher id of each candidate pair goes
-    val nearDupLosers = Dedup.minhashNearDupPairs(
+    val pairs = precomputedPairs.getOrElse(Dedup.minhashNearDupPairs(
       exactDeduped.select("doc_id", "text"), "doc_id", "text",
-      minEstJaccard = nearDupEst, portable = portable)
+      minEstJaccard = nearDupEst, portable = portable))
+    val nearDupLosers = pairs
+      .filter(col("est_jaccard") >= nearDupEst)
       .select(col("id2").as("doc_id")).distinct()
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
@@ -50,8 +66,9 @@ object Curation {
   /** Per-source summary of a curation pass (the report a data-quota
     * dashboard consumes).
     */
-  def curationStats(docs: DataFrame, portable: Boolean = false): DataFrame =
-    curate(docs, portable = portable)
+  def curationStats(docs: DataFrame, portable: Boolean = false,
+      precomputedPairs: Option[DataFrame] = None): DataFrame =
+    curate(docs, portable = portable, precomputedPairs = precomputedPairs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_words"),

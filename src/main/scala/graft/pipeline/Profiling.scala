@@ -33,18 +33,21 @@ object Profiling {
         count(col(c)).as(s"${c}__nn"),
         countDistinct(col(c)).as(s"${c}__nd"),
         min(col(c).cast("double")).as(s"${c}__min"),
-        max(col(c).cast("double")).as(s"${c}__max")) ++ (
-        if (approx) Seq(
+        max(col(c).cast("double")).as(s"${c}__max"),
+        // ONE quantile aggregate per column taking the percentage
+        // ARRAY: three scalar percentile(q) calls each buffer the
+        // full column independently — 3x the aggregation memory and
+        // CPU for identical values
+        if (approx)
           approx_percentile(col(c).cast("double"),
-            array(qs.map(lit): _*), lit(accuracy)).as(s"${c}__pq"))
-        else qs.zipWithIndex.map { case (q, i) =>
-          percentile(col(c), lit(q)).as(s"${c}__q$i")
-        })
+            array(qs.map(lit): _*), lit(accuracy)).as(s"${c}__pq")
+        else percentile(col(c), array(qs.map(lit): _*)).as(s"${c}__pq"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    def quant(c: String, i: Int) =
-      if (approx) element_at(col(s"${c}__pq"), i + 1)
-      else col(s"${c}__q$i")
+    // the partial aggregation is CPU-heavy per row (per-column
+    // distinct/percentile buffers); lift a low-parallelism local scan
+    // to cluster parallelism first (no-op on multi-split inputs)
+    val wide = Dedup.spread(df).agg(aggs.head, aggs.tail: _*)
+    def quant(c: String, i: Int) = element_at(col(s"${c}__pq"), i + 1)
     val structs = array(cols.map { c =>
       struct(
         lit(c).as("col_name"),

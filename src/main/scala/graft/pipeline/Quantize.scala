@@ -38,14 +38,22 @@ object Quantize {
     * the reconstructed vector (≈0.999+ for 64-dim unit-ish data).
     */
   def fidelity(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // materialize the cast vector, the scale and the reconstruction
+    // ONCE per row: referencing the absMax fold from inside the
+    // per-element lambda re-runs the whole 64-element fold per
+    // element (O(dims²) per row — measured ~50x slowdown on the
+    // benched entry before this was lifted out)
     val vd = transform(col(vecCol), x => x.cast("double"))
-    val scale = absMax(vd)
-    val dv = transform(vd, x =>
-      (floor(x * lit(127.0d) / scale + lit(0.5d)) * scale) / lit(127.0d))
+    val dv = transform(col("__vd"), x =>
+      (floor(x * lit(127.0d) / col("scale") + lit(0.5d)) * col("scale"))
+        / lit(127.0d))
     // composed cosine: the native expression is array<float>-only,
     // and the reconstructed vector is array<double>; the composed fold
     // is bit-identical (PipelineSpec asserts so)
-    df.select(col(idCol), scale.as("scale"),
-      Similarity.cosineComposed(col(vecCol), dv).as("fidelity"))
+    df.withColumn("__vd", vd)
+      .withColumn("scale", absMax(col("__vd")))
+      .withColumn("__dv", dv)
+      .select(col(idCol), col("scale"),
+        Similarity.cosineComposed(col(vecCol), col("__dv")).as("fidelity"))
   }
 }

@@ -355,6 +355,30 @@ class PipelineSpec extends SparkTestBase {
     assert(curated.count() == clean)
   }
 
+  test("curation with precomputed pairs equals the internal mining pass") {
+    import graft.pipeline.{Curation, Dedup}
+    val base = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val nearDup = base.filter(col("n_chars") > 300)
+      .orderBy("doc_id").limit(10)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        expr("concat('zzz ', substring(text, instr(text, ' ') + 1))").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val polluted = base.unionByName(nearDup)
+    // mine once on the raw corpus (what a shared pass feeds in); the
+    // pairs carry est_jaccard down to 0.5, curate re-thresholds at 0.9
+    val shared = Dedup.minhashNearDupPairs(
+      polluted.select("doc_id", "text"), "doc_id", "text",
+      minEstJaccard = 0.5)
+    val viaShared = Curation.curate(polluted, precomputedPairs = Some(shared))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val internal = Curation.curate(polluted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // this corpus has no quality-gated near-dup partners, so the
+    // raw-corpus pair set and the post-gate pair set drop the same ids
+    assert(viaShared == internal)
+    assert(!viaShared.exists(_ >= 600000))
+  }
+
   test("connected components merge chains and keep islands apart") {
     import spark.implicits._
     import graft.pipeline.Cluster
