@@ -92,8 +92,25 @@ object PipelineQueries {
     * Dedup.minhashSignatures/minhashNearDupPairs with portable=true
     * (32 hashes, 8 bands of 4, maxBucketSize 200).
     */
-  private def minhashPairsCtes(maxBucketSize: Int = 200): String =
-    """words AS (
+  // The signature derivation is ONE wide aggregate (32 min exprs over
+  // the lane rows), mirroring the Spark plan — the earlier
+  // lanes CROSS JOIN generate_series(0,31) form materialized 32x the
+  // lane rows into a 128M-row GROUP BY at the 10x soak fixture and
+  // exhausted DuckDB's temp disk; the wide form is a single pass with
+  // 50k x 32 aggregate state and needs no spill. Agreement counts
+  // likewise come from one wide sig x sig join, not a 32-way h-join.
+  private def minhashPairsCtes(maxBucketSize: Int = 200): String = {
+    val minExprs = (0 until 32).map(h =>
+      s"min((a + ${h + 1} * b) % 1000000007) AS mh_$h")
+      .mkString(",\n         ")
+    val bandSelects = (0 until 8).map { b =>
+      val bucket = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val agreeSum = (0 until 32).map(h =>
+      s"CASE WHEN sa.mh_$h = sb.mh_$h THEN 1 ELSE 0 END").mkString(" + ")
+    s"""words AS (
       |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM base),
       |shpos AS (
       |  SELECT doc_id, w,
@@ -108,14 +125,11 @@ object PipelineQueries {
       |         CAST('0x' || substr(md5(shingle), 8, 7) AS BIGINT) AS b
       |  FROM sh),
       |sig AS (
-      |  SELECT doc_id, hi.i AS h,
-      |         min((a + (hi.i + 1) * b) % 1000000007) AS mh
-      |  FROM lanes CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) hi
-      |  GROUP BY doc_id, hi.i),
+      |  SELECT doc_id,
+      |         $minExprs
+      |  FROM lanes GROUP BY doc_id),
       |bkt AS (
-      |  SELECT doc_id, h // 4 AS band,
-      |         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY h) AS bucket
-      |  FROM sig GROUP BY doc_id, h // 4),
+      |  $bandSelects),
       |cold AS (
       |  SELECT band, bucket FROM bkt GROUP BY band, bucket
       |  HAVING count(*) <= MAXBUCKET),
@@ -127,13 +141,12 @@ object PipelineQueries {
       |  FROM bkt2 l JOIN bkt2 r USING (band, bucket)
       |  WHERE l.doc_id < r.doc_id),
       |agree AS (
-      |  SELECT c.id1, c.id2,
-      |         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+      |  SELECT c.id1, c.id2, $agreeSum AS m
       |  FROM cand c
       |  JOIN sig sa ON sa.doc_id = c.id1
-      |  JOIN sig sb ON sb.doc_id = c.id2 AND sb.h = sa.h
-      |  GROUP BY c.id1, c.id2)""".stripMargin
+      |  JOIN sig sb ON sb.doc_id = c.id2)""".stripMargin
       .replace("MAXBUCKET", maxBucketSize.toString)
+  }
 
   val dd2Sql: String =
     s"""WITH base AS (

@@ -22,7 +22,14 @@ import graft.Tables
   *   - embeddings perturb one component per replica, breaking exact
   *     cosine ties between replicas so top-k stays deterministic.
   *
-  * Usage: runMain graft.tools.ScaleFixture <srcDir> <dstDir> <k>
+  * Usage: runMain graft.tools.ScaleFixture <srcDir> <dstDir> <k> [skewPct]
+  *
+  * skewPct > 0 adds a ZIPFIAN mode on top of replication: that
+  * percentage of lineitem rows is routed to one hot order, of events
+  * to one hot user, and of documents to one hot source — the
+  * real-corpus shape (one domain dominating) that uniform replication
+  * cannot produce, for soaking the skew-focused operators (salted
+  * join, per-source cap, sessionization, curation stats).
   */
 object ScaleFixture {
 
@@ -36,6 +43,22 @@ object ScaleFixture {
   def replicate(df: DataFrame, k: Int, shifts: Map[String, Long],
       prefixText: Set[String] = Set.empty,
       jitter: Map[String, Double] = Map.empty): DataFrame = {
+    // fail fast if a shifted key would overflow its ORIGINAL dtype:
+    // the cast back would wrap silently under non-ANSI mode,
+    // producing cross-replica key collisions and a quietly wrong
+    // scaled fixture at larger k
+    shifts.foreach { case (c, offset) =>
+      val cap: BigInt = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType => BigInt(Int.MaxValue)
+        case org.apache.spark.sql.types.LongType    => BigInt(Long.MaxValue)
+        case t => sys.error(s"unsupported shifted key dtype $t for $c")
+      }
+      val maxV = df.agg(max(col(c).cast("long"))).head().getLong(0)
+      require(BigInt(maxV) + BigInt(k - 1) * BigInt(offset) <= cap,
+        s"replicating $c (max $maxV) ${k}x with offset $offset overflows " +
+          s"its ${df.schema(c).dataType} — key collisions would corrupt " +
+          "the scaled fixture")
+    }
     val rep = df.withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
     val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
       if (shifts.contains(f.name))
@@ -61,11 +84,28 @@ object ScaleFixture {
   private def off(df: DataFrame, c: String): Long =
     df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
 
+  /** Route `pct`% of rows (chosen by a deterministic hash of
+    * `hashCols`) to a single hot value of column `c` — the zipfian
+    * shape real corpora have (one domain/user/order carrying a large
+    * share of the mass) that uniform replication cannot produce. The
+    * hot value must already exist in the base fixture so foreign keys
+    * stay valid.
+    */
+  def skewKey(df: DataFrame, c: String, hot: Column, pct: Int,
+      hashCols: Seq[String]): DataFrame =
+    df.withColumn(c,
+      when(pmod(xxhash64(hashCols.map(col): _*), lit(100L)) < pct,
+        hot.cast(df.schema(c).dataType)).otherwise(col(c)))
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: ScaleFixture <srcDir> <dstDir> <k>")
-    val Array(src, dst, kStr) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleFixture <srcDir> <dstDir> <k> [skewPct]")
+    val Array(src, dst, kStr) = args.take(3)
     val k = kStr.toInt
+    // skewPct > 0: after replication, route that share of lineitem
+    // rows to ONE order, events to ONE user, documents to ONE source
+    val skewPct = if (args.length == 4) args(3).toInt else 0
+    require(skewPct >= 0 && skewPct < 100, s"skewPct out of range: $skewPct")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -96,13 +136,34 @@ object ScaleFixture {
       "orders" -> replicate(t("orders"), k,
         Map("o_orderkey" -> ordOff, "o_custkey" -> custOff),
         jitter = Map("o_totalprice" -> 0.01)),
-      "lineitem" -> replicate(t("lineitem"), k,
-        Map("l_orderkey" -> ordOff, "l_partkey" -> partOff,
-          "l_suppkey" -> suppOff)),
-      "events" -> replicate(t("events"), k,
-        Map("event_id" -> evOff, "user_id" -> userOff)),
-      "documents" -> replicate(t("documents"), k,
-        Map("doc_id" -> docOff), prefixText = Set("text")),
+      "lineitem" -> {
+        val rep = replicate(t("lineitem"), k,
+          Map("l_orderkey" -> ordOff, "l_partkey" -> partOff,
+            "l_suppkey" -> suppOff))
+        // hot order 0 exists in replica 0 (base keys are kept)
+        if (skewPct > 0) skewKey(rep, "l_orderkey", lit(0L), skewPct,
+          Seq("l_orderkey", "l_linenumber"))
+        else rep
+      },
+      "events" -> {
+        val rep = replicate(t("events"), k,
+          Map("event_id" -> evOff, "user_id" -> userOff))
+        if (skewPct > 0) skewKey(rep, "user_id", lit(0L), skewPct,
+          Seq("event_id"))
+        else rep
+      },
+      "documents" -> {
+        val rep = replicate(t("documents"), k,
+          Map("doc_id" -> docOff), prefixText = Set("text"))
+          // replicas get per-word text prefixes, so recompute the
+          // derived length column — metadata must keep matching the
+          // text or filters on n_chars see base-fixture selectivity
+          // over longer rows (lang stays approximate by design)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        if (skewPct > 0) skewKey(rep, "source", lit("src0"), skewPct,
+          Seq("doc_id"))
+        else rep
+      },
       "embeddings" -> replicate(t("embeddings"), k,
         Map("vec_id" -> vecOff))
         .withColumn("embedding",
