@@ -83,7 +83,7 @@ class FuzzSpec extends SparkTestBase {
 
   val genQuery: Gen[Q] = for {
     t <- Gen.oneOf(orders, customer, lineitem)
-    kind <- Gen.chooseNum(0, 6)
+    kind <- Gen.chooseNum(0, 7)
     q <- kind match {
       case 0 => plainQuery(t)
       case 1 => groupedQuery(t)
@@ -91,9 +91,59 @@ class FuzzSpec extends SparkTestBase {
       case 3 => havingSubQuery(t)
       case 4 => joinOnSubQuery
       case 5 => groupedProjInQuery(t)
+      case 6 => combinedSubqueryQuery(t)
       case _ => inQuery(t)
     }
   } yield q
+
+  /** Subqueries in projection AND HAVING AND ORDER BY of the SAME
+    * grouped query — the full SubqueryFlags memo-interaction surface:
+    * each position lowers against the pre- or post-aggregation frame
+    * and the memoized flag joins must compose without clobbering each
+    * other (ORDER BY either reuses the projection's flag — one join
+    * must serve both positions — or brings its own subquery). Probes
+    * are non-null group keys or aggregates over them, where Spark's
+    * ExistenceJoin agrees with the standard.
+    */
+  def combinedSubqueryQuery(t: Tbl): Gen[Q] = for {
+    subP <- boolExpr(orders)
+    probeAggP <- Gen.oneOf(true, false)
+    negP <- Gen.oneOf(true, false)
+    subH <- boolExpr(orders)
+    negH <- Gen.oneOf(true, false)
+    withExists <- Gen.oneOf(true, false)
+    exSub <- boolExpr(orders)
+    aggCmp <- Gen.chooseNum(1, 4)
+    reuseInOrder <- Gen.oneOf(true, false)
+    subO <- boolExpr(orders)
+    probeAggO <- Gen.oneOf(true, false)
+  } yield {
+    val key = t.key
+    val subKey = if (t == customer) "o_custkey" else "o_orderkey"
+    def in(probe: String, sub: E, neg: Boolean): (String, String) = {
+      val d = s"$probe in (select $subKey from orders where ${sub.dialect})"
+      val s = s"$probe IN (SELECT $subKey FROM orders WHERE ${sub.sql})"
+      if (neg) (s"not ($d)", s"NOT ($s)") else (d, s)
+    }
+    val (pd, ps) = in(if (probeAggP) s"min($key)" else key, subP, negP)
+    val (hd, hs) = in(if (probeAggP) key else s"max($key)", subH, negH)
+    val exD = if (withExists)
+      s" and exists(select o_orderkey from orders where ${exSub.dialect})" else ""
+    val exS = if (withExists)
+      s" AND EXISTS (SELECT o_orderkey FROM orders WHERE ${exSub.sql})" else ""
+    val (od, os) =
+      if (reuseInOrder) (s"($pd), $key", s"($ps), $key")
+      else {
+        val (d, s) = in(if (probeAggO) s"min($key)" else key, subO, neg = false)
+        (s"($d), $key", s"($s), $key")
+      }
+    Q(s"select $key, count(1) as n, ($pd) as f from ${t.name} " +
+        s"group by $key having count(1) >= $aggCmp and $hd$exD " +
+        s"order by $od limit 100",
+      s"SELECT $key, count(1) AS n, ($ps) AS f FROM ${t.name} " +
+        s"GROUP BY $key HAVING count(1) >= $aggCmp AND $hs$exS " +
+        s"ORDER BY $os LIMIT 100")
+  }
 
   /** IN subqueries inside a GROUPED projection — probing the group
     * key or an aggregate over it (the post-aggregation flag path with
