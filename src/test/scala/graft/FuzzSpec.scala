@@ -131,18 +131,33 @@ class FuzzSpec extends SparkTestBase {
       s" and exists(select o_orderkey from orders where ${exSub.dialect})" else ""
     val exS = if (withExists)
       s" AND EXISTS (SELECT o_orderkey FROM orders WHERE ${exSub.sql})" else ""
-    val (od, os) =
-      if (reuseInOrder) (s"($pd), $key", s"($ps), $key")
-      else {
-        val (d, s) = in(if (probeAggO) s"min($key)" else key, subO, neg = false)
-        (s"($d), $key", s"($s), $key")
-      }
-    Q(s"select $key, count(1) as n, ($pd) as f from ${t.name} " +
-        s"group by $key having count(1) >= $aggCmp and $hd$exD " +
-        s"order by $od limit 100",
-      s"SELECT $key, count(1) AS n, ($ps) AS f FROM ${t.name} " +
-        s"GROUP BY $key HAVING count(1) >= $aggCmp AND $hs$exS " +
-        s"ORDER BY $os LIMIT 100")
+    if (reuseInOrder)
+      // ORDER BY repeats the projection's subquery on the dialect
+      // side (the memoized flag must serve both positions from one
+      // join); the twin orders by the ALIAS — Spark's analyzer fails
+      // to match the repeated sort subquery to the projection alias
+      // when HAVING also carries an aggregate-probed subquery
+      Q(s"select $key, count(1) as n, ($pd) as f from ${t.name} " +
+          s"group by $key having count(1) >= $aggCmp and $hd$exD " +
+          s"order by ($pd), $key limit 100",
+        s"SELECT $key, count(1) AS n, ($ps) AS f FROM ${t.name} " +
+          s"GROUP BY $key HAVING count(1) >= $aggCmp AND $hs$exS " +
+          s"ORDER BY f, $key LIMIT 100")
+    else {
+      // a FRESH subquery in ORDER BY: Spark SQL cannot sort on an
+      // IN-subquery expression directly (unsupported position), so
+      // the twin projects it as a flag one level down and orders by
+      // the resolved column — the engine lowers it the same way
+      val (d, s) = in(if (probeAggO) s"min($key)" else key, subO, neg = false)
+      Q(s"select $key, count(1) as n, ($pd) as f from ${t.name} " +
+          s"group by $key having count(1) >= $aggCmp and $hd$exD " +
+          s"order by ($d), $key limit 100",
+        s"SELECT $key, n, f FROM (" +
+          s"SELECT $key, count(1) AS n, ($ps) AS f, ($s) AS o " +
+          s"FROM ${t.name} GROUP BY $key " +
+          s"HAVING count(1) >= $aggCmp AND $hs$exS) __t " +
+          s"ORDER BY o, $key LIMIT 100")
+    }
   }
 
   /** IN subqueries inside a GROUPED projection — probing the group
@@ -452,8 +467,18 @@ class FuzzSpec extends SparkTestBase {
     val n = sys.props.getOrElse("graft.fuzz.n", "220").toInt
     (0 until n).foreach { i =>
       genQuery.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { q =>
-        val mine = engine.sql(q.dialect).collect().toSeq
-        val ref = spark.sql(q.sql).collect().toSeq
+        // run each side under a seed-stamped wrapper: an exception
+        // (not just a mismatch) must still report WHICH seed/query
+        // produced it or the failure is undebuggable
+        def run(side: String, f: => Seq[org.apache.spark.sql.Row]) =
+          try f catch {
+            case e: Throwable => fail(
+              s"seed $i $side threw ${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").linesIterator.toSeq.headOption.getOrElse("")}\n" +
+                s" dialect: ${q.dialect}\n sql: ${q.sql}")
+          }
+        val mine = run("engine", engine.sql(q.dialect).collect().toSeq)
+        val ref = run("spark-sql twin", spark.sql(q.sql).collect().toSeq)
         assert(mine == ref,
           s"seed $i\n dialect: ${q.dialect}\n sql: ${q.sql}")
         checked += 1
