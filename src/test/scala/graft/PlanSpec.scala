@@ -106,4 +106,20 @@ class PlanSpec extends SparkTestBase {
     val p = plan(RelQueries.q1Agg(spark, sf))
     assert(p.contains("partial_sum"), p.take(800))
   }
+
+  test("batch attribution join is bin-banded: hash join on (user, bin), no range-only join") {
+    val ev = Tables.load(spark, sf, "events")
+    val p = plan(graft.streaming.EventStreams.attributionJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view")))
+    // the time bin must be part of the equi key: a (user, range)-only
+    // join funnels a hot user's history through one task (251x
+    // measured under a 30%-hot-user soak); the bin bounds per-task
+    // work by per-window occupancy
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(p.contains("__bin"), p.take(1000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  }
 }
