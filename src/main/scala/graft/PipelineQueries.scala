@@ -182,6 +182,38 @@ object PipelineQueries {
       |       CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // Incremental dedup: the corpus is represented only by its stored
+  // MinHash signature index (computed once); a planted increment
+  // (near-dup copies of doc_id < 40, shifted to +3000000) is mined
+  // against the index without re-shingling the corpus — the daily-
+  // increment shape a 100 TB dedup job uses. The oracle mines the
+  // full combined corpus and restricts to increment-involving pairs
+  // (the definitionally identical set).
+  val dd7Incremental: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val existing = Dedup.minhashSignatures(d, "doc_id", "text",
+      shingleWidth = 3, numHashes = 32, portable = true)
+    val inc = d.filter(col("doc_id") < 40).select(
+      (col("doc_id") + 3000000).as("doc_id"),
+      concat(lit("qqq "), expr("substring(text, instr(text, ' ') + 1)"))
+        .as("text"))
+    Dedup.minhashNearDupPairsIncremental(inc, "doc_id", "text", existing,
+      portable = true).orderBy("id1", "id2")
+  }
+
+  val dd7Sql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, 'qqq ' || substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id < 40),
+      |${minhashPairsCtes()}
+      |SELECT id1, id2, CAST(m AS DOUBLE) / 32 AS est_jaccard
+      |FROM agree
+      |WHERE CAST(m AS DOUBLE) / 32 >= 0.5
+      |  AND (id1 >= 3000000 OR id2 >= 3000000)
+      |ORDER BY id1, id2""".stripMargin
+
   // Near-dup clustering: connected components (min-label propagation)
   // over the portable MinHash candidate pairs — the transitive closure
   // a dedup pass keeps one document per cluster from. The oracle
@@ -838,6 +870,7 @@ object PipelineQueries {
     "dd4_ngram_jaccard" -> dd4NgramJaccard,
     "dd5_embed_cosine_neardup" -> dd5EmbedCosine,
     "dd6_neardup_clusters" -> dd6Cluster,
+    "dd7_incremental_dedup" -> dd7Incremental,
     "sm1_stratified_sample" -> sm1Sample,
     "sm2_source_cap" -> sm2Cap,
     "pk1_sequence_packing" -> pk1Pack,
@@ -873,6 +906,7 @@ object PipelineQueries {
     "dd4_ngram_jaccard" -> dd4Sql,
     "dd5_embed_cosine_neardup" -> dd5Sql,
     "dd6_neardup_clusters" -> dd6Sql,
+    "dd7_incremental_dedup" -> dd7Sql,
     "sm1_stratified_sample" -> sm1Sql,
     "sm2_source_cap" -> sm2Sql,
     "pk1_sequence_packing" -> pk1Sql,

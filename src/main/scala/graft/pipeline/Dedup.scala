@@ -198,6 +198,74 @@ object Dedup {
     pairs
   }
 
+  /** Incremental MinHash near-dup mining: candidate pairs between a
+    * NEW batch of documents and an EXISTING corpus represented only
+    * by its stored signatures (plus new×new pairs) — the production
+    * shape at corpus scale. A 100 TB corpus is not re-shingled for
+    * every daily increment: `minhashSignatures` is run once, its
+    * |docs| × numHashes longs are kept as the dedup index, and each
+    * increment shingles ONLY its own documents, buckets both sides,
+    * and meets the corpus inside LSH buckets. Existing×existing pairs
+    * are excluded (they were reported when those docs arrived).
+    *
+    * `existingSigs` must come from `minhashSignatures` with the SAME
+    * shingleWidth/numHashes/portable parameters (the signature is the
+    * contract; mismatched parameters silently produce junk recall, so
+    * the column count is checked). Returns (id1, id2, est_jaccard)
+    * with `id1 < id2` like the full miner.
+    */
+  def minhashNearDupPairsIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, existingSigs: DataFrame,
+      shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 200,
+      portable: Boolean = false,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    val sigCols = (0 until numHashes).map(h => s"mh_$h")
+    require(sigCols.forall(existingSigs.columns.contains),
+      s"existingSigs must carry $idCol, mh_0..mh_${numHashes - 1} " +
+        s"(from minhashSignatures with numHashes=$numHashes); got " +
+        existingSigs.columns.mkString(", "))
+    val newSigs = minhashSignatures(newDocs, idCol, textCol,
+      shingleWidth, numHashes, portable).cache()
+    def tagged(sigs: DataFrame, isNew: Boolean): DataFrame =
+      sigs.select(col(idCol),
+        array(sigCols.map(col): _*).as("sig"),
+        lit(isNew).as("is_new"),
+        explode(bandStructs(numHashes, bands, portable)).as("bb"))
+        .select(col(idCol), col("sig"), col("is_new"),
+          col("bb.band"), col("bb.bucket"))
+    val buckets0 = tagged(newSigs, isNew = true)
+      .unionByName(tagged(existingSigs.select(col(idCol) +: sigCols.map(col): _*),
+        isNew = false))
+    // the hot-bucket guard sees the COMBINED corpus: a bucket that is
+    // cold today can have gone hot with the increment, and pair mass
+    // is quadratic in the bucket's total membership either way
+    val hot = buckets0.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("band", "bucket")
+    val buckets = buckets0.join(broadcast(hot), Seq("band", "bucket"),
+      "left_anti")
+      .select(col(idCol), col("sig"), col("is_new"), col("band"), col("bucket"))
+    val b1 = buckets.toDF("id1", "sig1", "new1", "band", "bucket")
+    val b2 = buckets.toDF("id2", "sig2", "new2", "band", "bucket")
+    val candidates = b1.join(b2, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      // at least one side must be from the increment
+      .filter(col("new1") || col("new2"))
+      .select("id1", "sig1", "id2", "sig2").distinct()
+    val agree = aggregate(
+      zip_with(col("sig1"), col("sig2"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val pairs = Lineage.truncate(candidates
+      .select(col("id1"), col("id2"),
+        (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard),
+      reliableCheckpoints)
+    newSigs.unpersist(false)
+    pairs
+  }
+
   // ---------------- exact n-gram Jaccard ----------------
 
   /** Exact Jaccard similarity over distinct character n-grams for all

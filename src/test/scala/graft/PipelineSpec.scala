@@ -599,6 +599,39 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.count() == 0)
   }
 
+  test("incremental dedup equals full mining restricted to increment pairs") {
+    val d = docs.filter(col("doc_id") < 200)
+    val inc = d.filter(col("doc_id") < 25).select(
+      (col("doc_id") + 3000000).as("doc_id"),
+      expr("concat('qqq ', substring(text, instr(text, ' ') + 1))").as("text"))
+    // production shape: corpus signatures computed ONCE, increment
+    // mined against them without re-shingling the corpus
+    val index = Dedup.minhashSignatures(d, "doc_id", "text")
+    val got = Dedup.minhashNearDupPairsIncremental(
+      inc, "doc_id", "text", index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: mine the combined corpus in full, keep only pairs
+    // touching the increment
+    val want = Dedup.minhashNearDupPairs(d.unionByName(inc),
+      "doc_id", "text")
+      .filter(col("id1") >= 3000000L || col("id2") >= 3000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // and the planted near-dups are actually found
+    val found = got.count { case (a, b) => b == a + 3000000 }
+    assert(found >= 20, s"only $found/25 planted increment dups found")
+  }
+
+  test("incremental dedup rejects a signature index with the wrong shape") {
+    val d = docs.filter(col("doc_id") < 20)
+    val badIndex = Dedup.minhashSignatures(d, "doc_id", "text",
+      numHashes = 16)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupPairsIncremental(d, "doc_id", "text", badIndex)
+    }
+    assert(ex.getMessage.contains("mh_"))
+  }
+
   test("LSH ANN recall on a non-64-dim corpus (dims derived from data)") {
     // slice the fixture embeddings to 32 dims: the cluster structure
     // survives, and the hyperplanes must be built for 32 — the old
