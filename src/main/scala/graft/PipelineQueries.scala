@@ -565,6 +565,20 @@ object PipelineQueries {
       "doc_id", "text", w = 8).orderBy("doc_id")
   }
 
+  // Bloom-prefiltered contamination: same audit, 100 TB path — the
+  // benchmark side's shingles become a broadcast Bloom filter applied
+  // map-side to the train scan before any shuffle. Results are exact
+  // (false positives die in the equi-join), so the oracle is ct1's.
+  val ct2BloomContamination: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val evalDocs = d.filter(col("doc_id") < 50)
+    val train = d.filter(col("doc_id") >= 50).unionByName(
+      d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+    pipeline.Contamination.ngramContamination(evalDocs, train,
+      "doc_id", "text", w = 8, bloomPrefilter = true).orderBy("doc_id")
+  }
+
   val ct1Sql: String =
     """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
       |tr AS (
@@ -889,6 +903,7 @@ object PipelineQueries {
     "tx7_vocab_topk" -> tx7Vocab,
     "tx8_tfidf_keywords" -> tx8Tfidf,
     "ct1_contamination" -> ct1Contamination,
+    "ct2_contamination_bloom" -> ct2BloomContamination,
     "pf1_numeric_profile" -> pf1Profile,
     "mm1_media_features" -> mm1MediaFeatures,
   )
@@ -898,6 +913,7 @@ object PipelineQueries {
     "tx7_vocab_topk" -> tx7Sql,
     "tx8_tfidf_keywords" -> tx8Sql,
     "ct1_contamination" -> ct1Sql,
+    "ct2_contamination_bloom" -> ct1Sql,
     "pf1_numeric_profile" -> pf1Sql,
     "cp1_curation_pipeline" -> cp1Sql,
     "dd1_exact_dedup" -> dd1Sql,

@@ -23,12 +23,39 @@ object Contamination {
     * many appear in `train`, and their ratio. Documents shorter than
     * `w` words contribute their full text as one shingle (the same
     * convention the dedup shinglers use).
+    *
+    * `bloomPrefilter = true` is the 100 TB path: the eval side is
+    * benchmark-sized, so its distinct shingles fit a driver-built
+    * Bloom filter (a few MB at the default 1% fpp) that is broadcast
+    * and applied MAP-SIDE to the train scan — train shingles that
+    * cannot possibly match never enter the distinct aggregation or
+    * the shuffle. Results are EXACT either way: a Bloom false
+    * positive only lets a useless shingle through to the equi-join,
+    * which then drops it. Building the sketch runs one eager job over
+    * the (small) eval side at composition time — this operator is an
+    * audit job, so the cost is part of the audit.
     */
   def ngramContamination(eval_ : DataFrame, train: DataFrame,
-      idCol: String, textCol: String, w: Int = 8): DataFrame = {
+      idCol: String, textCol: String, w: Int = 8,
+      bloomPrefilter: Boolean = false,
+      bloomFpp: Double = 0.01): DataFrame = {
     val evalSh = Dedup.wordShingles(eval_, idCol, textCol, w)
-    val trainSh = Dedup.wordShingles(train, idCol, textCol, w)
-      .select("shingle").distinct()
+    val trainSh0 = Dedup.wordShingles(train, idCol, textCol, w)
+    val trainPre =
+      if (!bloomPrefilter) trainSh0
+      else {
+        val evalDistinct = evalSh.select("shingle").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = evalDistinct.count()
+        val bf = evalDistinct.stat.bloomFilter("shingle",
+          math.max(n, 1000L), bloomFpp)
+        evalDistinct.unpersist(false)
+        val bc = eval_.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((s: String) =>
+          s != null && bc.value.mightContainString(s))
+        trainSh0.filter(mightContain(col("shingle")))
+      }
+    val trainSh = trainPre.select("shingle").distinct()
     val totals = evalSh.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"))
     val hits = evalSh.join(trainSh, Seq("shingle"))

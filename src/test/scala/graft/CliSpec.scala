@@ -50,6 +50,21 @@ class CliSpec extends SparkTestBase {
       "status\tname" +: TodoApp.migrations.map(m => s"true\t${m.name}"))
   }
 
+  test("query verb streams a large multi-partition result completely") {
+    spark
+    // ~60k JSON lines: collect() used to materialize all of this on
+    // the driver at once; toLocalIterator streams it partition by
+    // partition — the transcript must still be complete and ordered
+    // within Spark's partition iteration
+    val out = run("query", "-sf", "/root/testdata/sf0.01",
+      "select l_orderkey, l_linenumber from lineitem")
+    val lines = out.linesIterator.toSeq
+    val want = Tables.load(spark, "/root/testdata/sf0.01", "lineitem").count()
+    assert(lines.length == want, s"${lines.length} lines vs $want rows")
+    assert(lines.forall(l => l.startsWith("{\"l_orderkey\":") &&
+      l.contains("\"l_linenumber\":")))
+  }
+
   test("migrate-show prints a migration's DDL") {
     val out = run("migrate-show", "create", "projects")
     val lines = out.trim.linesIterator.toSeq

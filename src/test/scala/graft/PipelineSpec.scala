@@ -599,6 +599,25 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.count() == 0)
   }
 
+  test("bloom-prefiltered contamination equals the plain equi-join path") {
+    import graft.pipeline.Contamination
+    val d = docs.filter(col("doc_id") < 150)
+    val evalDocs = d.filter(col("doc_id") < 30)
+    // train includes verbatim copies of 5 eval docs: planted leakage
+    val train = d.filter(col("doc_id") >= 30).unionByName(
+      d.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+    def rows(bloom: Boolean) = Contamination.ngramContamination(
+      evalDocs, train, "doc_id", "text", w = 8, bloomPrefilter = bloom)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val plain = rows(bloom = false)
+    assert(rows(bloom = true) == plain)
+    // the planted leaks are fully contaminated either way
+    val leaked = plain.filter(_._1 < 5)
+    assert(leaked.nonEmpty && leaked.forall(r => r._3 == r._2))
+  }
+
   test("incremental dedup equals full mining restricted to increment pairs") {
     val d = docs.filter(col("doc_id") < 200)
     val inc = d.filter(col("doc_id") < 25).select(
