@@ -107,6 +107,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), p.take(800))
   }
 
+  test("incremental dedup meets the corpus only inside LSH buckets") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 60)
+    val index = graft.pipeline.Dedup.minhashSignatures(d, "doc_id", "text")
+    val inc = d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+    val p = plan(graft.pipeline.Dedup.minhashNearDupPairsIncremental(
+      inc, "doc_id", "text", index))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("batch attribution join is bin-banded: hash join on (user, bin), no range-only join") {
     val ev = Tables.load(spark, sf, "events")
     val p = plan(graft.streaming.EventStreams.attributionJoin(
