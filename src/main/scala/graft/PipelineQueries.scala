@@ -532,6 +532,20 @@ object PipelineQueries {
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // Canonical text normalization (whitespace collapse, control-char
+  // strip, trim, lowercase) with explicit character classes so the
+  // RE2-based oracle reproduces it byte-for-byte.
+  val tx9Normalize: Q = (s, dir) =>
+    TextAnalysis.normalizeText(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val tx9Sql: String =
+    """SELECT doc_id,
+      |       lower(trim(regexp_replace(
+      |         regexp_replace(text, '[ \t\n\r]+', ' ', 'g'),
+      |         '[\x00-\x1f\x7f]', '', 'g'))) AS norm_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val tx6Sql: String =
     """WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
@@ -752,6 +766,33 @@ object PipelineQueries {
       |  FROM h)
       |SELECT doc_id, source FROM r WHERE rn <= 120 ORDER BY doc_id""".stripMargin
 
+  // Mixture-rate solver: the downsampling rates realizing a target
+  // per-source mixture (by n_chars mass) exactly, binding stratum at
+  // rate 1.0. The oracle recomputes K = min(actual/target) and the
+  // rates in SQL; the expression order (target * K / actual) matches
+  // so doubles agree.
+  val sm3Mixture: Q = (s, dir) =>
+    pipeline.Sampling.mixtureRates(
+      docs(s, dir).select("doc_id", "source", "n_chars"),
+      "source", "n_chars",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy("source")
+
+  val sm3Sql: String =
+    """WITH agg AS (
+      |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS actual_w
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+      |  GROUP BY source),
+      |t(source, target_share) AS (
+      |  VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+      |j AS (
+      |  SELECT agg.source, actual_w, CAST(target_share AS DOUBLE) AS target_share
+      |  FROM agg JOIN t USING (source)),
+      |k AS (SELECT min(actual_w / target_share) AS kk FROM j)
+      |SELECT source, actual_w, target_share,
+      |       target_share * kk / actual_w AS rate
+      |FROM j CROSS JOIN k ORDER BY source""".stripMargin
+
   // Sequence packing: documents concatenated in id order, cut into
   // 512-token shards via the distributed prefix sum.
   val pk1Pack: Q = (s, dir) => {
@@ -887,6 +928,8 @@ object PipelineQueries {
     "dd7_incremental_dedup" -> dd7Incremental,
     "sm1_stratified_sample" -> sm1Sample,
     "sm2_source_cap" -> sm2Cap,
+    "sm3_mixture_rates" -> sm3Mixture,
+    "tx9_normalize" -> tx9Normalize,
     "pk1_sequence_packing" -> pk1Pack,
     "qz1_embed_quantize" -> qz1Quantize,
     "mm2_resize_features" -> mm2ResizeFeatures,
@@ -925,6 +968,8 @@ object PipelineQueries {
     "dd7_incremental_dedup" -> dd7Sql,
     "sm1_stratified_sample" -> sm1Sql,
     "sm2_source_cap" -> sm2Sql,
+    "sm3_mixture_rates" -> sm3Sql,
+    "tx9_normalize" -> tx9Sql,
     "pk1_sequence_packing" -> pk1Sql,
     "qz1_embed_quantize" -> qz1Sql,
     "mm2_resize_features" -> mm2Sql,

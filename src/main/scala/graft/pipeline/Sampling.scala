@@ -54,6 +54,52 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Mixture-rate solver for corpus composition: given a target
+    * mixture (per-stratum weight shares) and the corpus's ACTUAL
+    * per-stratum weights, compute the per-stratum sampling rates that
+    * realize the target exactly by downsampling only. The binding
+    * stratum (smallest actual/target ratio) gets rate 1.0 and sets
+    * the total; every other stratum downsamples to match:
+    * rate_s = target_s · K / actual_s with K = min_s actual_s/target_s.
+    * Feed the rates straight into [[stratifiedSample]].
+    *
+    * Scale shape: one partial+final aggregation over the corpus, a
+    * broadcast join against the (tiny) target table, and a lazily
+    * cross-joined one-row frame for K — no driver action, any corpus
+    * size. Strata absent from `targets` are excluded (rate would be
+    * 0); a target stratum absent from the corpus makes the mixture
+    * unreachable and fails the job.
+    */
+  def mixtureRates(df: DataFrame, strataCol: String, weightCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "mixtureRates needs at least one target")
+    require(targets.values.forall(_ > 0.0),
+      "target shares must be positive")
+    val norm = targets.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = broadcast(targets.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, w / norm) }
+      .toDF(strataCol, "target_share"))
+    val actual = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol).cast("double")).as("actual_w"))
+    val missing = t.join(actual, Seq(strataCol), "left_anti")
+    val joined = actual.join(t, Seq(strataCol))
+    val k = joined.agg(
+      min(col("actual_w") / col("target_share")).as("__k"))
+    // any target stratum with no corpus mass makes the mixture
+    // unreachable — fail the job rather than return a silent skew
+    val kChecked = k.crossJoin(broadcast(
+        missing.agg(count(lit(1)).as("__missing"))))
+      .select(when(col("__missing") > 0, raise_error(lit(
+        "mixtureRates: a target stratum has no corpus mass — " +
+          "the requested mixture is unreachable")))
+        .otherwise(col("__k")).as("__k"))
+    joined.crossJoin(broadcast(kChecked))
+      .select(col(strataCol), col("actual_w"), col("target_share"),
+        (col("target_share") * col("__k") / col("actual_w")).as("rate"))
+  }
+
   /** Sequence packing: concatenate documents in id order into one
     * token stream and cut it into `budget`-token shards — the
     * GPT-style pretraining packing layout. Returns

@@ -38,6 +38,23 @@ object TextAnalysis {
     df.select(col(idCol) +:
       qualityExprs(textCol).map { case (n, c) => c.as(n) }: _*)
 
+  /** Canonical text normalization — the first stage of most curation
+    * pipelines, so exact dedup keys and shingles agree across
+    * formatting variants of the same content: whitespace runs (space,
+    * tab, CR, LF) collapse to one space, remaining control characters
+    * are stripped, the result is trimmed and lowercased. Built-ins
+    * only (codegen'd regexp_replace), map-only at any scale. The
+    * character classes are spelled explicitly (not \\s / \\p{Cntrl})
+    * so RE2-based engines — including the correctness oracle —
+    * reproduce them byte-for-byte.
+    */
+  def normalizeText(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val collapsed = regexp_replace(col(textCol), "[ \\t\\n\\r]+", " ")
+    val stripped = regexp_replace(collapsed, "[\\x00-\\x1f\\x7f]", "")
+    df.select(col(idCol), lower(trim(stripped)).as("norm_text"))
+  }
+
   /** Token counts: whitespace tokens and regex (BPE-ish word/number
     * pieces) tokens.
     */

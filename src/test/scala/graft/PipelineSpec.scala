@@ -599,6 +599,58 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.count() == 0)
   }
 
+  test("text normalization: golden cases") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val in = Seq(
+      (1L, "  Hello\t\tWorld  "),
+      (2L, "a\nb\r\nc"),
+      (3L, "MiXeDCase!"),
+      (4L, "already clean")).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeText(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "hello world",
+      2L -> "a b c",
+      3L -> "mixedcase!",
+      4L -> "already clean"))
+  }
+
+  test("mixture rates realize the target composition exactly") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val corpus = Seq(
+      ("a", 1L, 600.0), ("a", 2L, 400.0),   // a: 1000
+      ("b", 3L, 300.0),                      // b: 300
+      ("c", 4L, 150.0), ("c", 5L, 50.0))     // c: 200
+      .toDF("source", "id", "w")
+    // target 50/30/20 — binding stratum is b (300/0.3 = 1000 < a's
+    // 2000, < c's 1000... c also 200/0.2 = 1000): K = 1000
+    val got = Sampling.mixtureRates(corpus, "source", "w",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1000.0, 0.5), ("b", 300.0, 1.0),
+      ("c", 200.0, 1.0)))
+    // sampled mass: a 500, b 300, c 200 → exactly 50/30/20
+    val sampled = got.map { case (_, w, r) => w * r }
+    assert(sampled.map(_ / sampled.sum) == Seq(0.5, 0.3, 0.2))
+    // strata outside the targets are excluded
+    val extra = corpus.unionByName(Seq(("z", 9L, 9999.0))
+      .toDF("source", "id", "w"))
+    assert(Sampling.mixtureRates(extra, "source", "w",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+    // a target stratum with no corpus mass fails the job
+    val ex = intercept[Exception] {
+      Sampling.mixtureRates(corpus, "source", "w",
+        Map("a" -> 0.5, "missing" -> 0.5)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("unreachable")), msgs(ex).mkString("|"))
+  }
+
   test("bloom-prefiltered contamination equals the plain equi-join path") {
     import graft.pipeline.Contamination
     val d = docs.filter(col("doc_id") < 150)

@@ -132,6 +132,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("binned batch attribution equals the naive range join on random events") {
+    import spark.implicits._
+    // randomized boundary torture for the bin-banded batch path: many
+    // events at exact bin edges and exact-window distances, compared
+    // against the naive (unbanded) range join computed inline
+    val rnd = new scala.util.Random(7)
+    def tsAt(m: Long) = new java.sql.Timestamp(m * 60L * 1000L)
+    val users = (1L to 5L)
+    val clicks = (0 until 120).map { i =>
+      val m = rnd.nextInt(300).toLong
+      Event(i.toLong, tsAt(m), users(rnd.nextInt(users.size)), "click", 0.0)
+    }
+    val views = (0 until 200).map { i =>
+      // half the views land exactly on hour boundaries or exactly 60
+      // minutes before a random click-ish minute
+      val m = if (i % 2 == 0) (rnd.nextInt(5) * 60).toLong
+        else rnd.nextInt(300).toLong
+      Event(1000L + i, tsAt(m), users(rnd.nextInt(users.size)), "view", 0.0)
+    }
+    val got = EventStreams.attributionJoin(clicks.toDF(), views.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val want = (for {
+      c <- clicks; v <- views
+      if v.user_id == c.user_id
+      if !v.ts.after(c.ts)
+      if v.ts.getTime >= c.ts.getTime - 60L * 60L * 1000L
+    } yield (c.event_id, v.event_id)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("attribution watermark delay derives from the join window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
