@@ -35,7 +35,7 @@ object TextAnalysis {
     * length, stopword ratio, punctuation ratio.
     */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol) +:
+    Dedup.spread(df).select(col(idCol) +:
       qualityExprs(textCol).map { case (n, c) => c.as(n) }: _*)
 
   /** Canonical text normalization — the first stage of most curation
@@ -52,7 +52,7 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val collapsed = regexp_replace(col(textCol), "[ \\t\\n\\r]+", " ")
     val stripped = regexp_replace(collapsed, "[\\x00-\\x1f\\x7f]", "")
-    df.select(col(idCol), lower(trim(stripped)).as("norm_text"))
+    Dedup.spread(df).select(col(idCol), lower(trim(stripped)).as("norm_text"))
   }
 
   /** Token counts: whitespace tokens and regex (BPE-ish word/number
@@ -62,7 +62,7 @@ object TextAnalysis {
     val t = col(textCol)
     val ws = (length(t) - length(regexp_replace(t, " ", "")) + 1)
     val re = size(regexp_extract_all(t, lit("[a-zA-Z]+|[0-9]+"), lit(0)))
-    df.select(col(idCol),
+    Dedup.spread(df).select(col(idCol),
       ws.cast("long").as("ws_tokens"),
       re.cast("long").as("re_tokens"))
   }
@@ -73,7 +73,7 @@ object TextAnalysis {
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val normalized = regexp_replace(lower(col(textCol)), "\\s+", "")
-    df.select(col(idCol),
+    Dedup.spread(df).select(col(idCol),
       md5(normalized.cast("binary")).as("fingerprint_md5"),
       xxhash64(normalized).as("fingerprint_64"))
   }
@@ -91,7 +91,7 @@ object TextAnalysis {
     val t = col(textCol)
     val noEmail = regexp_replace(t, emailPattern, "<EMAIL>")
     val redacted = regexp_replace(noEmail, phonePattern, "<PHONE>")
-    df.select(col(idCol),
+    Dedup.spread(df).select(col(idCol),
       size(regexp_extract_all(t, lit(emailPattern), lit(0)))
         .cast("long").as("n_emails"),
       size(regexp_extract_all(noEmail, lit(phonePattern), lit(0)))
@@ -233,7 +233,7 @@ object TextAnalysis {
         lit(lg).as("lang"))
     }
     val best = greatest(scores: _*) // struct comparison: score, then lang
-    df.select(col(idCol),
+    Dedup.spread(df).select(col(idCol),
       when(best.getField("score") > 0, best.getField("lang"))
         .otherwise(lit("unk")).as("predicted_lang"),
       best.getField("score").cast("long").as("lang_score"))
