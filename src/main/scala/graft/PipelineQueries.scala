@@ -241,6 +241,58 @@ object PipelineQueries {
       |SELECT a AS id, least(a, min(b)) AS cluster_id
       |FROM closure GROUP BY a ORDER BY id""".stripMargin
 
+  // Quality-based keeper per near-dup cluster over the dd2/dd6 pair
+  // set: highest length(text) wins, ties to the smallest id,
+  // singletons keep themselves. The oracle reuses the recursive
+  // closure and ranks members with a window.
+  val dd8Keepers: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val planted = d.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 2000000).as("doc_id"),
+      concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
+        .as("text"))
+    val corpus = d.unionByName(planted)
+      .withColumn("quality", length(col("text")).cast("long"))
+    pipeline.Curation.selectKeepers(corpus,
+      plantedMinhashPairs(s, dir).select("id1", "id2"),
+      "doc_id", "quality")
+      .orderBy("cluster_id")
+  }
+
+  val dd8Sql: String =
+    s"""WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'zzz ' || substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id < 50),
+      |${minhashPairsCtes()},
+      |pairs AS (
+      |  SELECT id1, id2 FROM agree WHERE CAST(m AS DOUBLE) / 32 >= 0.5),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION SELECT id2, id1 FROM pairs),
+      |closure(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src)
+      |, labels AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |  FROM closure GROUP BY a),
+      |corpus AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS quality FROM base),
+      |labeled AS (
+      |  SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+      |         c.quality
+      |  FROM corpus c LEFT JOIN labels l USING (doc_id)),
+      |ranked AS (
+      |  SELECT cluster_id, doc_id, quality,
+      |         row_number() OVER (PARTITION BY cluster_id
+      |                            ORDER BY quality DESC, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+      |  FROM labeled)
+      |SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality,
+      |       CAST(n_members AS BIGINT) AS n_members
+      |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // Exact char-3-gram Jaccard pairs on a bounded slice, with the
   // stop-shingle guard ON in the attested path (shingles in >80 of the
   // 100 docs are dropped before the join — 12 genuinely hot trigrams
@@ -926,6 +978,7 @@ object PipelineQueries {
     "dd5_embed_cosine_neardup" -> dd5EmbedCosine,
     "dd6_neardup_clusters" -> dd6Cluster,
     "dd7_incremental_dedup" -> dd7Incremental,
+    "dd8_cluster_keepers" -> dd8Keepers,
     "sm1_stratified_sample" -> sm1Sample,
     "sm2_source_cap" -> sm2Cap,
     "sm3_mixture_rates" -> sm3Mixture,
@@ -966,6 +1019,7 @@ object PipelineQueries {
     "dd5_embed_cosine_neardup" -> dd5Sql,
     "dd6_neardup_clusters" -> dd6Sql,
     "dd7_incremental_dedup" -> dd7Sql,
+    "dd8_cluster_keepers" -> dd8Sql,
     "sm1_stratified_sample" -> sm1Sql,
     "sm2_source_cap" -> sm2Sql,
     "sm3_mixture_rates" -> sm3Sql,

@@ -63,6 +63,38 @@ object Curation {
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** One keeper per near-dup cluster, chosen by QUALITY rather than
+    * by id: the pair-drop in [[curate]] keeps the lowest id, which is
+    * arbitrary; a curation pass that scored its documents should keep
+    * the best one. Clusters come from the transitive closure of
+    * `pairs` (Cluster.connectedComponents); documents in no cluster
+    * keep themselves. Within a cluster the highest `qualityCol` wins,
+    * ties broken by the smallest id.
+    *
+    * Scale shape: the clustering rounds (O(log diameter) equi-joins),
+    * one left join of corpus to labels on id, and ONE partial+final
+    * aggregation per cluster whose state is a single (quality, id)
+    * struct max plus a count — no window over cluster members, no
+    * per-cluster funnel.
+    */
+  def selectKeepers(docs: DataFrame, pairs: DataFrame, idCol: String,
+      qualityCol: String,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    val labels = Cluster.connectedComponents(pairs,
+      reliableCheckpoints = reliableCheckpoints)
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.join(labels, Seq(idCol), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    // keeper = max (quality, -id) struct: highest quality, then the
+    // SMALLEST id — max_by alone is nondeterministic under ties
+    labeled.groupBy("cluster_id")
+      .agg(max(struct(col(qualityCol).as("q"), (-col(idCol)).as("negid")))
+          .as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("k.negid")).as("keep_id"),
+        col("k.q").as("keep_quality"), col("n_members"))
+  }
+
   /** Per-source summary of a curation pass (the report a data-quota
     * dashboard consumes).
     */

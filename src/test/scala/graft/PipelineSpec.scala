@@ -599,6 +599,22 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.count() == 0)
   }
 
+  test("cluster keepers: quality wins, ties to smallest id, singletons kept") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val corpus = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),  // cluster {1,2,3}: 2 wins (30, tie vs 3 → min id)
+      (10L, 5L), (11L, 9L),             // cluster {10,11}: 11 wins (9 > 5)
+      (20L, 7L))                        // singleton: keeps itself
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = Curation.selectKeepers(corpus, pairs, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 30L, 3L), (10L, 11L, 9L, 2L),
+      (20L, 20L, 7L, 1L)))
+  }
+
   test("text normalization: golden cases") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
