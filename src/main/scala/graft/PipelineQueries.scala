@@ -845,6 +845,20 @@ object PipelineQueries {
       |       target_share * kk / actual_w AS rate
       |FROM j CROSS JOIN k ORDER BY source""".stripMargin
 
+  // Exactly-k uniform sample in portable-hash order — planned as
+  // TakeOrderedAndProject (per-partition k-heaps), pinned in PlanSpec.
+  val sm4Exact: Q = (s, dir) =>
+    pipeline.Sampling.exactSample(
+      docs(s, dir).select("doc_id", "source"), "doc_id", k = 100, seed = 7L)
+      .orderBy("doc_id")
+
+  val sm4Sql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |         CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS u
+      |  FROM documents ORDER BY u, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   // Sequence packing: documents concatenated in id order, cut into
   // 512-token shards via the distributed prefix sum.
   val pk1Pack: Q = (s, dir) => {
@@ -982,6 +996,7 @@ object PipelineQueries {
     "sm1_stratified_sample" -> sm1Sample,
     "sm2_source_cap" -> sm2Cap,
     "sm3_mixture_rates" -> sm3Mixture,
+    "sm4_exact_sample" -> sm4Exact,
     "tx9_normalize" -> tx9Normalize,
     "pk1_sequence_packing" -> pk1Pack,
     "qz1_embed_quantize" -> qz1Quantize,
@@ -1023,6 +1038,7 @@ object PipelineQueries {
     "sm1_stratified_sample" -> sm1Sql,
     "sm2_source_cap" -> sm2Sql,
     "sm3_mixture_rates" -> sm3Sql,
+    "sm4_exact_sample" -> sm4Sql,
     "tx9_normalize" -> tx9Sql,
     "pk1_sequence_packing" -> pk1Sql,
     "qz1_embed_quantize" -> qz1Sql,

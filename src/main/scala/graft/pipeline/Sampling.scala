@@ -54,6 +54,22 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Exactly-k uniform sample: the k rows with the smallest portable
+    * hash of (seed, id), ties to the smaller id. Rate-based sampling
+    * ([[stratifiedSample]]) returns a BINOMIAL count; audits and
+    * eval-set construction often need exactly k. Deterministic across
+    * reruns/partitionings/engines, and planned as
+    * TakeOrderedAndProject — per-partition k-heaps feeding one
+    * k-merge, never a full sort or a single-task funnel.
+    */
+  def exactSample(df: DataFrame, idCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"exactSample needs k > 0, got $k")
+    val u = PortableHash.hash60(concat_ws(":", lit(seed), col(idCol)))
+    df.orderBy(u.asc, col(idCol).asc).limit(k)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Mixture-rate solver for corpus composition: given a target
     * mixture (per-stratum weight shares) and the corpus's ACTUAL
     * per-stratum weights, compute the per-stratum sampling rates that

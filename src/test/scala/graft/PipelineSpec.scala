@@ -599,6 +599,20 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.count() == 0)
   }
 
+  test("exact sample: deterministic, exactly k, partition-invariant") {
+    import graft.pipeline.Sampling
+    val d = docs.select("doc_id")
+    val a = Sampling.exactSample(d, "doc_id", 50, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.exactSample(d.repartition(13), "doc_id", 50, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 50 && a == b)
+    // a different seed draws a (mostly) different sample
+    val c = Sampling.exactSample(d, "doc_id", 50, seed = 4L)
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
   test("cluster keepers: quality wins, ties to smallest id, singletons kept") {
     import spark.implicits._
     import graft.pipeline.Curation

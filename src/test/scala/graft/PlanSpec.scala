@@ -107,6 +107,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), p.take(800))
   }
 
+  test("exact sample plans per-partition k-heaps, not a full sort") {
+    val p = plan(graft.pipeline.Sampling.exactSample(
+      Tables.load(spark, sf, "documents").select("doc_id", "source"),
+      "doc_id", k = 100))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("incremental dedup meets the corpus only inside LSH buckets") {
     val d = Tables.load(spark, sf, "documents")
       .select("doc_id", "text").filter(col("doc_id") < 60)
