@@ -974,7 +974,8 @@ object PipelineQueries {
       |${minhashPairsCtes()},
       |losers AS (
       |  SELECT DISTINCT id2 AS doc_id FROM agree
-      |  WHERE CAST(m AS DOUBLE) / 32 >= 0.9),
+      |  WHERE CAST(m AS DOUBLE) / 32 >= 0.9
+      |    AND id1 IN (SELECT doc_id FROM deduped)),
       |survivors AS (
       |  SELECT * FROM deduped
       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))

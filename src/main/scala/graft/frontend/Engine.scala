@@ -38,6 +38,22 @@ final class Engine(
       params: Map[String, Any] = Map.empty): List[T] =
     fetch[T](src, params).collect().toList
 
+  /** Typed streaming fold: step the result row-at-a-time without ever
+    * materializing it driver-side — the reference's core runtime
+    * contract (`let fold ~init ~f db q`, reference sqlpp/sqlpp.ml:332;
+    * row-by-row stepping sqlpp_sqlite.ml:142-155). `toLocalIterator`
+    * pulls result partitions back one at a time, so peak driver
+    * memory is one partition, not the result set — a fold over a
+    * huge typed result streams where `fetchList` would OOM.
+    */
+  def fold[T: Encoder, A](src: String,
+      params: Map[String, Any] = Map.empty)(init: A)(f: (A, T) => A): A = {
+    val it = fetch[T](src, params).toLocalIterator()
+    var acc = init
+    while (it.hasNext) acc = f(acc, it.next())
+    acc
+  }
+
   def fetchOption[T: Encoder](src: String,
       params: Map[String, Any] = Map.empty): Option[T] =
     prepare(src).bind(params).as[T].take(2).toList match {

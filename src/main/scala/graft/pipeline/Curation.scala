@@ -30,11 +30,10 @@ object Curation {
     *                    that also reports/clusters the pairs should
     *                    mine ONCE and feed the same frame here rather
     *                    than have curate re-shingle the corpus.
-    *                    Note the semantic difference: pairs mined on
-    *                    the RAW corpus may name a pre-gate document
-    *                    as id1 where the internal pass (which mines
-    *                    after the quality gate and exact dedup) would
-    *                    not have generated the pair.
+    *                    Pairs whose keeper (id1) did not itself
+    *                    survive the quality gate and exact dedup are
+    *                    ignored, so a raw-corpus-mined pair can never
+    *                    drop the last surviving copy of its content.
     */
   def curate(docs: DataFrame, minWords: Long = 10, maxWords: Long = 100000,
       nearDupEst: Double = 0.9, portable: Boolean = false,
@@ -53,10 +52,23 @@ object Curation {
       .select(col("keep_id").as("doc_id"))
     val exactDeduped = gated.join(keep, Seq("doc_id"))
 
-    // stage 3: near-dup drop — higher id of each candidate pair goes
-    val pairs = precomputedPairs.getOrElse(Dedup.minhashNearDupPairs(
-      exactDeduped.select("doc_id", "text"), "doc_id", "text",
-      minEstJaccard = nearDupEst, portable = portable))
+    // stage 3: near-dup drop — higher id of each candidate pair goes.
+    // Precomputed pairs may have been mined on the RAW corpus, so a
+    // pair's keeper (id1) can already be gone (quality gate or exact
+    // dedup); dropping its id2 would then remove EVERY copy of that
+    // content. Keep only pairs whose keeper survived stages 1-2 —
+    // within mined pairs id1 < id2, so a component's minimum id is
+    // never an id2 and always survives the pair drop itself. On the
+    // internal mining path the pairs come from exactDeduped, where
+    // every id1 survives by construction, so no join is paid.
+    val pairs = precomputedPairs match {
+      case Some(p) => p.join(
+        exactDeduped.select(col("doc_id").as("id1")), Seq("id1"),
+        "left_semi")
+      case None => Dedup.minhashNearDupPairs(
+        exactDeduped.select("doc_id", "text"), "doc_id", "text",
+        minEstJaccard = nearDupEst, portable = portable)
+    }
     val nearDupLosers = pairs
       .filter(col("est_jaccard") >= nearDupEst)
       .select(col("id2").as("doc_id")).distinct()

@@ -222,7 +222,8 @@ object Dedup {
       portable: Boolean = false,
       reliableCheckpoints: Boolean = false): DataFrame = {
     val sigCols = (0 until numHashes).map(h => s"mh_$h")
-    require(sigCols.forall(existingSigs.columns.contains),
+    require(existingSigs.columns.contains(idCol) &&
+      sigCols.forall(existingSigs.columns.contains),
       s"existingSigs must carry $idCol, mh_0..mh_${numHashes - 1} " +
         s"(from minhashSignatures with numHashes=$numHashes); got " +
         existingSigs.columns.mkString(", "))

@@ -21,7 +21,9 @@ object Profiling {
     * aggregation memory. `approx = true` is the 100 TB path: ONE
     * `approx_percentile` sketch per column (all three quantiles read
     * from the same bounded-memory digest, error <= 1/accuracy in
-    * rank), identical output schema.
+    * rank) and a HyperLogLog++ distinct count (default ~5% relative
+    * error) — every aggregation buffer bounded, identical output
+    * schema.
     */
   def numericProfile(df: DataFrame, cols: Seq[String],
       approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
@@ -31,7 +33,11 @@ object Profiling {
       Seq(
         count(lit(1)).as(s"${c}__n"),
         count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
+        // approx mode must sketch the distinct count too: exact
+        // countDistinct keeps O(distinct) aggregation state per
+        // column, the one unbounded buffer on the 100 TB path
+        (if (approx) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"${c}__nd"),
         min(col(c).cast("double")).as(s"${c}__min"),
         max(col(c).cast("double")).as(s"${c}__max"),
         // ONE quantile aggregate per column taking the percentage

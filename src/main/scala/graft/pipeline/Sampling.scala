@@ -35,23 +35,40 @@ object Sampling {
     * order) makes the kept subset a uniform random-but-reproducible
     * draw from each source rather than its oldest rows.
     *
-    * Scale shape: one row_number window partitioned by the stratum —
-    * state is a single source's rows, shuffled on the stratum key.
-    * Skew note: a source with billions of rows funnels into one
-    * window partition; at that scale pre-filter with
-    * `stratifiedSample` (map-side) to within ~10× the cap first, then
-    * apply the exact window — same result distribution, bounded
-    * partitions.
+    * Scale shape: TWO windows, skew-safe by construction. A single
+    * row_number window partitioned by the stratum would funnel a
+    * billion-row source into ONE task; instead the first window
+    * partitions by (stratum, salt) — `salts` deterministic hash
+    * buckets of the id — and keeps each bucket's top `cap` by the
+    * same (hash, id) order. Every row of the stratum's global top
+    * `cap` ranks within the top `cap` of its own bucket (removing
+    * other rows can only lower its rank), so the pre-pass retains
+    * exactly the candidate set the final window needs: the second,
+    * exact window per stratum then sees at most `salts * cap` rows.
+    * The kept set is IDENTICAL to the naive single window — this is
+    * a bound, not an approximation — and no stratum ever occupies
+    * more than max(n_stratum / salts, salts * cap) rows of one task.
     */
   def capPerSource(df: DataFrame, idCol: String, strataCol: String,
-      cap: Int, seed: Long = 42L): DataFrame = {
+      cap: Int, seed: Long = 42L, salts: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(cap > 0, s"capPerSource needs cap > 0, got $cap")
+    require(salts > 0, s"capPerSource needs salts > 0, got $salts")
     val u = PortableHash.hash60(concat_ws(":", lit(seed), col(idCol)))
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(u.asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
+    // the salt need not be portable (it never reaches the output),
+    // only deterministic in the id
+    val salted = df.withColumn("__u", u)
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col(strataCol), col("__salt"))
+      .orderBy(col("__u").asc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(strataCol))
+      .orderBy(col("__u").asc, col(idCol).asc)
+    salted
+      .withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= cap)
-      .drop("__rn")
+      .withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= cap)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Exactly-k uniform sample: the k rows with the smallest portable
@@ -61,6 +78,11 @@ object Sampling {
     * reruns/partitionings/engines, and planned as
     * TakeOrderedAndProject — per-partition k-heaps feeding one
     * k-merge, never a full sort or a single-task funnel.
+    *
+    * Determinism requires `idCol` to be UNIQUE (the same key contract
+    * as [[stratifiedSample]]): duplicate ids produce identical
+    * (hash, id) sort keys, and which of the tied rows lands in the
+    * top k is then partition-order dependent.
     */
   def exactSample(df: DataFrame, idCol: String, k: Int,
       seed: Long = 42L): DataFrame = {
@@ -83,8 +105,10 @@ object Sampling {
     * broadcast join against the (tiny) target table, and a lazily
     * cross-joined one-row frame for K — no driver action, any corpus
     * size. Strata absent from `targets` are excluded (rate would be
-    * 0); a target stratum absent from the corpus makes the mixture
-    * unreachable and fails the job.
+    * 0); a target stratum with no positive corpus weight mass —
+    * absent entirely, all-NULL weights, or zero/negative total —
+    * makes the mixture unreachable and fails the job rather than
+    * silently emitting NULL/NaN rates.
     */
   def mixtureRates(df: DataFrame, strataCol: String, weightCol: String,
       targets: Map[String, Double]): DataFrame = {
@@ -99,17 +123,22 @@ object Sampling {
       .toDF(strataCol, "target_share"))
     val actual = df.groupBy(col(strataCol))
       .agg(sum(col(weightCol).cast("double")).as("actual_w"))
-    val missing = t.join(actual, Seq(strataCol), "left_anti")
+    // a stratum with NULL or non-positive total weight fails the
+    // `> 0` filter (NULL rejects), so one left_anti catches absent,
+    // all-NULL and zero/negative strata alike
+    val unreachable = t.join(actual.filter(col("actual_w") > 0.0),
+      Seq(strataCol), "left_anti")
     val joined = actual.join(t, Seq(strataCol))
     val k = joined.agg(
       min(col("actual_w") / col("target_share")).as("__k"))
-    // any target stratum with no corpus mass makes the mixture
-    // unreachable — fail the job rather than return a silent skew
+    // any target stratum with no positive corpus mass makes the
+    // mixture unreachable — fail the job rather than return the
+    // silent skew of NULL/NaN rates
     val kChecked = k.crossJoin(broadcast(
-        missing.agg(count(lit(1)).as("__missing"))))
+        unreachable.agg(count(lit(1)).as("__missing"))))
       .select(when(col("__missing") > 0, raise_error(lit(
-        "mixtureRates: a target stratum has no corpus mass — " +
-          "the requested mixture is unreachable")))
+        "mixtureRates: a target stratum has no positive corpus " +
+          "weight mass — the requested mixture is unreachable")))
         .otherwise(col("__k")).as("__k"))
     joined.crossJoin(broadcast(kChecked))
       .select(col(strataCol), col("actual_w"), col("target_share"),

@@ -138,19 +138,29 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, bands: Int = 4, bitsPerBand: Int = 4,
       seed: Long = 42L, dims: Int = 0): DataFrame = {
-    require(dims >= 0, s"lshTopK: dims must be positive (or 0 = derive), got $dims")
+    require(dims >= 0, s"lshTopK: dims must be non-negative (0 = derive), got $dims")
     val d =
       if (dims > 0) dims
-      else queries.select(size(col(vecCol))).limit(1).collect()
+      // derive from the first NON-NULL vector: a NULL in the first
+      // row would make size() NULL and surface as an opaque NPE here
+      else queries.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect()
         .headOption.map(_.getInt(0))
-        // no query rows: the result is empty whatever the planes are;
-        // 1 keeps the plan well-formed
+        // no (non-null) query rows: the result is empty whatever the
+        // planes are; 1 keeps the plan well-formed
         .getOrElse(1)
     def checked(c: Column): Column =
-      when(size(c) === d, c).otherwise(raise_error(concat(
-        lit(s"lshTopK: expected $d-dim vectors (pass dims= explicitly " +
-          "for a different dimensionality), found length "),
-        size(c).cast("string"))))
+      // NULL vectors flow through BY CONSTRUCTION (their cosine is
+      // NULL, which the top-k already drops — same contract as
+      // zero-norm vectors); without the explicit pass-through their
+      // fate would depend on whether the optimizer happens to prune
+      // them via an inferred isnotnull before this guard evaluates
+      when(c.isNull, c)
+        .when(size(c) === d, c)
+        .otherwise(raise_error(concat(
+          lit(s"lshTopK: expected $d-dim vectors (pass dims= explicitly " +
+            "for a different dimensionality), found length "),
+          size(c).cast("string"))))
     val bandCols = (0 until bands).map { b =>
       val planes = hyperplanes(bitsPerBand, d, seed + b)
       struct(lit(b).as("band"), bandBucket(col("__vd"), planes).as("bucket"))

@@ -262,4 +262,37 @@ class EngineSpec extends SparkTestBase {
          |ORDER BY l_orderkey""".stripMargin).collect()
     assert(df.collect().toSeq == viaSql.toSeq)
   }
+
+  test("fold streams a large typed result partition-at-a-time") {
+    import spark.implicits._
+    // the reference's core runtime contract is a row-at-a-time fold
+    // that never materializes the result (sqlpp.ml:332); the same
+    // ~60k-row multi-partition result CliSpec streams through the CLI
+    val big = Catalog.engine(spark, "/root/testdata/sf0.01")
+    val want = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .selectExpr("count(*)", "sum(l_linenumber)").collect()(0)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (n, s) = big.fold[(Long, Int), (Long, Long)](
+        "select l_orderkey, l_linenumber from lineitem")((0L, 0L)) {
+        case ((c, acc), (_, ln)) => (c + 1, acc + ln)
+      }
+      assert(n == want.getLong(0))
+      assert(s == want.getLong(1))
+      // toLocalIterator runs ONE JOB PER PARTITION as the fold
+      // consumes — peak driver memory is a single partition. A
+      // collect would be one job over all partitions. The listener
+      // bus is async: poll until the per-partition jobs surface.
+      val deadline = System.currentTimeMillis + 3000
+      while (jobs < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(jobs >= 2, s"fold ran $jobs job(s) — looks like a collect")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -460,6 +460,201 @@ class FuzzSpec extends SparkTestBase {
     assert(checked >= n / 2)
   }
 
+  // ---- composition-surface fuzz: the reference's crown jewels ----
+  // fieldset splices, WITHSCOPE aliases, nav pushdown (single and
+  // chained through two open levels), MATCH variant branches — each
+  // generated query rendered as dialect text against a composition
+  // env AND as plain Spark SQL with the composition hand-expanded.
+
+  lazy val compEngine: Engine = {
+    val env = Catalog.env().addDecls(
+      """create query ostats as
+        |  select o_custkey as k, with count(1) as n,
+        |    with sum(o_totalprice) as st, with min(o_orderkey) as mo, ...
+        |  from orders group by o_custkey;
+        |create fieldset cinfo(from customer AS c) as
+        |  select c.c_custkey as cid, c.c_name as cname;
+        |create fieldset oinfo(from orders AS o) as
+        |  select o.o_orderkey as oid, (o.o_totalprice * 2.0) as tp2;
+        |""".stripMargin)
+    new Engine(spark, env, name => Tables.load(spark, sf, name))
+  }
+
+  val ostatsCte =
+    """SELECT o_custkey AS k, count(1) AS n, sum(o_totalprice) AS st,
+      |       min(o_orderkey) AS mo, sum(o_totalprice) AS g,
+      |       min(o_totalprice) AS gmin, max(o_totalprice) AS gmax
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** Shape A: named query in FROM, random subset of its lazy fields
+    * used, plus an optional nav-pushdown aggregate the named query
+    * never declared.
+    */
+  def compNamedQuery: Gen[(Q, Map[String, Any])] = for {
+    useN <- Gen.oneOf(true, false)
+    useSt <- Gen.oneOf(true, false)
+    useMo <- Gen.oneOf(true, false)
+    nav <- Gen.oneOf(None, Some(("sum", "g")), Some(("min", "gmin")),
+      Some(("max", "gmax")))
+    pred <- boolExpr(customer)
+    lim <- Gen.chooseNum(5, 40)
+  } yield {
+    val dFields = List(
+      if (useN) Some("st.n") else None,
+      if (useSt) Some("st.st") else None,
+      if (useMo) Some("st.mo") else None,
+      nav.map { case (f, _) => s"st.$f(o_totalprice)" }).flatten
+    val sFields = List(
+      if (useN) Some("st.n") else None,
+      if (useSt) Some("st.st") else None,
+      if (useMo) Some("st.mo") else None,
+      nav.map { case (_, a) => s"st.$a" }).flatten
+    (Q(
+      s"""select c_custkey${dFields.map(", " + _).mkString}
+         |from customer join ostats as st on c_custkey = st.k
+         |where ${pred.dialect}
+         |order by c_custkey limit $lim""".stripMargin,
+      s"""WITH st AS ($ostatsCte)
+         |SELECT c_custkey${sFields.map(", " + _).mkString}
+         |FROM customer JOIN st ON c_custkey = st.k
+         |WHERE ${pred.sql}
+         |ORDER BY c_custkey LIMIT $lim""".stripMargin), Map.empty)
+  }
+
+  /** Shape B: nav pushdown CHAINED through two open levels — the
+    * outer query navigates an aggregate into a subselect that itself
+    * wraps the open grouped named query.
+    */
+  def compNavChain: Gen[(Q, Map[String, Any])] = for {
+    useN <- Gen.oneOf(true, false)
+    navF <- Gen.oneOf(("sum", "g"), ("min", "gmin"), ("max", "gmax"))
+    v <- Gen.chooseNum(10, 400)
+    lim <- Gen.chooseNum(5, 40)
+  } yield {
+    val (f, a) = navF
+    (Q(
+      s"""select z.k${if (useN) ", z.n" else ""}, z.st.$f(o_totalprice)
+         |from (select st.k as k, with st.n as n, ... from ostats as st) as z
+         |where z.k > $v
+         |order by z.k limit $lim""".stripMargin,
+      s"""WITH st AS ($ostatsCte)
+         |SELECT k${if (useN) ", n" else ""}, $a
+         |FROM st WHERE k > $v
+         |ORDER BY k LIMIT $lim""".stripMargin), Map.empty)
+  }
+
+  /** Shape C: fieldset splice at a random projection position, eager,
+    * against an aliased scope.
+    */
+  def compFieldset: Gen[(Q, Map[String, Any])] = for {
+    onCustomer <- Gen.oneOf(true, false)
+    lead <- Gen.oneOf(true, false)
+    trail <- Gen.oneOf(true, false)
+    pred <- boolExpr(if (onCustomer) customer else orders)
+    lim <- Gen.chooseNum(5, 40)
+  } yield {
+    val q =
+      if (onCustomer) Q(
+        s"""select ${if (lead) "c_acctbal, " else ""}...cinfo(cx)${if (trail) ", c_mktsegment" else ""}
+           |from customer as cx
+           |where ${pred.dialect}
+           |order by cx.c_custkey limit $lim""".stripMargin,
+        s"""SELECT ${if (lead) "c_acctbal, " else ""}c_custkey, c_name${if (trail) ", c_mktsegment" else ""}
+           |FROM customer WHERE ${pred.sql}
+           |ORDER BY c_custkey LIMIT $lim""".stripMargin)
+      else Q(
+        s"""select ${if (lead) "o_orderstatus, " else ""}...oinfo(ox)${if (trail) ", o_custkey" else ""}
+           |from orders as ox
+           |where ${pred.dialect}
+           |order by ox.o_orderkey limit $lim""".stripMargin,
+        s"""SELECT ${if (lead) "o_orderstatus, " else ""}o_orderkey, o_totalprice * 2.0${if (trail) ", o_custkey" else ""}
+           |FROM orders WHERE ${pred.sql}
+           |ORDER BY o_orderkey LIMIT $lim""".stripMargin)
+    (q, Map.empty)
+  }
+
+  /** Shape D: WITHSCOPE re-export, projecting through the alias
+    * (ORDER BY stays on the original alias — it is analyzed before
+    * the projection, same as the reference).
+    */
+  def compWithScope: Gen[(Q, Map[String, Any])] = for {
+    extra <- Gen.oneOf(true, false)
+    pred <- boolExpr(customer)
+    lim <- Gen.chooseNum(5, 40)
+  } yield (Q(
+    s"""select withscope c as w, w.c_custkey, w.c_acctbal${if (extra) ", c.c_name" else ""}
+       |from customer as c
+       |where ${pred.dialect}
+       |order by c.c_custkey limit $lim""".stripMargin,
+    s"""SELECT c_custkey, c_acctbal${if (extra) ", c_name" else ""}
+       |FROM customer WHERE ${pred.sql}
+       |ORDER BY c_custkey LIMIT $lim""".stripMargin), Map.empty)
+
+  /** Shape E: MATCH variant param — each generated query binds one
+    * branch; one branch carries an IN subquery so per-branch plans
+    * include the subquery machinery.
+    */
+  def compMatch: Gen[(Q, Map[String, Any])] = for {
+    branch <- Gen.chooseNum(0, 2)
+    x <- Gen.chooseNum(50000, 450000)
+    lim <- Gen.chooseNum(5, 40)
+  } yield {
+    val dialect =
+      s"""select o_orderkey, o_totalprice from orders
+         |where match ?q with
+         |  | all -> true
+         |  | lo ?x -> o_totalprice < ?x: float
+         |  | probe -> o_orderkey in
+         |      (select l_orderkey from lineitem where l_quantity > 45.0)
+         |  end
+         |order by o_orderkey limit $lim""".stripMargin
+    val (cond, params) = branch match {
+      case 0 => ("true", Map[String, Any]("q" -> Engine.Variant("all")))
+      case 1 => (s"o_totalprice < $x.0",
+        Map[String, Any]("q" -> Engine.Variant("lo", x.toDouble)))
+      case _ => ("o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0)",
+        Map[String, Any]("q" -> Engine.Variant("probe")))
+    }
+    (Q(dialect,
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE $cond
+         |ORDER BY o_orderkey LIMIT $lim""".stripMargin), params)
+  }
+
+  val genCompQuery: Gen[(Q, Map[String, Any])] = Gen.chooseNum(0, 4).flatMap {
+    case 0 => compNamedQuery
+    case 1 => compNavChain
+    case 2 => compFieldset
+    case 3 => compWithScope
+    case _ => compMatch
+  }
+
+  test("randomized composition: fieldsets, withscope, nav pushdown, MATCH equal Spark SQL") {
+    views
+    var checked = 0
+    // soak knob: -Dgraft.fuzz.comp.n=800 for a deeper one-off sweep
+    val n = sys.props.getOrElse("graft.fuzz.comp.n", "120").toInt
+    (0 until n).foreach { i =>
+      genCompQuery.apply(Gen.Parameters.default, Seed(5000L + i)).foreach {
+        case (q, params) =>
+          def run(side: String, f: => Seq[org.apache.spark.sql.Row]) =
+            try f catch {
+              case e: Throwable => fail(
+                s"seed $i $side threw ${e.getClass.getSimpleName}: " +
+                  s"${Option(e.getMessage).getOrElse("").linesIterator.toSeq.headOption.getOrElse("")}\n" +
+                  s" dialect: ${q.dialect}\n sql: ${q.sql}")
+            }
+          val mine = run("engine", compEngine.sql(q.dialect, params).collect().toSeq)
+          val ref = run("spark-sql twin", spark.sql(q.sql).collect().toSeq)
+          assert(mine == ref,
+            s"seed $i\n dialect: ${q.dialect}\n sql: ${q.sql}")
+          checked += 1
+      }
+    }
+    info(s"$checked random composition queries matched")
+    assert(checked >= n / 2)
+  }
+
   test("200 random queries: engine pipeline equals Spark SQL") {
     views
     var checked = 0

@@ -210,8 +210,14 @@ class PipelineSpec extends SparkTestBase {
     assert(exact.keySet == approx.keySet)
     cols.foreach { c =>
       val (e, a) = (exact(c), approx(c))
-      // counts/min/max don't go through the sketch — identical
-      (1 to 5).foreach(i => assert(e.get(i) == a.get(i), s"$c field $i"))
+      // counts/min/max don't go through a sketch — identical
+      Seq(1, 2, 4, 5).foreach(i => assert(e.get(i) == a.get(i), s"$c field $i"))
+      // the distinct count is HyperLogLog++ in approx mode (the
+      // exact buffer is O(distinct) — unbounded at corpus scale):
+      // default rsd 5%, allow 3 sigma
+      val (ed, ad) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ed - ad) <= ed * 0.15 + 1,
+        s"$c n_distinct: exact $ed approx $ad")
       // quantiles: exact interpolates, the sketch returns an observed
       // value within 1/accuracy rank error — compare within a small
       // fraction of the value range
@@ -412,6 +418,16 @@ class PipelineSpec extends SparkTestBase {
       assert(got == want)
       assert(got.filter(_._1 <= 40L).values.toSet == Set(1L))
       assert(got(100L) == 100L && got(101L) == 100L)
+      // the RELIABLE path must have gone through the checkpoint dir
+      // (localCheckpoint would leave it empty and pin blocks to
+      // executors instead — lost on executor failure)
+      val ckptFiles = java.nio.file.Files.walk(dir).count()
+      assert(ckptFiles > 1, s"no reliable checkpoint written under $dir")
+      // and the returned frame's lineage is cut: its plan bottoms out
+      // in the checkpointed RDD, not the iterative join tree
+      val leaves = labels.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.forall(_.getClass.getSimpleName == "LogicalRDD"),
+        leaves.map(_.getClass.getSimpleName).mkString(","))
     } finally {
       prev match {
         case Some(p) => spark.sparkContext.setCheckpointDir(p)
@@ -819,5 +835,114 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.spread(joined) eq joined)
     val agged = docs.groupBy("doc_id").count()
     assert(Dedup.spread(agged) eq agged)
+  }
+
+  test("capPerSource salted pre-pass keeps exactly the naive single-window set") {
+    import graft.pipeline.{PortableHash, Sampling}
+    import org.apache.spark.sql.expressions.Window
+    // make one stratum dominate so the salted pre-pass actually binds
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "source")
+      .withColumn("source",
+        when(col("doc_id") % 10 < 7, lit("hot")).otherwise(col("source")))
+    val u = PortableHash.hash60(concat_ws(":", lit(42L), col("doc_id")))
+    val naive = d
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(u.asc, col("doc_id").asc)))
+      .filter(col("__rn") <= 25).drop("__rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // a salts value that does not divide the stratum sizes evenly,
+    // to exercise ragged buckets
+    val salted = Sampling.capPerSource(d, "doc_id", "source",
+      cap = 25, salts = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == naive)
+  }
+
+  test("mixtureRates fails on zero-mass and all-NULL-mass target strata") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val targets = Map("a" -> 0.5, "b" -> 0.5)
+    // stratum present but with zero total weight: the old guard
+    // (absence only) let this through as a silent NULL/NaN rate
+    val zero = Seq(("a", 1L, Option(100.0)), ("b", 2L, Option(0.0)))
+      .toDF("source", "id", "w")
+    val ex1 = intercept[Exception] {
+      Sampling.mixtureRates(zero, "source", "w", targets).collect()
+    }
+    assert(msgs(ex1).exists(_.contains("unreachable")), msgs(ex1).mkString("|"))
+    // stratum present but every weight NULL
+    val nulls = Seq(("a", 1L, Option(100.0)), ("b", 2L, Option.empty[Double]))
+      .toDF("source", "id", "w")
+    val ex2 = intercept[Exception] {
+      Sampling.mixtureRates(nulls, "source", "w", targets).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("unreachable")), msgs(ex2).mkString("|"))
+  }
+
+  test("lshTopK derives dims past a NULL leading query vector") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val embs32 = embs.filter(col("vec_id") < 40).select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val nullRow = Seq(Tuple1(999L)).toDF("vec_id")
+      .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"))
+    val queries = nullRow.unionByName(
+      embs32.filter(col("vec_id") < 5)).coalesce(1)
+    // composing with a NULL leading vector used to NPE on size(NULL)
+    // at derivation time; dims must come from the first NON-NULL row
+    val derived = Similarity.lshTopK(queries, embs32, "vec_id",
+      "embedding", k = 3).collect()
+    // the NULL-vector query drops out (NULL cosine — the zero-norm
+    // contract), the real queries rank normally
+    assert(!derived.map(_.getLong(0)).contains(999L))
+    assert(derived.map(_.getLong(0)).toSet == (0L until 5L).toSet)
+    // the derived path matches explicit dims=32 exactly
+    val explicit = Similarity.lshTopK(queries, embs32, "vec_id",
+      "embedding", k = 3, dims = 32).collect()
+    assert(derived.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      explicit.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // a WRONG-LENGTH (non-null) vector still fail-fasts
+    val short = Seq((998L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.lshTopK(short.unionByName(queries).coalesce(1)
+          .filter(col("embedding").isNotNull),
+        embs32, "vec_id", "embedding", k = 3, dims = 32).collect()
+    }
+    assert(msgs(ex).exists(_.contains("expected 32-dim")),
+      msgs(ex).mkString("|"))
+  }
+
+  test("curate never drops the last copy when a precomputed pair's keeper failed the gate") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val long1 = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val long2 = (1 to 40).map(i => s"beta$i").mkString(" ")
+    // doc 1 fails the quality gate (3 words < minWords); doc 2 is its
+    // near-dup per a pair mined on the RAW corpus. Dropping id2 would
+    // erase the content entirely — the pair must be ignored.
+    val d = Seq(
+      (1L, "too short doc", "web"),
+      (2L, long1, "web"),
+      (10L, long2, "web"),
+      (11L, long2 + " tail", "web")).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L, 0.95), (10L, 11L, 0.95))
+      .toDF("id1", "id2", "est_jaccard")
+    val kept = Curation.curate(d, precomputedPairs = Some(pairs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 survives (its keeper died pre-pair); 11 drops (keeper 10 alive)
+    assert(kept == Set(2L, 10L))
+  }
+
+  test("incremental dedup rejects an existingSigs frame missing the id column") {
+    val sigs = Dedup.minhashSignatures(docs.filter(col("doc_id") < 10),
+      "doc_id", "text").drop("doc_id")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupPairsIncremental(
+        docs.filter(col("doc_id") < 5), "doc_id", "text", sigs)
+    }
+    assert(ex.getMessage.contains("doc_id"))
   }
 }

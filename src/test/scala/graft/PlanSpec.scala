@@ -141,4 +141,48 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1000))
   }
+
+  test("capPerSource pre-tops inside salt buckets before the exact stratum window") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "source")
+    val p = plan(graft.pipeline.Sampling.capPerSource(
+      d, "doc_id", "source", cap = 10))
+    // two row_number windows: the salted pre-pass bounds any
+    // stratum's window partition to ~n/salts rows, and only
+    // <= salts*cap survivors reach the exact stratum-wide window —
+    // a single stratum-partitioned window would funnel a hot source
+    // into ONE task
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(2000))
+    val saltedWindow = p.linesIterator
+      .filter(_.contains("Window [")).toSeq
+    assert(saltedWindow.exists(_.contains("__salt")), p.take(2000))
+  }
+
+  test("text ops over a shuffled frame add no exchange and launch no job at composition") {
+    import graft.pipeline.TextAnalysis
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+    val agged = docs.join(docs.select("doc_id"), Seq("doc_id"))
+      .groupBy("doc_id").agg(first(col("text")).as("text"))
+    val tracker = spark.sparkContext.statusTracker
+    val jobsBefore = tracker.getJobIdsForGroup(null).length
+    val composed = TextAnalysis.tokenCounts(agged, "doc_id", "text")
+    // composing over a frame with upstream exchanges must be pure
+    // plan construction: under AQE, probing such a frame's .rdd (the
+    // round-6 hazard) EXECUTES the upstream join/agg stages right
+    // here. Poll briefly so the async listener bus can surface any
+    // job that did start.
+    val deadline = System.currentTimeMillis + 1500
+    var jobsAfter = tracker.getJobIdsForGroup(null).length
+    while (jobsAfter == jobsBefore && System.currentTimeMillis < deadline) {
+      Thread.sleep(50)
+      jobsAfter = tracker.getJobIdsForGroup(null).length
+    }
+    assert(jobsAfter == jobsBefore,
+      s"composition launched ${jobsAfter - jobsBefore} Spark job(s)")
+    // and the operator adds only map-side work: exchange count equals
+    // the input frame's own
+    val exBase = "Exchange".r.findAllIn(plan(agged)).size
+    val exComposed = "Exchange".r.findAllIn(plan(composed)).size
+    assert(exComposed == exBase, plan(composed).take(1500))
+  }
 }
