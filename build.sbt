@@ -27,7 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ Seq("graft.fuzz.n", "graft.fuzz.dml.n") // soak knobs: sbt JVM -> forked JVM
+) ++ Seq("graft.fuzz.n", "graft.fuzz.dml.n", "graft.fuzz.comp.n") // soak knobs: sbt JVM -> forked JVM
   .flatMap(k => sys.props.get(k).map(v => s"-D$k=$v"))
 
 // Build-time static-query validation (the reference PPX's compile

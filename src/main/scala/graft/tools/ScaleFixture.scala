@@ -22,7 +22,7 @@ import graft.Tables
   *   - embeddings perturb one component per replica, breaking exact
   *     cosine ties between replicas so top-k stays deterministic.
   *
-  * Usage: runMain graft.tools.ScaleFixture <srcDir> <dstDir> <k> [skewPct]
+  * Usage: runMain graft.tools.ScaleFixture <srcDir> <dstDir> <k> [skewPct] [giantDocs]
   *
   * skewPct > 0 adds a ZIPFIAN mode on top of replication: that
   * percentage of lineitem rows is routed to one hot order, of events
@@ -30,6 +30,18 @@ import graft.Tables
   * real-corpus shape (one domain dominating) that uniform replication
   * cannot produce, for soaking the skew-focused operators (salted
   * join, per-source cap, sessionization, curation stats).
+  *
+  * giantDocs > 0 plants ONE giant near-dup cluster in `documents`:
+  * a (giantDocs - 150)-doc CHAIN — doc i is the 100-token sliding
+  * window gct{i}..gct{i+99}, so only docs within shingle-overlap
+  * distance pair up and the cluster's DIAMETER grows linearly — plus
+  * a 150-leaf STAR on the chain head (each leaf replaces one rotating
+  * token, sized under the default maxBucketSize so the hot-bucket
+  * guard keeps its pairs minable). The zipfian mode skews key MASS;
+  * this skews cluster TOPOLOGY — the deep-diameter + high-degree
+  * component connectedComponents' pointer-doubling must converge on
+  * in O(log diameter) rounds. Synthetic tokens share no shingle with
+  * the real corpus, so pair structure elsewhere is untouched.
   */
 object ScaleFixture {
 
@@ -97,15 +109,43 @@ object ScaleFixture {
       when(pmod(xxhash64(hashCols.map(col): _*), lit(100L)) < pct,
         hot.cast(df.schema(c).dataType)).otherwise(col(c)))
 
+  /** One giant near-dup component: a sliding-window token chain of
+    * `n - 150` docs plus a 150-leaf star on the chain head. Ids start
+    * at `idBase`; every token is synthetic (gct/gcl-prefixed),
+    * shingle-disjoint from the real corpus.
+    */
+  def giantCluster(spark: SparkSession, n: Long, idBase: Long): DataFrame = {
+    require(n > 300, s"giantDocs must exceed 300 (150-leaf star + chain), got $n")
+    val leaves = 150L
+    val chainN = n - leaves
+    val chain = spark.range(chainN).select(
+      (lit(idBase) + col("id")).as("doc_id"),
+      array_join(transform(sequence(col("id"), col("id") + 99),
+        j => concat(lit("gct"), j.cast("string"))), " ").as("text"))
+    // leaf i = chain doc 0's window with token (i mod 100) replaced
+    val star = spark.range(leaves).select(
+      (lit(idBase + chainN) + col("id")).as("doc_id"),
+      array_join(transform(sequence(lit(0L), lit(99L)),
+        j => when(j === pmod(col("id"), lit(100L)),
+          concat(lit("gcl"), col("id").cast("string")))
+          .otherwise(concat(lit("gct"), j.cast("string")))), " ")
+        .as("text"))
+    chain.unionByName(star).select(
+      col("doc_id"), col("text"), lit("xx").as("lang"),
+      lit("giantsrc").as("source"),
+      length(col("text")).cast("long").as("n_chars"))
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || args.length == 4,
-      "usage: ScaleFixture <srcDir> <dstDir> <k> [skewPct]")
+    require(args.length >= 3 && args.length <= 5,
+      "usage: ScaleFixture <srcDir> <dstDir> <k> [skewPct] [giantDocs]")
     val Array(src, dst, kStr) = args.take(3)
     val k = kStr.toInt
     // skewPct > 0: after replication, route that share of lineitem
     // rows to ONE order, events to ONE user, documents to ONE source
-    val skewPct = if (args.length == 4) args(3).toInt else 0
+    val skewPct = if (args.length >= 4) args(3).toInt else 0
     require(skewPct >= 0 && skewPct < 100, s"skewPct out of range: $skewPct")
+    val giantDocs = if (args.length == 5) args(4).toLong else 0L
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -160,9 +200,15 @@ object ScaleFixture {
           // text or filters on n_chars see base-fixture selectivity
           // over longer rows (lang stays approximate by design)
           .withColumn("n_chars", length(col("text")).cast("long"))
-        if (skewPct > 0) skewKey(rep, "source", lit("src0"), skewPct,
-          Seq("doc_id"))
-        else rep
+        val skewed =
+          if (skewPct > 0) skewKey(rep, "source", lit("src0"), skewPct,
+            Seq("doc_id"))
+          else rep
+        // replicated ids end at k*docOff - 1; the giant cluster
+        // starts at k*docOff
+        if (giantDocs > 0)
+          skewed.unionByName(giantCluster(spark, giantDocs, k * docOff))
+        else skewed
       },
       "embeddings" -> replicate(t("embeddings"), k,
         Map("vec_id" -> vecOff))
