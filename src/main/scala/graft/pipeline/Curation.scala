@@ -61,9 +61,12 @@ object Curation {
     // never an id2 and always survives the pair drop itself. On the
     // internal mining path the pairs come from exactDeduped, where
     // every id1 survives by construction, so no join is paid.
+    // keep's id set IS exactDeduped's id set (exactDeduped = gated
+    // semi keep), so the survival probe joins the narrow keeper-id
+    // aggregate, not the re-joined corpus
     val pairs = precomputedPairs match {
       case Some(p) => p.join(
-        exactDeduped.select(col("doc_id").as("id1")), Seq("id1"),
+        keep.select(col("doc_id").as("id1")), Seq("id1"),
         "left_semi")
       case None => Dedup.minhashNearDupPairs(
         exactDeduped.select("doc_id", "text"), "doc_id", "text",

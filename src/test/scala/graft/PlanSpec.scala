@@ -155,6 +155,13 @@ class PlanSpec extends SparkTestBase {
     val saltedWindow = p.linesIterator
       .filter(_.contains("Window [")).toSeq
     assert(saltedWindow.exists(_.contains("__salt")), p.take(2000))
+    // and the rank filter reaches the MAP side: each window gets a
+    // Partial WindowGroupLimit below its exchange, so shuffled bytes
+    // are bounded by cap per group before any data moves
+    val partials = p.linesIterator
+      .filter(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+      .toSeq
+    assert(partials.size == 2, p.take(2000))
   }
 
   test("text ops over a shuffled frame add no exchange and launch no job at composition") {
