@@ -293,6 +293,124 @@ object PipelineQueries {
       |       CAST(n_members AS BIGINT) AS n_members
       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  // Exact-substring (duplicate-passage) dedup with planted shared
+  // boilerplate: a 12-token header on every doc_id % 5 == 0 and a
+  // 9-token footer on every doc_id % 7 == 0. All header/footer
+  // 8-gram windows are cross-doc duplicates, so the spans are
+  // removed; boundary windows (7 boilerplate tokens + the doc's
+  // first/last word) also match wherever two planted docs share
+  // that word — genuine duplicated 8-grams on this vocabulary. The
+  // oracle replays plant, window hashing, span cover, and rebuild.
+  val dd9SubstrDedup: Q = (s, dir) => {
+    val hdr = "begin shared corpus header boilerplate marker alpha " +
+      "beta gamma delta epsilon zeta "
+    val ftr = " end shared footer boilerplate marker omega psi chi phi"
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 5 === 0, lit(hdr)).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 7 === 0, lit(ftr)).otherwise(lit("")))
+        .as("text"))
+    Dedup.exactSubstringDedup(planted, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  val dd9Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN 'begin shared corpus header boilerplate marker alpha beta gamma delta epsilon zeta ' || text
+      |      ELSE text END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN ' end shared footer boilerplate marker omega psi chi phi'
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM planted),
+      |wins AS (
+      |  SELECT doc_id, i - 1 AS start, md5(array_to_string(w[i:i+7], ' ')) AS g
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM t WHERE len(w) >= 8) p),
+      |dup AS (SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |m AS (SELECT doc_id, start FROM wins JOIN dup USING (g)),
+      |cov AS (SELECT DISTINCT doc_id, start + d AS p
+      |        FROM (SELECT doc_id, start, unnest(generate_series(0, 7)) AS d
+      |              FROM m)),
+      |tok AS (SELECT doc_id, unnest(w) AS tk,
+      |               unnest(generate_series(1, len(w))) - 1 AS p FROM t),
+      |clean AS (
+      |  SELECT tok.doc_id,
+      |         coalesce(string_agg(tk, ' ' ORDER BY tok.p)
+      |                  FILTER (WHERE cov.p IS NULL), '') AS clean_text
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+      |  GROUP BY tok.doc_id),
+      |nw AS (SELECT doc_id, greatest(len(w) - 7, 0) AS n_windows FROM t),
+      |dw AS (SELECT doc_id, count(*) AS dup_windows FROM m GROUP BY doc_id)
+      |SELECT nw.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+      |  CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows,
+      |  clean.clean_text
+      |FROM nw LEFT JOIN dw USING (doc_id) JOIN clean USING (doc_id)
+      |ORDER BY nw.doc_id""".stripMargin
+
+  // Embedding near-dup PAIR mining (SemDeDup candidate step) via
+  // sign-LSH banding, with planted near-duplicates: float-scaled
+  // copies of vecs 0..19 (scaling preserves direction, so the copies
+  // land in the same sign buckets and rerank at cosine ~1). The
+  // oracle re-derives the md5-Rademacher hyperplanes, buckets, the
+  // hot-bucket guard, and the double-precision cosine rerank.
+  val dd10CosinePairs: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 5000000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.05f)).as("embedding"))
+    Similarity.cosineNearDupPairs(e.unionByName(planted),
+      "vec_id", "embedding", minCosine = 0.99, bands = 4,
+      bitsPerBand = 8, dims = 64)
+      .orderBy("id1", "id2")
+  }
+
+  val dd10Sql: String =
+    """WITH planted AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 5000000,
+      |         list_transform(embedding, x -> x * CAST(1.05 AS FLOAT))
+      |  FROM embeddings WHERE vec_id < 20),
+      |pl AS (
+      |  SELECT bj.b, bj.j,
+      |         list(CASE WHEN CAST('0x' || substr(md5(
+      |                 'lsh:' || CAST(42 + bj.b AS VARCHAR) || ':' ||
+      |                 CAST(bj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)
+      |               ), 1, 1) AS INT) % 2 = 0
+      |              THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS plane
+      |  FROM (SELECT b.b, j.j
+      |        FROM (SELECT unnest(generate_series(0, 3)) AS b) b
+      |        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j) bj
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+      |  GROUP BY bj.b, bj.j),
+      |bux AS (
+      |  SELECT e.vec_id, p.b AS band,
+      |         CAST(sum(CASE WHEN list_dot_product(
+      |                 CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+      |              THEN (1 << p.j) ELSE 0 END) AS INT) AS bucket
+      |  FROM planted e CROSS JOIN pl p
+      |  GROUP BY e.vec_id, p.b),
+      |ok AS (SELECT band, bucket FROM (
+      |         SELECT band, bucket, count(*) AS c FROM bux GROUP BY 1, 2)
+      |       WHERE c <= 1000),
+      |bok AS (SELECT bux.* FROM bux JOIN ok USING (band, bucket)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+      |  FROM bok a JOIN bok c ON a.band = c.band AND a.bucket = c.bucket
+      |  WHERE a.vec_id < c.vec_id),
+      |scored AS (
+      |  SELECT id1, id2,
+      |         list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+      |                                CAST(e2.embedding AS DOUBLE[])) AS cosine
+      |  FROM cand JOIN planted e1 ON e1.vec_id = id1
+      |            JOIN planted e2 ON e2.vec_id = id2)
+      |SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.99
+      |ORDER BY id1, id2""".stripMargin
+
   // Exact char-3-gram Jaccard pairs on a bounded slice, with the
   // stop-shingle guard ON in the attested path (shingles in >80 of the
   // 100 docs are dropped before the join — 12 genuinely hot trigrams
@@ -994,6 +1112,8 @@ object PipelineQueries {
     "dd6_neardup_clusters" -> dd6Cluster,
     "dd7_incremental_dedup" -> dd7Incremental,
     "dd8_cluster_keepers" -> dd8Keepers,
+    "dd9_substr_dedup" -> dd9SubstrDedup,
+    "dd10_embed_neardup_lsh" -> dd10CosinePairs,
     "sm1_stratified_sample" -> sm1Sample,
     "sm2_source_cap" -> sm2Cap,
     "sm3_mixture_rates" -> sm3Mixture,
@@ -1036,6 +1156,8 @@ object PipelineQueries {
     "dd6_neardup_clusters" -> dd6Sql,
     "dd7_incremental_dedup" -> dd7Sql,
     "dd8_cluster_keepers" -> dd8Sql,
+    "dd9_substr_dedup" -> dd9Sql,
+    "dd10_embed_neardup_lsh" -> dd10Sql,
     "sm1_stratified_sample" -> sm1Sql,
     "sm2_source_cap" -> sm2Sql,
     "sm3_mixture_rates" -> sm3Sql,

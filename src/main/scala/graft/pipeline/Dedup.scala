@@ -28,6 +28,66 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-substring (duplicate-passage) dedup over token n-grams —
+    * the distributed reshape of the suffix-array method of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499). Every length-`n` token window whose gram
+    * occurs in >= `minDocs` distinct documents is a duplicated span
+    * (shared boilerplate, copied passages); the document itself is
+    * kept, with every covered token removed from `clean_text`.
+    *
+    * Returns one row per input document:
+    * (id, n_windows, dup_windows, clean_text).
+    *
+    * Scale shape: windows meet only through a partial-aggregated
+    * groupBy and an equi join on the 128-bit gram hash — a gram shared
+    * by M documents joins M window rows to ONE gram row (linear,
+    * never pairwise), so hot boilerplate cannot explode the join.
+    * Span removal is per-row token work bounded by document length
+    * (the covered-position array is materialized once per row, not
+    * per lambda element). md5 keeps gram keys collision-safe at
+    * corpus scales where 64-bit hashing would birthday-collide
+    * (~4e9 grams), and is what makes the op oracle-portable.
+    */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"window length must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = spread(df).select(col(idCol), col(textCol),
+        split(col(textCol), " +").as("__toks"))
+      .withColumn("__ntok", size(col("__toks")))
+    // CaseWhen evaluates only the matched branch, so sequence() never
+    // sees a negative stop for docs shorter than n (Spark's sequence
+    // would otherwise count DOWN); posexplode drops them from wins.
+    val wins = base.select(col(idCol),
+        posexplode(when(col("__ntok") >= n,
+            transform(sequence(lit(0), col("__ntok") - n),
+              i => md5(array_join(slice(col("__toks"), i + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<string>"))))
+      .toDF(idCol, "__start", "__gram")
+    val dupGrams = wins.groupBy("__gram")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__gram")
+    val marked = wins.join(dupGrams, "__gram")
+      .groupBy(idCol)
+      .agg(sort_array(collect_set(col("__start"))).as("__dups"))
+    base.join(marked, Seq(idCol), "left")
+      .withColumn("__cov", array_distinct(flatten(transform(
+        coalesce(col("__dups"), array().cast("array<int>")),
+        s => sequence(s, s + (n - 1))))))
+      .select(col(idCol),
+        greatest(col("__ntok") - (n - 1), lit(0)).cast("long")
+          .as("n_windows"),
+        coalesce(size(col("__dups")), lit(0)).cast("long")
+          .as("dup_windows"),
+        when(size(col("__cov")) === 0, col(textCol))
+          .otherwise(array_join(
+            filter(col("__toks"),
+              (t, i) => !array_contains(col("__cov"), i)), " "))
+          .as("clean_text"))
+  }
+
   // ---------------- shingling ----------------
 
   /** Repartition a low-parallelism input before CPU-heavy per-row map

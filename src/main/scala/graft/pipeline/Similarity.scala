@@ -192,4 +192,68 @@ object Similarity {
     a.join(b, col("id1") + 1 === col("id2"))
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
   }
+
+  /** Embedding near-duplicate PAIR mining at corpus scale — the cosine
+    * analogue of `Dedup.minhashNearDupPairs` and the candidate step of
+    * SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540).
+    * Sign-LSH banding buckets the corpus; candidate pairs meet ONLY
+    * inside a (band, bucket) equi-join group; hot buckets are dropped
+    * like stop-shingles (a bucket with B members is B² pairs — beyond
+    * `maxBucketSize` it is low-precision noise and THE quadratic
+    * blowup at corpus scale); the exact cosine reranks survivors to
+    * `minCosine`. Returns (id1, id2, cosine) with id1 < id2, each
+    * pair once. NULL vectors are dropped up front (nothing is a
+    * near-dup of NULL).
+    *
+    * Vectors ride the bucket rows (bands× payload amplification in
+    * the bucket shuffle) so the rerank happens on the joined rows —
+    * the same carry trade minhashNearDupPairs makes with signatures,
+    * saving the two candidate×vector join-back shuffles.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.9, bands: Int = 4, bitsPerBand: Int = 8,
+      seed: Long = 42L, dims: Int = 0,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(dims >= 0,
+      s"cosineNearDupPairs: dims must be non-negative (0 = derive), got $dims")
+    val in = df.filter(col(vecCol).isNotNull)
+    val d =
+      if (dims > 0) dims
+      else in.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
+    // wrong-length vectors fail the job: mismatched hyperplanes would
+    // NULL the dot products and file every vector into bucket 0 —
+    // recall collapses while the bucket join degenerates toward
+    // all-pairs (same contract as lshTopK)
+    def checked(c: Column): Column =
+      when(size(c) === d, c).otherwise(raise_error(concat(
+        lit(s"cosineNearDupPairs: expected $d-dim vectors (pass dims= " +
+          "explicitly for a different dimensionality), found length "),
+        size(c).cast("string"))))
+    val bandCols = (0 until bands).map { b =>
+      val planes = hyperplanes(bitsPerBand, d, seed + b)
+      struct(lit(b).as("band"), bandBucket(col("__vd"), planes).as("bucket"))
+    }
+    val buckets0 = in
+      .withColumn("__vd", transform(checked(col(vecCol)), x => x.cast("double")))
+      .select(col(idCol), col(vecCol).as("vec"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("vec"), col("bb.band"), col("bb.bucket"))
+    val hot = buckets0.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("band", "bucket")
+    val buckets = buckets0.join(broadcast(hot), Seq("band", "bucket"),
+      "left_anti")
+      // a USING join moves the join keys first — restore column order
+      // before the positional renames below
+      .select(col(idCol), col("vec"), col("band"), col("bucket"))
+    val b1 = buckets.toDF("id1", "v1", "band", "bucket")
+    val b2 = buckets.toDF("id2", "v2", "band", "bucket")
+    val candidates = b1.join(b2, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "v1", "id2", "v2").distinct()
+    candidates
+      .select(col("id1"), col("id2"),
+        cosine(col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

@@ -936,6 +936,58 @@ class PipelineSpec extends SparkTestBase {
     assert(kept == Set(2L, 10L))
   }
 
+  test("exact-substring dedup removes cross-doc spans, merges overlaps, ignores intra-doc repeats") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c X Y Z d e f"),     // shares "X Y Z" with 2, 5, 6
+      (2L, "p q X Y Z r s"),
+      (3L, "tiny doc"),              // shorter than n: zero windows
+      (4L, "u v w x y"),             // unique content: untouched
+      (5L, "m n X Y Z W o"),         // "X Y Z"+"Y Z W": overlapping spans
+      (6L, "k X Y Z W l"),
+      (7L, "g h i g h i j")          // repeats only WITHIN one doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(d, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((7L, 1L, "a b c d e f")))
+    assert(out(2L) == ((5L, 1L, "p q r s")))
+    assert(out(3L) == ((0L, 0L, "tiny doc")))
+    assert(out(4L) == ((3L, 0L, "u v w x y")))
+    // overlapping duplicated windows merge into one removed span
+    assert(out(5L) == ((5L, 2L, "m n o")))
+    assert(out(6L) == ((4L, 2L, "k l")))
+    // minDocs counts DISTINCT docs: intra-doc repetition is kept
+    assert(out(7L) == ((5L, 0L, "g h i g h i j")))
+  }
+
+  test("cosine near-dup mining finds planted pairs, drops NULLs, rejects wrong dims") {
+    import spark.implicits._
+    val planted = embs.filter(col("vec_id") < 30).select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.05f)).as("embedding"))
+    val withNull = embs.unionByName(planted).unionByName(
+      Seq(9999999L).toDF("vec_id")
+        .select(col("vec_id"), lit(null).cast("array<float>").as("embedding")))
+    val pairs = Similarity.cosineNearDupPairs(withNull, "vec_id", "embedding",
+      minCosine = 0.99, bands = 4, bitsPerBand = 8, dims = 64).collect()
+    val found = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000000)
+    // direction-preserving copies land in identical sign buckets
+    assert(found == 30, s"only $found/30 planted near-dups found")
+    assert(!pairs.exists(r => r.getLong(0) == 9999999L || r.getLong(1) == 9999999L))
+    // a wrong-length vector fails the job instead of silently
+    // bucketing everything into band-bucket 0
+    val bad = embs.unionByName(
+      Seq((8888888L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val ex = intercept[Exception] {
+      Similarity.cosineNearDupPairs(bad, "vec_id", "embedding",
+        dims = 64).collect()
+    }
+    assert(ex.getMessage.contains("64-dim") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("64-dim"))
+  }
+
   test("incremental dedup rejects an existingSigs frame missing the id column") {
     val sigs = Dedup.minhashSignatures(docs.filter(col("doc_id") < 10),
       "doc_id", "text").drop("doc_id")

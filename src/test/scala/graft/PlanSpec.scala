@@ -86,6 +86,29 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("exact-substring dedup meets windows only on gram equi joins with a partial agg") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 50)
+    val p = plan(graft.pipeline.Dedup.exactSubstringDedup(
+      d, "doc_id", "text", n = 8))
+    // a gram shared by M docs joins M window rows to ONE gram row:
+    // linear equi joins, never a pairwise or nested-loop product
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the dup-gram countDistinct aggregates partially before its
+    // exchange (hot boilerplate grams combine map-side)
+    assert(p.contains("partial_count(distinct"), p.take(2000))
+  }
+
+  test("cosine near-dup mining pairs meet only inside LSH buckets") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 100)
+    val p = plan(graft.pipeline.Similarity.cosineNearDupPairs(
+      e, "vec_id", "embedding", dims = 64))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("contamination check plans an equi join on the shingle") {
     val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
     val p = plan(graft.pipeline.Contamination.ngramContamination(
