@@ -411,6 +411,101 @@ object PipelineQueries {
       |SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.99
       |ORDER BY id1, id2""".stripMargin
 
+  // SemDeDup end to end over embeddings with TWO direction-preserving
+  // planted copies of vecs 0..9 (triangle components): sign-LSH pair
+  // mining -> transitive clustering -> keep the highest-l2-norm
+  // member (the 1.1025x copy; the corpus is unit-norm, so keeper
+  // quality is exactly the scale factor). Singletons keep themselves.
+  // The oracle replays planes, buckets, guard, cosine rerank, the
+  // recursive closure, and the quality-ranked keeper choice.
+  val cp2SemanticDedup: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    def scaled(off: Long, f: Float) = e.filter(col("vec_id") < 10).select(
+      (col("vec_id") + off).as("vec_id"),
+      transform(col("embedding"), x => x * lit(f)).as("embedding"))
+    val corpus = e.unionByName(scaled(5000000L, 1.05f))
+      .unionByName(scaled(6000000L, 1.1025f))
+    val withQ = corpus.withColumn("quality",
+      sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0d), (a, v) => a + v)))
+    pipeline.Curation.semanticDedup(withQ, "vec_id", "embedding", "quality",
+      minCosine = 0.99, bands = 4, bitsPerBand = 8, dims = 64)
+      .orderBy("cluster_id")
+  }
+
+  val cp2Sql: String =
+    """WITH RECURSIVE planted AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 5000000,
+      |         list_transform(embedding, x -> x * CAST(1.05 AS FLOAT))
+      |  FROM embeddings WHERE vec_id < 10
+      |  UNION ALL
+      |  SELECT vec_id + 6000000,
+      |         list_transform(embedding, x -> x * CAST(1.1025 AS FLOAT))
+      |  FROM embeddings WHERE vec_id < 10),
+      |pl AS (
+      |  SELECT bj.b, bj.j,
+      |         list(CASE WHEN CAST('0x' || substr(md5(
+      |                 'lsh:' || CAST(42 + bj.b AS VARCHAR) || ':' ||
+      |                 CAST(bj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)
+      |               ), 1, 1) AS INT) % 2 = 0
+      |              THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS plane
+      |  FROM (SELECT b.b, j.j
+      |        FROM (SELECT unnest(generate_series(0, 3)) AS b) b
+      |        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j) bj
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+      |  GROUP BY bj.b, bj.j),
+      |bux AS (
+      |  SELECT e.vec_id, p.b AS band,
+      |         CAST(sum(CASE WHEN list_dot_product(
+      |                 CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+      |              THEN (1 << p.j) ELSE 0 END) AS INT) AS bucket
+      |  FROM planted e CROSS JOIN pl p
+      |  GROUP BY e.vec_id, p.b),
+      |ok AS (SELECT band, bucket FROM (
+      |         SELECT band, bucket, count(*) AS c FROM bux GROUP BY 1, 2)
+      |       WHERE c <= 1000),
+      |bok AS (SELECT bux.* FROM bux JOIN ok USING (band, bucket)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+      |  FROM bok a JOIN bok c ON a.band = c.band AND a.bucket = c.bucket
+      |  WHERE a.vec_id < c.vec_id),
+      |pairs AS (
+      |  SELECT id1, id2 FROM (
+      |    SELECT id1, id2,
+      |           list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+      |                                  CAST(e2.embedding AS DOUBLE[])) AS cosine
+      |    FROM cand JOIN planted e1 ON e1.vec_id = id1
+      |              JOIN planted e2 ON e2.vec_id = id2)
+      |  WHERE cosine >= 0.99),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+      |          UNION SELECT id2, id1 FROM pairs),
+      |closure(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+      |labels AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+      |           FROM closure GROUP BY a),
+      |corpus AS (SELECT vec_id,
+      |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                   CAST(embedding AS DOUBLE[]))) AS quality
+      |           FROM planted),
+      |labeled AS (
+      |  SELECT c.vec_id, coalesce(l.cluster_id, c.vec_id) AS cluster_id,
+      |         c.quality
+      |  FROM corpus c LEFT JOIN labels l USING (vec_id)),
+      |ranked AS (
+      |  SELECT cluster_id, vec_id, quality,
+      |         row_number() OVER (PARTITION BY cluster_id
+      |                            ORDER BY quality DESC, vec_id) AS rn,
+      |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+      |  FROM labeled)
+      |SELECT cluster_id, vec_id AS keep_id, quality AS keep_quality,
+      |       CAST(n_members AS BIGINT) AS n_members
+      |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // Exact char-3-gram Jaccard pairs on a bounded slice, with the
   // stop-shingle guard ON in the attested path (shingles in >80 of the
   // 100 docs are dropped before the join — 12 genuinely hot trigrams
@@ -1114,6 +1209,7 @@ object PipelineQueries {
     "dd8_cluster_keepers" -> dd8Keepers,
     "dd9_substr_dedup" -> dd9SubstrDedup,
     "dd10_embed_neardup_lsh" -> dd10CosinePairs,
+    "cp2_semantic_dedup" -> cp2SemanticDedup,
     "sm1_stratified_sample" -> sm1Sample,
     "sm2_source_cap" -> sm2Cap,
     "sm3_mixture_rates" -> sm3Mixture,
@@ -1158,6 +1254,7 @@ object PipelineQueries {
     "dd8_cluster_keepers" -> dd8Sql,
     "dd9_substr_dedup" -> dd9Sql,
     "dd10_embed_neardup_lsh" -> dd10Sql,
+    "cp2_semantic_dedup" -> cp2Sql,
     "sm1_stratified_sample" -> sm1Sql,
     "sm2_source_cap" -> sm2Sql,
     "sm3_mixture_rates" -> sm3Sql,

@@ -110,6 +110,31 @@ object Curation {
         col("k.q").as("keep_quality"), col("n_members"))
   }
 
+  /** SemDeDup end to end (Abbas et al., arXiv:2303.09540): mine
+    * embedding near-duplicate pairs with sign-LSH banding
+    * (Similarity.cosineNearDupPairs), cluster them transitively, and
+    * keep the best-quality member of each cluster. Returns the keeper
+    * frame of [[selectKeepers]] — (cluster_id, keep_id, keep_quality,
+    * n_members); items in no cluster keep themselves.
+    *
+    * The three stages are the already-scale-shaped operators: pairs
+    * meet only inside LSH buckets (hot-bucket guarded), clustering is
+    * O(log diameter) equi-join rounds, keeper selection is one
+    * struct-max partial agg per cluster. One mining pass feeds both
+    * the clustering and any pair-level reporting the caller does.
+    */
+  def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
+      qualityCol: String, minCosine: Double = 0.9, bands: Int = 4,
+      bitsPerBand: Int = 8, seed: Long = 42L, dims: Int = 0,
+      maxBucketSize: Int = 1000,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    val pairs = Similarity.cosineNearDupPairs(
+      docs.select(col(idCol), col(vecCol)), idCol, vecCol, minCosine,
+      bands, bitsPerBand, seed, dims, maxBucketSize)
+    selectKeepers(docs, pairs.select("id1", "id2"), idCol, qualityCol,
+      reliableCheckpoints = reliableCheckpoints)
+  }
+
   /** Per-source summary of a curation pass (the report a data-quota
     * dashboard consumes).
     */

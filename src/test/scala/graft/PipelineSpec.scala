@@ -988,6 +988,29 @@ class PipelineSpec extends SparkTestBase {
       ex.getCause != null && ex.getCause.getMessage.contains("64-dim"))
   }
 
+  test("semantic dedup keeps the best-quality member of each embedding cluster") {
+    import graft.pipeline.Curation
+    def scaled(off: Long, f: Float) = embs.filter(col("vec_id") < 10).select(
+      (col("vec_id") + off).as("vec_id"),
+      transform(col("embedding"), x => x * lit(f)).as("embedding"))
+    val corpus = embs.unionByName(scaled(1000000L, 1.05f))
+      .unionByName(scaled(2000000L, 1.1f))
+      .withColumn("quality", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0d), (a, v) => a + v)))
+    val keepers = Curation.semanticDedup(corpus, "vec_id", "embedding",
+      "quality", minCosine = 0.99, dims = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // each triad clusters under its original id; the largest-norm
+    // (1.1x) copy is kept
+    (0L until 10L).foreach { i =>
+      assert(keepers(i) == ((i + 2000000L, 3L)), s"cluster $i: ${keepers(i)}")
+    }
+    // untouched vectors are singleton keepers of themselves
+    assert(keepers(100L) == ((100L, 1L)))
+    assert(keepers.size == embs.count())
+  }
+
   test("incremental dedup rejects an existingSigs frame missing the id column") {
     val sigs = Dedup.minhashSignatures(docs.filter(col("doc_id") < 10),
       "doc_id", "text").drop("doc_id")
