@@ -1072,6 +1072,122 @@ object PipelineQueries {
       |  FROM documents ORDER BY u, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  // Token-budget selection: each source keeps its hash-ordered prefix
+  // of documents within a per-source token budget. The oracle replays
+  // the NAIVE single running-total window — attesting that the
+  // skew-safe two-level bucketed prefix sum selects exactly the same
+  // rows with exactly the same cumulative totals.
+  val sm5Budget: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " +")).cast("long").as("n_tokens"))
+    pipeline.Sampling.tokenBudgetSelect(d, "doc_id", "n_tokens", "source",
+      budgets = Map("src0" -> 900L, "src1" -> 700L, "src2" -> 1200L),
+      seed = 11L, defaultBudget = 400L)
+      .orderBy("doc_id")
+  }
+
+  val sm5Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens,
+      |         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS u
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |             sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |      FROM t)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c
+      |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 700
+      |                                WHEN 'src2' THEN 1200 ELSE 400 END
+      |ORDER BY doc_id""".stripMargin
+
+  // Cluster-balanced (diversity) sampling: nearest-static-centroid
+  // assignment, then the skew-safe per-cluster cap — "at most k rows
+  // per semantic cluster". The oracle replays the centroid pick, the
+  // argmin assignment, and the capPerSource hash-order window.
+  val sm6Diverse: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val centroids = pipeline.Ivf.staticCentroids(e, "vec_id", "embedding",
+      nlist = 16)
+    pipeline.Sampling.diverseSample(e, "vec_id", "embedding", centroids,
+      perCluster = 40, seed = 13L)
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
+  val sm6Sql: String =
+    """WITH st AS (
+      |  SELECT greatest(count(*) // 16, 1) AS step FROM embeddings),
+      |cent AS (
+      |  SELECT CAST(e.vec_id // st.step AS INT) AS j,
+      |         CAST(e.embedding AS DOUBLE[]) AS c
+      |  FROM embeddings e, st
+      |  WHERE e.vec_id % st.step = 0 AND e.vec_id < st.step * 16),
+      |dist AS (
+      |  SELECT e.vec_id, cent.j,
+      |         ((list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                            CAST(e.embedding AS DOUBLE[]))
+      |           - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), cent.c))
+      |          + list_dot_product(cent.c, cent.c)) AS d
+      |  FROM embeddings e CROSS JOIN cent),
+      |cell AS (
+      |  SELECT vec_id, j AS cluster FROM (
+      |    SELECT vec_id, j,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |h AS (
+      |  SELECT vec_id, cluster,
+      |         CAST('0x' || substr(md5('13:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS u
+      |  FROM cell),
+      |r AS (SELECT vec_id, cluster,
+      |             row_number() OVER (PARTITION BY cluster ORDER BY u, vec_id) AS rn
+      |      FROM h)
+      |SELECT vec_id, CAST(cluster AS INT) AS cluster
+      |FROM r WHERE rn <= 40 ORDER BY vec_id""".stripMargin
+
+  // CCNet-style LM quality scoring: an add-0.1-smoothed bigram LM
+  // trained on the lang='en' slice scores ALL documents (non-English
+  // docs exercise the unseen-bigram / unseen-prefix smoothing path).
+  // Scores round to 4 decimals on both sides so double summation
+  // order cannot flip the value hash.
+  val tx10LmScore: Q = (s, dir) => {
+    val d = docs(s, dir)
+    TextAnalysis.lmScore(d.select("doc_id", "text"), "doc_id", "text",
+      d.filter(col("lang") === "en").select("text"), "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll"), 4).as("nll"), round(col("ppl"), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val tx10Sql: String =
+    """WITH train AS (
+      |  SELECT regexp_split_to_array(text, ' +') AS w
+      |  FROM documents WHERE lang = 'en'),
+      |tb AS (SELECT w[i] AS w1, w[i + 1] AS w2
+      |       FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+      |             FROM train WHERE len(w) >= 2)),
+      |lm AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY 1, 2),
+      |pr AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tk) AS v
+      |      FROM (SELECT unnest(w) AS tk FROM train)),
+      |d AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      |      FROM documents),
+      |db AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      |             FROM d WHERE len(w) >= 2)),
+      |dn AS (SELECT doc_id, w1, w2, count(*) AS n FROM db GROUP BY 1, 2, 3),
+      |sc AS (SELECT doc_id, sum(n) AS nb,
+      |              -sum(n * ln((coalesce(c12, 0) + 0.1) /
+      |                          (coalesce(c1, 0) + 0.1 * v.v))) / sum(n) AS nll
+      |       FROM dn LEFT JOIN lm USING (w1, w2) LEFT JOIN pr USING (w1)
+      |       CROSS JOIN v
+      |       GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+      |       round(nll, 4) AS nll, round(exp(nll), 4) AS ppl
+      |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // Sequence packing: documents concatenated in id order, cut into
   // 512-token shards via the distributed prefix sum.
   val pk1Pack: Q = (s, dir) => {
@@ -1214,7 +1330,10 @@ object PipelineQueries {
     "sm2_source_cap" -> sm2Cap,
     "sm3_mixture_rates" -> sm3Mixture,
     "sm4_exact_sample" -> sm4Exact,
+    "sm5_token_budget" -> sm5Budget,
+    "sm6_diverse_sample" -> sm6Diverse,
     "tx9_normalize" -> tx9Normalize,
+    "tx10_lm_score" -> tx10LmScore,
     "pk1_sequence_packing" -> pk1Pack,
     "qz1_embed_quantize" -> qz1Quantize,
     "mm2_resize_features" -> mm2ResizeFeatures,
@@ -1259,7 +1378,10 @@ object PipelineQueries {
     "sm2_source_cap" -> sm2Sql,
     "sm3_mixture_rates" -> sm3Sql,
     "sm4_exact_sample" -> sm4Sql,
+    "sm5_token_budget" -> sm5Sql,
+    "sm6_diverse_sample" -> sm6Sql,
     "tx9_normalize" -> tx9Sql,
+    "tx10_lm_score" -> tx10Sql,
     "pk1_sequence_packing" -> pk1Sql,
     "qz1_embed_quantize" -> qz1Sql,
     "mm2_resize_features" -> mm2Sql,

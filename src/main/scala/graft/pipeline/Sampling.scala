@@ -197,4 +197,97 @@ object Sampling {
     parted.unpersist(false)
     cut
   }
+
+  /** Token-budget selection: within each stratum, keep the maximal
+    * hash-ordered prefix of rows whose cumulative token count stays
+    * within the stratum's budget — "take N billion tokens from each
+    * source", the budgeted dual of [[capPerSource]]'s row cap.
+    * Rows are ordered by portable hash of (seed, id) (a uniform,
+    * reproducible draw, like every sampler here); a row is kept iff
+    * its INCLUSIVE running total is <= the budget, so the kept set is
+    * a contiguous prefix (token counts are non-negative, making the
+    * running total monotone). Returns the kept rows with their
+    * `cum_tokens`. Strata absent from `budgets` get `defaultBudget`.
+    *
+    * Preconditions (documented, same contracts as the other
+    * samplers): `idCol` unique (duplicate ids make the (hash, id)
+    * order — and thus the prefix — partition-order dependent) and
+    * `tokensCol` non-negative (a negative count would un-overflow the
+    * running total mid-stratum, breaking the prefix property).
+    *
+    * Scale shape: a two-level distributed prefix sum, skew-safe by
+    * construction — the naive single running-total window would
+    * funnel a billion-row source into ONE task. The hash is bucketed
+    * by its high bits (bucketing is monotone in the hash, so buckets
+    * are contiguous order ranges); level 1 partial-aggregates
+    * per-(stratum, bucket) token sums (<= strata·buckets rows) and a
+    * window over BUCKETS yields each bucket's starting offset; level
+    * 2 computes running totals only WITHIN a bucket, partitioned by
+    * (stratum, bucket). Buckets whose offset already exceeds the
+    * budget are pruned before level 2 — the expensive window touches
+    * only the ~budget-covering prefix of each stratum, not the whole
+    * corpus — and no window partition ever holds more than
+    * n_stratum / buckets rows.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+      strataCol: String, budgets: Map[String, Long], seed: Long = 42L,
+      defaultBudget: Long = 0L, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"tokenBudgetSelect needs buckets >= 1, got $buckets")
+    require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
+      "budgets must be non-negative")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val step = (1L << 60) / buckets // hash60 < 2^60; floor-div is monotone
+    val based = df
+      .withColumn("__u", PortableHash.hash60(
+        concat_ws(":", lit(seed), col(idCol))))
+      .withColumn("__bk", (col("__u") / lit(step)).cast("long"))
+      .withColumn("__budget", budget)
+    val offsets = based.groupBy(col(strataCol), col("__bk"))
+      .agg(sum(col(tokensCol).cast("long")).as("__bs"))
+      .withColumn("__off", coalesce(sum(col("__bs")).over(
+        Window.partitionBy(col(strataCol)).orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(strataCol), col("__bk"), col("__off"))
+    val w = Window.partitionBy(col(strataCol), col("__bk"))
+      .orderBy(col("__u").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    based
+      .join(broadcast(offsets), Seq(strataCol, "__bk"))
+      // a bucket starting past the budget cannot contribute (<=, not <:
+      // zero-token rows sitting exactly AT the budget are still kept)
+      .filter(col("__off") <= col("__budget"))
+      .withColumn("cum_tokens",
+        col("__off") + sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .select((df.columns.map(col) :+ col("cum_tokens")).toIndexedSeq: _*)
+  }
+
+  /** Cluster-balanced (diversity) sampling: assign each row to its
+    * nearest centroid in embedding space, then keep at most
+    * `perCluster` rows per cluster by the deterministic portable-hash
+    * draw — "no semantic cluster may dominate the corpus", the
+    * diversity pass of SemDeDup-style curation (Abbas et al.,
+    * arXiv:2303.09540 §3 keeps a fixed share per cluster the same
+    * way). Returns the kept rows with their `cluster` id.
+    *
+    * Scale shape: assignment is a map-only struct-min over the
+    * broadcast centroid literals ([[Ivf.nearestCell]] — no join, no
+    * shuffle), and the per-cluster cap is [[capPerSource]]'s salted
+    * two-window pass, so one giant cluster cannot funnel into a
+    * single task. Centroids come from [[Ivf.trainCentroids]] (quality)
+    * or [[Ivf.staticCentroids]] (attestable); k-means cost is the
+    * caller's one-off, amortized across every downstream pass.
+    */
+  def diverseSample(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], perCluster: Int,
+      seed: Long = 42L): DataFrame = {
+    require(centroids.nonEmpty, "diverseSample needs at least one centroid")
+    capPerSource(
+      df.withColumn("cluster",
+        Ivf.nearestCell(col(vecCol), centroids).cast("int")),
+      idCol, "cluster", perCluster, seed)
+  }
 }

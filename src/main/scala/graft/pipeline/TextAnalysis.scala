@@ -211,6 +211,76 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
   }
 
+  /** Per-document language-model quality score, the CCNet recipe
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", arXiv:1911.00359): train an
+    * n-gram LM on a trusted reference corpus, score every candidate
+    * document by its per-token negative log-likelihood, and filter on
+    * the score (low nll ≈ fluent text, high nll ≈ boilerplate /
+    * gibberish). This is the add-alpha-smoothed bigram form:
+    * P(w2|w1) = (c(w1,w2) + alpha) / (c(w1·) + alpha·V), with c(w1·)
+    * the count of bigram positions starting at w1 and V the reference
+    * vocabulary size, so unseen bigrams and unseen prefixes are both
+    * well-defined. Returns one row per document:
+    * (id, n_bigrams, nll, ppl = exp(nll)); documents with fewer than
+    * two tokens score NULL.
+    *
+    * Scale shape: the LM build is two partial+final aggregations over
+    * the reference corpus (bigram counts, prefix counts — both
+    * vocabulary-bounded outputs) plus one lazily cross-joined one-row
+    * frame for V. Scoring collapses each document to its DISTINCT
+    * bigrams first (a (doc, w1, w2) partial aggregation), then joins
+    * the LM with two equi joins — a hot bigram ("of the") meets ONE
+    * build-side row however many documents carry it, so skew cannot
+    * pairwise-explode — and folds back to one row per document with a
+    * final partial aggregation. No driver action anywhere.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame, lmTextCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0, s"lmScore needs alpha > 0, got $alpha")
+    val words = col("__words")
+    def bigrams(frame: DataFrame, keep: Seq[Column]): DataFrame = {
+      // CaseWhen evaluates only the matched branch: sequence() never
+      // sees a negative stop for documents shorter than two tokens
+      val pairs = when(size(words) >= 2,
+        transform(sequence(lit(0), size(words) - 2),
+          i => struct(element_at(words, i + 1).as("w1"),
+            element_at(words, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      frame.select((keep :+ explode(pairs).as("__bg")): _*)
+        .select((keep :+ col("__bg.w1") :+ col("__bg.w2")): _*)
+    }
+    val ref = Dedup.spread(lmCorpus)
+      .withColumn("__words", split(col(lmTextCol), " +"))
+    val refBg = bigrams(ref, Seq.empty)
+    val lm = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val prefix = refBg.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val vocab = ref.select(explode(words).as("__tk"))
+      .agg(countDistinct(col("__tk")).as("__v"))
+    val docBg = bigrams(
+      Dedup.spread(df).withColumn("__words", split(col(textCol), " +")),
+      Seq(col(idCol)))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__n"))
+    val scored = docBg
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left") // unseen (w1,w2) can still have a seen w1
+      .crossJoin(broadcast(vocab))
+      .withColumn("__logp", log(
+        (coalesce(col("__c12"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(alpha) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        (-sum(col("__n") * col("__logp")) / sum(col("__n"))).as("nll"))
+    // one row per input document, including the too-short ones
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll"), exp(col("nll")).as("ppl"))
+  }
+
   /** Tiny built-in stopword profiles for the n-gram/stopword language
     * heuristic. Real pipelines plug in fastText-style models; the
     * operator shape (score per language → argmax) is what matters.

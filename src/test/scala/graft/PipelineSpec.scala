@@ -858,6 +858,105 @@ class PipelineSpec extends SparkTestBase {
     assert(salted == naive)
   }
 
+  test("tokenBudgetSelect two-level prefix sum equals the naive running-total window") {
+    import graft.pipeline.{PortableHash, Sampling}
+    import org.apache.spark.sql.expressions.Window
+    // one dominating stratum so bucket offsets and pruning actually bind
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " +")).cast("long").as("n_tokens"))
+      .withColumn("source",
+        when(col("doc_id") % 10 < 7, lit("hot")).otherwise(col("source")))
+    val u = PortableHash.hash60(concat_ws(":", lit(9L), col("doc_id")))
+    val naive = d
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(u.asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <=
+        when(col("source") === "hot", 5000L).otherwise(300L))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // ragged buckets (7 never divides 2^60) over a repartitioned input:
+    // the kept rows AND their cumulative totals must match exactly
+    val fast = Sampling.tokenBudgetSelect(d.repartition(13), "doc_id",
+      "n_tokens", "source", Map("hot" -> 5000L), seed = 9L,
+      defaultBudget = 300L, buckets = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(fast == naive && fast.nonEmpty)
+    // degenerate single bucket (pure naive path) agrees too
+    val one = Sampling.tokenBudgetSelect(d, "doc_id", "n_tokens", "source",
+      Map("hot" -> 5000L), seed = 9L, defaultBudget = 300L, buckets = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(one == naive)
+  }
+
+  test("tokenBudgetSelect keeps an exact-fill prefix and nothing past it") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // equal token counts: whatever the hash order, the prefix property
+    // pins exactly budget/tok rows, the last one filling the budget
+    val d = (1L to 10L).map(i => (i, "s", 10L)).toDF("id", "src", "tok")
+    val sel = Sampling.tokenBudgetSelect(d, "id", "tok", "src",
+      Map("s" -> 30L), seed = 1L, buckets = 4).collect()
+    assert(sel.length == 3, sel.mkString(","))
+    assert(sel.map(_.getLong(3)).max == 30L)
+    // an unknown stratum falls to defaultBudget = 0 and vanishes
+    val none = Sampling.tokenBudgetSelect(d, "id", "tok", "src",
+      Map("other" -> 100L), seed = 1L).collect()
+    assert(none.isEmpty)
+  }
+
+  test("diverseSample caps every cluster and assigns the true nearest centroid") {
+    import graft.pipeline.{Ivf, Sampling}
+    val e = embs
+    val cents = Ivf.staticCentroids(e, "vec_id", "embedding", nlist = 8)
+    val rows = Sampling.diverseSample(e, "vec_id", "embedding", cents,
+      perCluster = 30, seed = 5L).collect()
+    val byCluster = rows.groupBy(_.getInt(2))
+    assert(byCluster.values.forall(_.length <= 30))
+    assert(byCluster.values.exists(_.length == 30),
+      "no cluster reached the cap — the cap never bound")
+    // spot-check the argmin assignment against a driver-side replay
+    rows.take(20).foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val d = cents.map(c =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(r.getInt(2) == d.indexOf(d.min),
+        s"vec ${r.getLong(0)} assigned ${r.getInt(2)}, nearest ${d.indexOf(d.min)}")
+    }
+  }
+
+  test("lmScore: in-distribution text beats unseen text; short docs score NULL") {
+    import spark.implicits._
+    val train = Seq("the cat sat on the mat", "the dog sat on the rug",
+      "the cat ate the fish").toDF("text")
+    val cand = Seq(
+      (1L, "the cat sat on the mat"), // in-distribution
+      (2L, "zz qq ww ee rr tt"),      // every bigram and prefix unseen
+      (3L, "cat"), (4L, "")           // too short for any bigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(cand, "doc_id", "text", train, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4)
+    assert(out(1).getDouble(2) < out(2).getDouble(2),
+      s"fluent nll ${out(1).getDouble(2)} !< garbage nll ${out(2).getDouble(2)}")
+    assert(out(3).isNullAt(2) && out(3).getLong(1) == 0L)
+    assert(out(4).isNullAt(2) && out(4).getLong(1) == 0L)
+    assert(out(1).getLong(1) == 5L) // 6 tokens -> 5 bigram positions
+    // ppl is exactly exp(nll)
+    assert(math.abs(out(1).getDouble(3) - math.exp(out(1).getDouble(2))) < 1e-9)
+    // deterministic across partitionings
+    val re = TextAnalysis.lmScore(cand.repartition(5), "doc_id", "text",
+      train.repartition(3), "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(re(1).getDouble(2) == out(1).getDouble(2))
+  }
+
   test("mixtureRates fails on zero-mass and all-NULL-mass target strata") {
     import spark.implicits._
     import graft.pipeline.Sampling

@@ -187,6 +187,28 @@ class PlanSpec extends SparkTestBase {
     assert(partials.size == 2, p.take(2000))
   }
 
+  test("tokenBudgetSelect never windows a whole stratum of raw rows") {
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " +")).cast("long").as("n_tokens"))
+    val p = plan(graft.pipeline.Sampling.tokenBudgetSelect(
+      d, "doc_id", "n_tokens", "source", Map("src0" -> 1000L),
+      defaultBudget = 500L))
+    // exactly two windows: bucket offsets (over the <= strata*buckets
+    // aggregate — the ONLY stratum-partitioned window) and the
+    // within-bucket running total, whose partition spec must include
+    // the bucket column so no single task ever holds a whole stratum
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(2000))
+    val rowWindow = p.linesIterator
+      .filter(l => l.contains("Window [") && l.contains("__u")).toSeq
+    assert(rowWindow.nonEmpty && rowWindow.forall(_.contains("__bk")),
+      p.take(2000))
+    // the per-bucket token sums are partial-aggregated before their
+    // shuffle, and the tiny offsets frame joins back as a broadcast
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("text ops over a shuffled frame add no exchange and launch no job at composition") {
     import graft.pipeline.TextAnalysis
     val docs = Tables.load(spark, sf, "documents")
