@@ -1102,6 +1102,81 @@ object PipelineQueries {
       |                                WHEN 'src2' THEN 1200 ELSE 400 END
       |ORDER BY doc_id""".stripMargin
 
+  // Typed JSON extraction: one from_json parse per row feeding four
+  // aggregates per event type. The oracle re-extracts with DuckDB's
+  // json_extract_string and must agree on every group.
+  val js1JsonExtract: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+      .select("event_id", "event_type", "props")
+    pipeline.SemiStructured.jsonExtract(e, "props",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val js1Sql: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(*) AS n,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // Token-window chunking (window 8, stride 4): every token lands in
+  // at least one chunk, tail chunks run short. The oracle replays the
+  // start grid, the slice, and the short-tail length.
+  val tx11Chunk: Q = (s, dir) =>
+    TextAnalysis.chunkDocuments(docs(s, dir).select("doc_id", "text"),
+      "doc_id", "text", window = 8, stride = 4)
+      .orderBy("doc_id", "chunk_id")
+
+  val tx11Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      |           FROM documents),
+      |c AS (SELECT doc_id, (i - 1) // 4 AS chunk_id,
+      |             least(8, len(w) - i + 1) AS n_tokens,
+      |             array_to_string(w[i:i+7], ' ') AS chunk_text
+      |      FROM (SELECT doc_id, w,
+      |                   unnest(generate_series(1, greatest(len(w), 1), 4)) AS i
+      |            FROM t))
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |       CAST(n_tokens AS BIGINT) AS n_tokens, chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // Pairwise source-overlap matrix over 3-shingles (the 31-word
+  // synthetic vocabulary makes 3-gram collisions across sources
+  // plentiful, so the matrix is dense and every branch is exercised).
+  val ct3SourceOverlap: Q = (s, dir) =>
+    pipeline.Contamination.sourceOverlap(
+      docs(s, dir).select("source", "text"), "source", "text", w = 3)
+      .orderBy("source_a", "source_b")
+
+  val ct3Sql: String =
+    """WITH t AS (SELECT source, regexp_split_to_array(text, ' +') AS w
+      |           FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS shingle
+      |  FROM (SELECT source, w,
+      |               unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      |        FROM t) p),
+      |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS overlap
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, CAST(overlap AS BIGINT) AS overlap,
+      |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+      |       CAST(overlap AS DOUBLE) / (na.n + nb.n - overlap) AS jaccard
+      |FROM inter
+      |JOIN sizes na ON na.source = source_a
+      |JOIN sizes nb ON nb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   // Cluster-balanced (diversity) sampling: nearest-static-centroid
   // assignment, then the skew-safe per-cluster cap — "at most k rows
   // per semantic cluster". The oracle replays the centroid pick, the
@@ -1334,6 +1409,9 @@ object PipelineQueries {
     "sm6_diverse_sample" -> sm6Diverse,
     "tx9_normalize" -> tx9Normalize,
     "tx10_lm_score" -> tx10LmScore,
+    "tx11_chunking" -> tx11Chunk,
+    "js1_json_extract" -> js1JsonExtract,
+    "ct3_source_overlap" -> ct3SourceOverlap,
     "pk1_sequence_packing" -> pk1Pack,
     "qz1_embed_quantize" -> qz1Quantize,
     "mm2_resize_features" -> mm2ResizeFeatures,
@@ -1382,6 +1460,9 @@ object PipelineQueries {
     "sm6_diverse_sample" -> sm6Sql,
     "tx9_normalize" -> tx9Sql,
     "tx10_lm_score" -> tx10Sql,
+    "tx11_chunking" -> tx11Sql,
+    "js1_json_extract" -> js1Sql,
+    "ct3_source_overlap" -> ct3Sql,
     "pk1_sequence_packing" -> pk1Sql,
     "qz1_embed_quantize" -> qz1Sql,
     "mm2_resize_features" -> mm2Sql,

@@ -66,4 +66,38 @@ object Contamination {
         (coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_shingles").cast("double")).as("contamination"))
   }
+
+  /** Pairwise source-overlap matrix: for every pair of strata, the
+    * size of the intersection of their distinct word-w-shingle sets
+    * and its Jaccard index — the cross-source redundancy diagnostic
+    * run before mixing corpora (two crawls of the same sites will
+    * light up here long before per-document dedup sees them).
+    * Returns (source_a, source_b, overlap, n_a, n_b, jaccard) for
+    * pairs with at least one shared shingle, source_a < source_b.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (stratum, shingle)
+    * rows in one partial+final aggregation — text never travels —
+    * and pairs meet through a self-equi-join on the shingle, so a
+    * shingle present in k strata contributes C(k,2) pair rows,
+    * bounded by the stratum count squared, never by corpus size. The
+    * stratum cardinality is small by contract (sources, not
+    * documents) — the same contract as mixtureRates' target table.
+    */
+  def sourceOverlap(df: DataFrame, strataCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    val sh = Dedup.wordShingles(df, strataCol, textCol, w).distinct()
+    val sizes = sh.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val inter = sh.toDF("source_a", "shingle")
+      .join(sh.toDF("source_b", "shingle"), "shingle")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("overlap"))
+    inter
+      .join(sizes.toDF("source_a", "n_a"), "source_a")
+      .join(sizes.toDF("source_b", "n_b"), "source_b")
+      .select(col("source_a"), col("source_b"), col("overlap"),
+        col("n_a"), col("n_b"),
+        (col("overlap").cast("double") /
+          (col("n_a") + col("n_b") - col("overlap")).cast("double"))
+          .as("jaccard"))
+  }
 }

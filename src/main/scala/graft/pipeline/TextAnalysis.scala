@@ -211,6 +211,36 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
   }
 
+  /** Overlapping token-window chunking for embedding / indexing
+    * pipelines: cut each document into windows of `window` tokens
+    * starting every `stride` tokens — the unit RAG indexes and
+    * embedding models consume. Window starts are 0, stride, 2·stride,
+    * … while they land inside the document, so every token belongs to
+    * at least one chunk; tail chunks may run shorter than `window`.
+    * Returns one row per chunk: (id, chunk_id, n_tokens, chunk_text).
+    *
+    * Scale shape: map-only — split once, explode the window starts,
+    * slice per window, all inside whole-stage codegen; output rows
+    * ≈ corpus tokens / stride, with no shuffle and no state.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"chunkDocuments needs window >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"chunkDocuments needs 1 <= stride <= window, got stride=$stride")
+    val toks = col("__toks")
+    Dedup.spread(df)
+      .withColumn("__toks", split(col(textCol), " +"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+        s => struct(
+          least(lit(window), size(toks) - s).cast("long").as("n_tokens"),
+          array_join(slice(toks, s + 1, lit(window)), " ").as("chunk_text")))))
+      .toDF(idCol, "chunk_id", "__c")
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("__c.n_tokens"), col("__c.chunk_text"))
+  }
+
   /** Per-document language-model quality score, the CCNet recipe
     * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
     * Datasets from Web Crawl Data", arXiv:1911.00359): train an

@@ -911,6 +911,70 @@ class PipelineSpec extends SparkTestBase {
     assert(none.isEmpty)
   }
 
+  test("jsonExtract parses once, types fields, and nulls malformed payloads") {
+    import spark.implicits._
+    import graft.pipeline.SemiStructured
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val d = Seq(
+      (1L, """{"k": 7, "tag": "a"}"""),
+      (2L, """{"k": 9}"""),          // missing field -> NULL tag
+      (3L, """not json at all"""),   // malformed -> both NULL
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "props")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tag", StringType)))
+    val out = SemiStructured.jsonExtract(d, "props", schema)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getLong(2) == 7L && out(1).getString(3) == "a")
+    assert(out(2).getLong(2) == 9L && out(2).isNullAt(3))
+    assert(out(3).isNullAt(2) && out(3).isNullAt(3))
+    assert(out(4).isNullAt(2) && out(4).isNullAt(3))
+    // the whole payload is parsed ONCE however many fields come out
+    // (pin on a parquet-backed frame: a local relation would be
+    // constant-folded away at plan time, hiding the projection)
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "props")
+    val plan = SemiStructured.jsonExtract(ev, "props", schema)
+      .queryExecution.executedPlan.toString
+    assert("from_json".r.findAllIn(plan).size == 1, plan.take(1500))
+    // a field name colliding with an existing column is refused
+    assertThrows[IllegalArgumentException] {
+      SemiStructured.jsonExtract(d, "props",
+        StructType(Seq(StructField("id", LongType))))
+    }
+  }
+
+  test("chunkDocuments covers every token with short tails") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(d, "doc_id", "text",
+      window = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._4).toSeq == Seq("a b c d", "c d e f", "e f g h",
+      "g h i j", "i j"))
+    assert(doc1.map(_._3).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    assert(doc1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // a one-token doc and an empty doc each produce exactly one chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, "x")))
+    assert(out.count(_._1 == 3L) == 1)
+  }
+
+  test("sourceOverlap computes pairwise intersections and Jaccard") {
+    import spark.implicits._
+    import graft.pipeline.Contamination
+    val d = Seq(("A", 1L, "x y z w"), ("B", 2L, "x y z q"),
+      ("C", 3L, "p q r s")).toDF("source", "doc_id", "text")
+    val out = Contamination.sourceOverlap(d, "source", "text", w = 3)
+      .collect()
+    assert(out.length == 1) // only A-B share a 3-shingle
+    val r = out.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+    assert(math.abs(r.getDouble(5) - 1.0 / 3.0) < 1e-12)
+  }
+
   test("diverseSample caps every cluster and assigns the true nearest centroid") {
     import graft.pipeline.{Ivf, Sampling}
     val e = embs
