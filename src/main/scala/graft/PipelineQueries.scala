@@ -1344,6 +1344,48 @@ object PipelineQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // Pairwise Pearson correlation matrix from exact cents-scaled
+  // DECIMAL sums; the double formula runs only in the projection, so
+  // the oracle replaying the same exact sums through the same IEEE
+  // ops matches bit-for-bit.
+  private val pf2Cols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val pf2Corr: Q = (s, dir) =>
+    pipeline.Profiling.corrProfile(Tables.load(s, dir, "lineitem"), pf2Cols)
+      .orderBy("col_x", "col_y")
+
+  val pf2Sql: String = {
+    val cleanCols = pf2Cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(round($c * 100) AS HUGEINT) AS v$i"
+    }.mkString(",\n         ")
+    val notNull = pf2Cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val sums =
+      (pf2Cols.indices.map(i => s"sum(v$i) AS s$i, sum(v$i*v$i) AS ss$i") ++
+        (for { i <- pf2Cols.indices; j <- (i + 1) until pf2Cols.size }
+          yield s"sum(v$i*v$j) AS sp${i}_$j")).mkString(",\n         ")
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val pairSelects =
+      (for { i <- pf2Cols.indices; j <- (i + 1) until pf2Cols.size } yield
+        s"""SELECT '${pf2Cols(i)}' AS col_x, '${pf2Cols(j)}' AS col_y,
+           |  n AS n_rows,
+           |  (${d("n")}*${d(s"sp${i}_$j")} - ${d(s"s$i")}*${d(s"s$j")})
+           |  / (sqrt(${d("n")}*${d(s"ss$i")} - ${d(s"s$i")}*${d(s"s$i")})
+           |     * sqrt(${d("n")}*${d(s"ss$j")} - ${d(s"s$j")}*${d(s"s$j")})) AS pearson_r
+           |FROM s""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH clean AS (
+       |  SELECT $cleanCols
+       |  FROM lineitem
+       |  WHERE $notNull),
+       |s AS (
+       |  SELECT count(*) AS n,
+       |         $sums
+       |  FROM clean)
+       |SELECT * FROM (
+       |$pairSelects
+       |) ORDER BY col_x, col_y""".stripMargin
+  }
+
   // ---------------- composed curation pass ----------------
 
   // quality gate → exact dedup → near-dup drop → per-source stats.
@@ -1430,6 +1472,7 @@ object PipelineQueries {
     "ct1_contamination" -> ct1Contamination,
     "ct2_contamination_bloom" -> ct2BloomContamination,
     "pf1_numeric_profile" -> pf1Profile,
+    "pf2_corr_matrix" -> pf2Corr,
     "mm1_media_features" -> mm1MediaFeatures,
   )
 
@@ -1440,6 +1483,7 @@ object PipelineQueries {
     "ct1_contamination" -> ct1Sql,
     "ct2_contamination_bloom" -> ct1Sql,
     "pf1_numeric_profile" -> pf1Sql,
+    "pf2_corr_matrix" -> pf2Sql,
     "cp1_curation_pipeline" -> cp1Sql,
     "dd1_exact_dedup" -> dd1Sql,
     "dd2_minhash_lsh_pairs" -> dd2Sql,

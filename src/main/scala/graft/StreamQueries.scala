@@ -135,6 +135,46 @@ object StreamQueries {
       |FROM events JOIN bands ON value >= lo AND value < hi
       |ORDER BY event_id""".stripMargin
 
+  // Cohort retention matrix: users cohorted by first active day,
+  // counted per (cohort day, day offset) they return on.
+  val rt1Retention: Q = (s, dir) =>
+    graft.pipeline.Analytics.cohortRetention(Tables.load(s, dir, "events"))
+      .orderBy("cohort_day", "day_offset")
+  val rt1Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |         min(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM ud)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+      |  count(*) AS n_active_users
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Strict-sequence funnel stages (view -> click -> purchase): the
+  // per-user conversion timestamps, each the earliest event at-or-
+  // after the previous step's conversion — hash-checked row-by-row.
+  val fn1Funnel: Q = (s, dir) =>
+    graft.pipeline.Analytics.funnelStages(Tables.load(s, dir, "events"),
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  val fn1Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT s1.user_id, min(s1.t1) AS t1, min(e.ts) AS t2
+      |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+      |    AND e.event_type = 'click' AND e.ts >= s1.t1
+      |  GROUP BY s1.user_id),
+      |s3 AS (
+      |  SELECT s2.user_id, min(t1) AS t1, min(t2) AS t2, min(e.ts) AS t3
+      |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+      |    AND e.event_type = 'purchase' AND e.ts >= s2.t2
+      |  GROUP BY s2.user_id)
+      |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ev1_windowed_agg" -> ev1WindowedAgg,
     "ev2_sessionize" -> ev2Sessions,
@@ -142,6 +182,8 @@ object StreamQueries {
     "ev4_interval_join" -> ev4Attribution,
     "aj1_asof_join" -> aj1AsofJoin,
     "rj1_range_join" -> rj1RangeJoin,
+    "rt1_cohort_retention" -> rt1Retention,
+    "fn1_funnel_stages" -> fn1Funnel,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -151,5 +193,7 @@ object StreamQueries {
     "ev3_dedup" -> ev3Sql,
     "aj1_asof_join" -> aj1Sql,
     "rj1_range_join" -> rj1Sql,
+    "rt1_cohort_retention" -> rt1Sql,
+    "fn1_funnel_stages" -> fn1Sql,
   )
 }

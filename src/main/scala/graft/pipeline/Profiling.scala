@@ -68,4 +68,49 @@ object Profiling {
     }: _*)
     wide.select(explode(structs).as("s")).select("s.*")
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns, in ONE
+    * wide aggregation over a single scan.
+    *
+    * Correlations are derived from EXACT sums, not floating
+    * accumulation: each value is scaled to an integer (`round(x *
+    * scale)`) and summed as DECIMAL(38,0), so the aggregation is
+    * order-independent — the same exact sums on any cluster, any
+    * partitioning. The Pearson formula then runs once per pair in the
+    * projection on doubles cast from those exact sums; every IEEE op
+    * is deterministic, making the result attestable bit-for-bit by an
+    * external engine computing the same sums. Aggregation state is
+    * O(k^2) decimals for k columns — bounded at any data size; rows
+    * with a NULL in any profiled column are excluded (pairwise-common
+    * support, same row set for every pair).
+    */
+  def corrProfile(df: DataFrame, cols: Seq[String],
+      scale: Int = 100): DataFrame = {
+    require(cols.size >= 2, "corrProfile needs at least two columns")
+    val clean = Dedup.spread(df.na.drop(cols))
+    def v(c: String) =
+      round(col(c).cast("double") * scale, 0).cast("decimal(18,0)")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.flatMap { c =>
+          Seq(sum(v(c)).as(s"${c}__s"), sum(v(c) * v(c)).as(s"${c}__ss"))
+        } ++
+        pairs.map { case (a, b) => sum(v(a) * v(b)).as(s"${a}__${b}__sp") }
+    val wide = clean.agg(aggs.head, aggs.tail: _*)
+    val nD = col("__n").cast("double")
+    def corrExpr(a: String, b: String) = {
+      val (sx, sy) = (col(s"${a}__s").cast("double"), col(s"${b}__s").cast("double"))
+      val (sxx, syy) = (col(s"${a}__ss").cast("double"), col(s"${b}__ss").cast("double"))
+      val sxy = col(s"${a}__${b}__sp").cast("double")
+      (nD * sxy - sx * sy) / (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))
+    }
+    val structs = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("__n").as("n_rows"), corrExpr(a, b).as("pearson_r"))
+    }: _*)
+    wide.select(explode(structs).as("s")).select("s.*")
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Analytics, Profiling}
+
+/** Hand-computed behavior tests for the event-analytics operators
+  * (cohort retention, strict-sequence funnel) and the exact-sum
+  * correlation profile.
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  lazy val events = {
+    import spark.implicits._
+    Seq(
+      // user 1: joins day 1, returns day 2 and day 4 (two events day 2)
+      (1L, ts(1, 9), "view"), (1L, ts(2, 9), "click"),
+      (1L, ts(2, 11), "view"), (1L, ts(4, 9), "purchase"),
+      // user 2: joins day 2 only
+      (2L, ts(2, 10), "view"),
+      // user 3: joins day 1, returns day 2
+      (3L, ts(1, 8), "click"), (3L, ts(2, 8), "view")
+    ).toDF("user_id", "ts", "event_type")
+  }
+
+  test("cohortRetention: cohort day, offsets, distinct-user counts") {
+    val got = Analytics.cohortRetention(events)
+      .orderBy("cohort_day", "day_offset")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    // cohort 01-01: users 1,3 active at offset 0 and 1; user 1 at 3
+    // cohort 01-02: user 2 at offset 0
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 2L), ("2024-01-01", 3, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+
+  lazy val funnelEvents = {
+    import spark.implicits._
+    Seq(
+      // user 1: click BEFORE first view — funnel click must be the
+      // later one; purchase after that click converts
+      (1L, ts(1, 8), "click"), (1L, ts(1, 9), "view"),
+      (1L, ts(1, 10), "click"), (1L, ts(1, 11), "purchase"),
+      // user 2: view then purchase but NO click — purchase must NOT
+      // count (strict order), t2 and t3 both null
+      (2L, ts(1, 9), "view"), (2L, ts(1, 10), "purchase"),
+      // user 3: full funnel in order, conversion at same timestamp
+      // as the previous step allowed (at-or-after)
+      (3L, ts(1, 9), "view"), (3L, ts(1, 9), "click"),
+      (3L, ts(2, 9), "purchase"),
+      // user 4: never views — not in the funnel at all
+      (4L, ts(1, 9), "click"), (4L, ts(1, 10), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+  }
+
+  test("funnelStages: strict order, earliest-at-or-after timestamps") {
+    val got = Analytics.funnelStages(
+      funnelEvents, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val u1 = got(0)
+    assert(u1.getTimestamp(1) == ts(1, 9))
+    assert(u1.getTimestamp(2) == ts(1, 10), "must skip the pre-view click")
+    assert(u1.getTimestamp(3) == ts(1, 11))
+    val u2 = got(1)
+    assert(u2.getTimestamp(1) == ts(1, 9))
+    assert(u2.isNullAt(2) && u2.isNullAt(3),
+      "no click: purchase must not convert out of order")
+    val u3 = got(2)
+    assert(u3.getTimestamp(2) == ts(1, 9), "same-timestamp conversion allowed")
+    assert(u3.getTimestamp(3) == ts(2, 9))
+  }
+
+  test("funnel: per-step converted-user counts from one aggregation") {
+    val got = Analytics.funnel(funnelEvents, Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1, "view", 3L), (2, "click", 2L), (3, "purchase", 2L)))
+  }
+
+  test("corrProfile: exact +1/-1 on linear columns, null rows dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("a", "b", "c")
+      .unionByName(Seq((Option.empty[Double], Option(9.0), Option(9.0)))
+        .toDF("a", "b", "c"))
+    val got = Profiling.corrProfile(df, Seq("a", "b", "c"))
+      .orderBy("col_x", "col_y").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.forall(_._3 == 4L), "null row must be excluded from n")
+    val byPair = got.map(t => (t._1, t._2) -> t._4).toMap
+    assert(math.abs(byPair(("a", "b")) - 1.0) < 1e-12)
+    assert(math.abs(byPair(("a", "c")) + 1.0) < 1e-12)
+    assert(math.abs(byPair(("b", "c")) + 1.0) < 1e-12)
+  }
+
+  test("corrProfile matches a directly computed Pearson r") {
+    import spark.implicits._
+    val xs = Seq(1.07, 2.13, 3.02, 4.44, 5.01, 6.29, 7.11, 8.56)
+    val ys = Seq(2.44, 1.95, 3.67, 3.01, 5.88, 5.02, 6.73, 8.01)
+    val got = Profiling.corrProfile(
+      xs.zip(ys).toDF("x", "y"), Seq("x", "y"))
+      .collect().head.getDouble(3)
+    // expected from the same cents-scaled exact sums
+    val (vx, vy) = (xs.map(v => math.round(v * 100)), ys.map(v => math.round(v * 100)))
+    val n = vx.size.toDouble
+    val (sx, sy) = (vx.sum.toDouble, vy.sum.toDouble)
+    val sxx = vx.map(v => v * v).sum.toDouble
+    val syy = vy.map(v => v * v).sum.toDouble
+    val sxy = vx.zip(vy).map { case (a, b) => a * b }.sum.toDouble
+    val expected = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
+  }
+}
