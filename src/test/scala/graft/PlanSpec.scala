@@ -209,6 +209,45 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("corrProfile is one scan and one aggregation: no join, no window, partial sums") {
+    val p = plan(graft.pipeline.Profiling.corrProfile(
+      Tables.load(spark, sf, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount")))
+    // the whole k^2 sum matrix rides ONE wide agg over a single scan;
+    // a per-pair join or window here would re-scan per pair
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_"), p.take(1500))
+  }
+
+  test("cohortRetention plans no join and no countDistinct Expand") {
+    val p = plan(graft.pipeline.Analytics.cohortRetention(
+      Tables.load(spark, sf, "events")))
+    // cohorts come from a per-user window min (state bounded by
+    // calendar days), not a join back; and the final count is a plain
+    // count(*) over already-distinct (user, day) rows — an Expand here
+    // would mean a countDistinct re-expansion at the widest stage
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Expand"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_"), p.take(1500))
+  }
+
+  test("funnelStages pushes step filters to the scans and keeps equi joins") {
+    val ev = Tables.load(spark, sf, "events")
+    val p = plan(graft.pipeline.Analytics.funnelStages(
+      ev, Seq("view", "click", "purchase")))
+    // each step reads only its event type (filter at the parquet
+    // scan), and users meet step events only through hash/merge equi
+    // joins on user_id — the ts >= t_prev predicate must ride the
+    // join, never force a nested-loop pair product
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)")
+      || p.contains("EqualTo(event_type,click)"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("text ops over a shuffled frame add no exchange and launch no job at composition") {
     import graft.pipeline.TextAnalysis
     val docs = Tables.load(spark, sf, "documents")
