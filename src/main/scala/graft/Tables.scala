@@ -20,13 +20,23 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(path(sfDir, name))
 
-  /** The driver's events table stores TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects; read nanos as long (legacy conf) and
-    * convert to a proper timestamp with integer µs division (exact —
-    * a double division would lose precision above 2^53 ns). A re-
-    * written events table (e.g. the scaled soak fixture) already has
-    * a µs timestamp column and needs no conversion — dispatch on the
-    * read type.
+  /** The driver's events table has shipped `ts` in three physical
+    * shapes across fixture generations, all normalized here to ONE
+    * logical type — TIMESTAMP (LTZ; every session pins
+    * spark.sql.session.timeZone=UTC) — so downstream instant
+    * arithmetic (`unix_micros`, watermarking) never dispatches on the
+    * fixture vintage:
+    *   - TIMESTAMP(NANOS), which Spark's reader rejects: read nanos
+    *     as long (legacy conf) and convert with integer µs division
+    *     (exact — a double division would lose precision above
+    *     2^53 ns);
+    *   - naive TIMESTAMP(MICROS) (isAdjustedToUTC=false), which
+    *     Spark 4 infers as TIMESTAMP_NTZ: cast to LTZ — an exact
+    *     reinterpretation of the same µs value under the UTC session
+    *     zone;
+    *   - UTC-adjusted TIMESTAMP(MICROS) (e.g. the scaled soak
+    *     fixtures this library writes itself): already the target
+    *     type.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -36,6 +46,9 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

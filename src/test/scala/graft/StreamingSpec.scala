@@ -272,7 +272,16 @@ class StreamingSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events-000.parquet"))
     val raw = EventStreams.streamFromDir(spark, dir.toString)
-    val stream = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // normalize ts to LTZ whatever the fixture vintage stored
+    // (legacy nanos-as-long vs naive µs read as NTZ) — the streaming
+    // twin of Tables.loadEvents' dispatch
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
     val q = EventStreams.windowedTypeAgg(stream, withWatermark = true)
       .writeStream.format("memory").queryName("file_win")
       .outputMode("update").start()
