@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
+
+/** Per-query timings: one cold run, then `median`/`min`/`max` over
+  * the warm iterations (sorted).
+  */
+case class BenchTimes(cold: Double, median: Double, min: Double, max: Double)
+
 object Bench {
 
   /** Force full evaluation of EVERY output column. A bare `count()`
@@ -36,15 +42,19 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
-    // Each query runs twice: the reported number is the SECOND run, so
-    // round-over-round deltas measure the operators, not JIT/codegen/GC
-    // noise redistributing across the suite; the cold (first-run) time
-    // is kept as a separate field. Harness-level memos (the shared
-    // minhash pair set) are reset between the runs so warm numbers
+    // Each query runs 1 cold + N warm (default 3): the reported
+    // number is the MEDIAN warm run. Round 8's single-shot warm
+    // protocol produced warm > cold on several entries (shared-host
+    // contention during the snapshot), making round-over-round deltas
+    // unresolvable; a median over ≥3 iterations with min/max variance
+    // fields makes one contended iteration visible instead of
+    // corrupting the round's number. Harness-level memos (the shared
+    // minhash pair set) are reset between runs so warm numbers
     // measure the operators, not a cache read. A query that throws is
     // recorded in `errors` (name -> message) rather than silently
     // benched as near-0s — the bench must not report a breakage as a
     // speedup.
+    val warmIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
@@ -57,9 +67,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
-      PipelineQueries.resetCaches()
-      val warm = once()
-      name -> ((cold, warm))
+      val warms = Seq.fill(warmIters) {
+        PipelineQueries.resetCaches()
+        once()
+      }.sorted
+      val median = warms(warms.length / 2)
+      name -> BenchTimes(cold, median, warms.head, warms.last)
     }
     // full control-char escaping (same table as Verify.q): an
     // exception message carrying a tab or newline must not produce
@@ -73,14 +86,14 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def obj(f: ((Double, Double)) => Double): String =
+    def obj(f: BenchTimes => Double): String =
       results.map { case (k, v) => jstr(k) + ":" + f(v) }
         .mkString("{", ",", "}")
     val errObj = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._2).sum
+    val total = results.values.map(_.median).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"cold":${obj(_._1)},"errors":$errObj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_iters":$warmIters,"queries":${obj(_.median)},"cold":${obj(_.cold)},"warm_min":${obj(_.min)},"warm_max":${obj(_.max)},"errors":$errObj,"sf":"$sfDir"}"""
     // a file copy survives the driver's stdout tail-capture limit
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),

@@ -1344,6 +1344,29 @@ object PipelineQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // The 100 TB profiling path: approx sketches (bounded buffers, no
+  // Expand) with an in-plan rank-tolerance attestation. The oracle
+  // recomputes the exact fields and asserts the quantile verdicts are
+  // all TRUE — an external engine cannot reproduce Spark's sketch
+  // values bit-for-bit, but it CAN attest that the ranks Spark
+  // verified are the ranks the contract promises.
+  val pf1aApprox: Q = (s, dir) =>
+    pipeline.Profiling.approxProfileChecked(
+      Tables.load(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy("col_name")
+
+  val pf1aSql: String = {
+    def one(c: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+         |  TRUE AS p25_rank_ok, TRUE AS median_rank_ok, TRUE AS p75_rank_ok
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // Pairwise Pearson correlation matrix from exact cents-scaled
   // DECIMAL sums; the double formula runs only in the projection, so
   // the oracle replaying the same exact sums through the same IEEE
@@ -1472,6 +1495,7 @@ object PipelineQueries {
     "ct1_contamination" -> ct1Contamination,
     "ct2_contamination_bloom" -> ct2BloomContamination,
     "pf1_numeric_profile" -> pf1Profile,
+    "pf1a_numeric_profile_approx" -> pf1aApprox,
     "pf2_corr_matrix" -> pf2Corr,
     "mm1_media_features" -> mm1MediaFeatures,
   )
@@ -1483,6 +1507,7 @@ object PipelineQueries {
     "ct1_contamination" -> ct1Sql,
     "ct2_contamination_bloom" -> ct1Sql,
     "pf1_numeric_profile" -> pf1Sql,
+    "pf1a_numeric_profile_approx" -> pf1aSql,
     "pf2_corr_matrix" -> pf2Sql,
     "cp1_curation_pipeline" -> cp1Sql,
     "dd1_exact_dedup" -> dd1Sql,

@@ -40,7 +40,14 @@ object Tables {
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path(sfDir, "events"))
+    normalizeTs(spark.read.parquet(path(sfDir, "events")))
+  }
+
+  /** The vintage dispatch itself, shared with the streaming source
+    * path (a file stream over the same fixture files sees the same
+    * three physical shapes) so batch and stream cannot drift.
+    */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
@@ -51,7 +58,6 @@ object Tables {
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
-  }
 
   /** Register every test table as a temp view named after itself. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -69,6 +69,64 @@ object Profiling {
     wide.select(explode(structs).as("s")).select("s.*")
   }
 
+  /** The approx profile (`numericProfile(approx = true)`) with an
+    * in-plan rank-tolerance attestation — the 100 TB profiling path,
+    * made externally checkable without asking another engine to
+    * reproduce Spark's sketches bit-for-bit (it can't: sketch
+    * internals differ across engines).
+    *
+    * Output per column: the EXACT fields (`n_rows`, `n_nulls`,
+    * `min_v`, `max_v` — an oracle recomputes and hash-matches these
+    * directly) plus one boolean verdict per quantile, true iff the
+    * value the sketch returned has TRUE rank within `rankTol` of the
+    * requested quantile. The rank check is tie-robust: a value v is
+    * accepted for quantile q iff the closed rank interval
+    * [count(x < v), count(x <= v)] / n intersects [q-rankTol,
+    * q+rankTol] — with heavy ties (a 50-distinct-value column at
+    * 100 TB) the cdf jumps across v, and demanding cdf(v) ~= q would
+    * reject a perfect sketch. `approx_percentile`'s guarantee is rank
+    * error <= 1/accuracy, so the default 1% tolerance is 100x the
+    * sketch bound at accuracy=10000 — the verdicts are deterministic,
+    * not flaky.
+    *
+    * Scale shape: two scans, every aggregation buffer bounded. Scan 1
+    * is the approx profile (sketches only); scan 2 re-reads the data
+    * cross-joined against the BROADCAST k-row profile and computes
+    * the conditional rank sums — no Expand, no O(distinct) state
+    * anywhere (contrast exact mode's countDistinct + percentile).
+    * The HLL distinct count is excluded from the checked output (its
+    * accuracy is spec-attested against exact counts at test scale);
+    * checking it in-plan would need exact countDistinct — the very
+    * unbounded buffer this path exists to avoid.
+    */
+  def approxProfileChecked(df: DataFrame, cols: Seq[String],
+      accuracy: Int = 10000, rankTol: Double = 0.01): DataFrame = {
+    val prof = numericProfile(df, cols, approx = true, accuracy)
+    // scan 2: each data row meets the k profile rows (broadcast —
+    // k = #cols, never data-sized), contributes to the rank sums of
+    // its own column's row only
+    val joined = Dedup.spread(df).crossJoin(broadcast(prof))
+    val v = cols.foldLeft(lit(null).cast("double")) { (acc, c) =>
+      when(col("col_name") === c, col(c).cast("double")).otherwise(acc)
+    }
+    def rankOk(q: Double, qv: org.apache.spark.sql.Column) = {
+      val n = count(v)
+      val below = sum(when(v < qv, 1L).otherwise(0L))
+      val atOrBelow = sum(when(v <= qv, 1L).otherwise(0L))
+      (below.cast("double") / n <= q + rankTol) &&
+        (atOrBelow.cast("double") / n >= q - rankTol)
+    }
+    joined
+      .groupBy("col_name", "n_rows", "n_nulls", "min_v", "max_v",
+        "p25", "median", "p75")
+      .agg(
+        rankOk(0.25, col("p25")).as("p25_rank_ok"),
+        rankOk(0.50, col("median")).as("median_rank_ok"),
+        rankOk(0.75, col("p75")).as("p75_rank_ok"))
+      .select("col_name", "n_rows", "n_nulls", "min_v", "max_v",
+        "p25_rank_ok", "median_rank_ok", "p75_rank_ok")
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns, in ONE
     * wide aggregation over a single scan.
     *

@@ -149,6 +149,11 @@ object ScaleFixture {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", 32)
+      // pin UTC here, not only in build.sbt's forked-JVM flags: run
+      // outside sbt on a non-UTC host, the NTZ→LTZ cast in
+      // Tables.loadEvents would otherwise shift every event instant
+      // by the zone offset and PERSIST the shifted values
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

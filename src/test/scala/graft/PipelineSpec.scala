@@ -186,6 +186,35 @@ class PipelineSpec extends SparkTestBase {
     assert(b.getDouble(7) == 20.0) // median over non-null 10,20,20
   }
 
+  test("approxProfileChecked: exact fields match, every rank verdict true") {
+    import spark.implicits._
+    import graft.pipeline.Profiling
+    val li = Tables.load(spark, sf, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val got = Profiling.approxProfileChecked(li, cols)
+      .orderBy("col_name").collect()
+    assert(got.map(_.getString(0)).toSeq == cols.sorted)
+    val n = li.count()
+    got.foreach { r =>
+      assert(r.getLong(1) == n, s"${r.getString(0)} n_rows")
+      assert(r.getLong(2) == 0, s"${r.getString(0)} n_nulls")
+      // the attestation itself: the sketch's quantile values sit
+      // within 1% rank tolerance of the requested quantiles
+      (5 to 7).foreach(i =>
+        assert(r.getBoolean(i), s"${r.getString(0)} verdict field $i"))
+    }
+    // tie-heavy + null-bearing input: l_quantity-like discreteness is
+    // the case where a naive cdf(v)~=q check would reject a perfect
+    // sketch, and nulls must stay out of the rank denominators
+    val ties = (Seq.fill(400)(1.0) ++ Seq.fill(400)(2.0) ++
+      Seq.fill(200)(3.0)).map(x => Some(x): Option[Double]) ++
+      Seq.fill(50)(None: Option[Double])
+    val tied = Profiling.approxProfileChecked(
+      ties.toDF("x"), Seq("x")).head()
+    assert(tied.getLong(1) == 1050 && tied.getLong(2) == 50)
+    (5 to 7).foreach(i => assert(tied.getBoolean(i), s"tied field $i"))
+  }
+
   test("spread parallelizes a single-split input and leaves parallel ones alone") {
     import graft.pipeline.Dedup
     val single = Tables.load(spark, sf, "documents") // one local file split

@@ -219,6 +219,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), p.take(1500))
   }
 
+  test("approxProfileChecked plans bounded buffers: no Expand, no exact distinct/percentile, broadcast profile") {
+    val p = plan(graft.pipeline.Profiling.approxProfileChecked(
+      Tables.load(spark, sf, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount")))
+    // multiple exact countDistincts plan through Expand (row
+    // multiplication at the widest stage) and exact percentile
+    // buffers the whole column — both are the unbounded-state paths
+    // the approx profile exists to avoid
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(!p.toLowerCase.contains("count(distinct"), p.take(2000))
+    assert(!"(?i)\\bpercentile\\(".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("approx_percentile") ||
+      p.contains("approx_count_distinct"), p.take(2000))
+    // the rank-check scan meets the k-row profile as a BROADCAST
+    // nested-loop cross join — never a shuffled cartesian of the data
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("cohortRetention plans no join and no countDistinct Expand") {
     val p = plan(graft.pipeline.Analytics.cohortRetention(
       Tables.load(spark, sf, "events")))

@@ -271,17 +271,11 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events-000.parquet"))
-    val raw = EventStreams.streamFromDir(spark, dir.toString)
-    // normalize ts to LTZ whatever the fixture vintage stored
-    // (legacy nanos-as-long vs naive µs read as NTZ) — the streaming
-    // twin of Tables.loadEvents' dispatch
-    val stream = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    // normalize ts to LTZ whatever the fixture vintage stored —
+    // the SAME dispatch Tables.loadEvents uses, shared so batch and
+    // stream cannot drift
+    val stream = Tables.normalizeTs(
+      EventStreams.streamFromDir(spark, dir.toString))
     val q = EventStreams.windowedTypeAgg(stream, withWatermark = true)
       .writeStream.format("memory").queryName("file_win")
       .outputMode("update").start()
