@@ -17,6 +17,9 @@ object Bench {
     * actual output. Maps aren't hashable by xxhash64; hash their JSON.
     * The fold is bit_xor, not sum — a long sum overflows under ANSI.
     */
+  /** Same contract, exposed for the selective soak tool. */
+  private[graft] def materializeForSoak(df: DataFrame): Unit = materialize(df)
+
   private def materialize(df: DataFrame): Unit = {
     val cols = df.schema.fields.toSeq.map { f =>
       f.dataType match {

@@ -581,8 +581,10 @@ object PipelineQueries {
   // bucketing + candidate set + exact cosine rerank end to end.
   val ss2LshTopK: Q = (s, dir) => {
     val e = embs(s, dir).select("vec_id", "embedding")
+    // bits pinned (not derived): the oracle below re-derives the
+    // identical 4-bit planes in SQL
     Similarity.lshTopK(e.filter(col("vec_id") < 5), e,
-      "vec_id", "embedding", k = 10)
+      "vec_id", "embedding", k = 10, bitsPerBand = 4)
       .orderBy("query_id", "rank")
   }
 

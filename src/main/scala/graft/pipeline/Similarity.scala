@@ -118,6 +118,27 @@ object Similarity {
       when(d > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Hyperplane bits for a corpus of `n` vectors: enough buckets that
+    * the EXPECTED per-(band, bucket) occupancy under a uniform split
+    * is ~`targetOccupancy` — `ceil(log2(n / targetOccupancy))`,
+    * clamped to [4, 24]. Sign-LSH buckets are not uniform (that is
+    * the point — similar vectors pile up together), but the expected
+    * occupancy is the right sizing handle: FIXED bits make in-bucket
+    * pair density grow quadratically with corpus size (SOAK_r8
+    * measured dd10 at 5.4× work for 10× data with fixed 8-bit
+    * bands), while occupancy-targeted bits keep candidate mass
+    * proportional to the data. The floor keeps tiny corpora at the
+    * old default (stable small-scale behavior); the cap bounds plane
+    * count — beyond 24 bits the per-row bucketize cost dominates any
+    * join saving.
+    */
+  def deriveBits(n: Long, targetOccupancy: Long = 64L): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(24, math.max(4, needed))
+  }
+
   /** Banded sign-LSH top-k: candidates meet when any band's bucket
     * matches (multi-band trades precision for recall, like MinHash
     * banding); exact cosine reranks within candidates. The join
@@ -134,11 +155,18 @@ object Similarity {
     * bucket 0 of every band — recall collapses and the bucket join
     * degenerates toward all-pairs, the exact blowup LSH exists to
     * avoid.
+    *
+    * `bitsPerBand = 0` (the default) sizes the buckets from the
+    * corpus row count via [[deriveBits]] — one metadata-cheap
+    * count job, the same derive-or-override contract as `dims`.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, bands: Int = 4, bitsPerBand: Int = 4,
+      vecCol: String, k: Int, bands: Int = 4, bitsPerBand: Int = 0,
       seed: Long = 42L, dims: Int = 0): DataFrame = {
     require(dims >= 0, s"lshTopK: dims must be non-negative (0 = derive), got $dims")
+    require(bitsPerBand >= 0,
+      s"lshTopK: bitsPerBand must be non-negative (0 = derive), got $bitsPerBand")
+    val bits = if (bitsPerBand > 0) bitsPerBand else deriveBits(corpus.count())
     val d =
       if (dims > 0) dims
       // derive from the first NON-NULL vector: a NULL in the first
@@ -162,7 +190,7 @@ object Similarity {
             "for a different dimensionality), found length "),
           size(c).cast("string"))))
     val bandCols = (0 until bands).map { b =>
-      val planes = hyperplanes(bitsPerBand, d, seed + b)
+      val planes = hyperplanes(bits, d, seed + b)
       struct(lit(b).as("band"), bandBucket(col("__vd"), planes).as("bucket"))
     }
     def bucketize(df: DataFrame, side: String): DataFrame =
@@ -205,18 +233,38 @@ object Similarity {
     * pair once. NULL vectors are dropped up front (nothing is a
     * near-dup of NULL).
     *
-    * Vectors ride the bucket rows (bands× payload amplification in
-    * the bucket shuffle) so the rerank happens on the joined rows —
-    * the same carry trade minhashNearDupPairs makes with signatures,
-    * saving the two candidate×vector join-back shuffles.
+    * `carryPayload = true` rides the vectors on the bucket rows
+    * (bands× payload amplification in the bucket shuffle and the
+    * full vectors inside the cross-band pair `distinct`) so the
+    * rerank happens directly on the joined rows; `false` buckets
+    * id-only rows, distincts the narrow (id1, id2) pairs, and joins
+    * the vectors back once for the rerank — two extra equi-joins
+    * against the narrow (id, vec) frame, but every wide exchange
+    * gone. The right side of the trade depends on vector width:
+    * at 64 dims (256 B) the carry wins (SOAK_r9: the join-back's
+    * extra shuffles cost more than the amplified payload saves); at
+    * 256+ dims (1–4 KB production embeddings) the distinct exchange
+    * pays bands× KB-scale amplification per candidate and join-back
+    * wins. Measured at the 10× fixture in SOAK_r9; default stays
+    * carry for the gate's 64-dim corpus — flip it per corpus width.
+    *
+    * `bitsPerBand = 0` (the default) sizes buckets from the corpus
+    * row count via [[deriveBits]] — fixed bits turn 10× data into
+    * ~100× in-bucket pair density; derived bits keep candidate mass
+    * linear in the corpus. Pass explicitly to pin reproducible
+    * bucketing (the oracle-checked entries do).
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double = 0.9, bands: Int = 4, bitsPerBand: Int = 8,
+      minCosine: Double = 0.9, bands: Int = 4, bitsPerBand: Int = 0,
       seed: Long = 42L, dims: Int = 0,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      carryPayload: Boolean = true): DataFrame = {
     require(dims >= 0,
       s"cosineNearDupPairs: dims must be non-negative (0 = derive), got $dims")
+    require(bitsPerBand >= 0,
+      s"cosineNearDupPairs: bitsPerBand must be non-negative (0 = derive), got $bitsPerBand")
     val in = df.filter(col(vecCol).isNotNull)
+    val bits = if (bitsPerBand > 0) bitsPerBand else deriveBits(in.count())
     val d =
       if (dims > 0) dims
       else in.select(size(col(vecCol))).limit(1).collect()
@@ -231,7 +279,7 @@ object Similarity {
           "explicitly for a different dimensionality), found length "),
         size(c).cast("string"))))
     val bandCols = (0 until bands).map { b =>
-      val planes = hyperplanes(bitsPerBand, d, seed + b)
+      val planes = hyperplanes(bits, d, seed + b)
       struct(lit(b).as("band"), bandBucket(col("__vd"), planes).as("bucket"))
     }
     val buckets0 = in
@@ -246,11 +294,30 @@ object Similarity {
       // a USING join moves the join keys first — restore column order
       // before the positional renames below
       .select(col(idCol), col("vec"), col("band"), col("bucket"))
-    val b1 = buckets.toDF("id1", "v1", "band", "bucket")
-    val b2 = buckets.toDF("id2", "v2", "band", "bucket")
-    val candidates = b1.join(b2, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "v1", "id2", "v2").distinct()
+    val candidates =
+      if (carryPayload) {
+        val b1 = buckets.toDF("id1", "v1", "band", "bucket")
+        val b2 = buckets.toDF("id2", "v2", "band", "bucket")
+        b1.join(b2, Seq("band", "bucket"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "v1", "id2", "v2").distinct()
+      } else {
+        // id-only bucket rows: Catalyst prunes `vec` out of the
+        // (band, bucket) exchange, the pair distinct is 16 bytes per
+        // candidate, and the vectors are fetched exactly once per
+        // SURVIVING pair side via two narrow equi-joins
+        val idb = buckets.select(col(idCol), col("band"), col("bucket"))
+        val p1 = idb.toDF("id1", "band", "bucket")
+        val p2 = idb.toDF("id2", "band", "bucket")
+        val pairIds = p1.join(p2, Seq("band", "bucket"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+        val narrow = in.select(col(idCol), col(vecCol).as("__v"))
+        pairIds
+          .join(narrow.toDF("id1", "v1"), Seq("id1"))
+          .join(narrow.toDF("id2", "v2"), Seq("id2"))
+          .select("id1", "v1", "id2", "v2")
+      }
     candidates
       .select(col("id1"), col("id2"),
         cosine(col("v1"), col("v2")).as("cosine"))
