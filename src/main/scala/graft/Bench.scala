@@ -69,7 +69,12 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val cold = once()
+      // reset shared memos BEFORE the cold run as well: without this,
+      // a query sharing a harness memo (the minhash pair set) with an
+      // earlier-benched entry gets an artificially fast "cold" run —
+      // cold then under-reads warm and the median-warm<=cold sanity
+      // bound breaks spuriously (observed on dd8 in the first r9 run)
+      val cold = { PipelineQueries.resetCaches(); once() }
       val warms = Seq.fill(warmIters) {
         PipelineQueries.resetCaches()
         once()
