@@ -61,6 +61,12 @@ object PipelineQueries {
 
   /** Drop all harness-level memos (and their cached Spark storage) so
     * a re-execution measures the operators from scratch.
+    *
+    * The bucketed-table registry (bk1) is deliberately NOT reset:
+    * those catalog tables are INPUT LAYOUT — the write-once shuffle a
+    * bucketing strategy prepays — not a memoized result. Re-writing
+    * them per bench run would time the layout build, not the
+    * zero-shuffle read path the entry exists to measure.
     */
   def resetCaches(): Unit = {
     plantedPairsCache.forEach { (_, df) =>
@@ -68,6 +74,26 @@ object PipelineQueries {
     }
     plantedPairsCache.clear()
   }
+
+  // dir → bucketed catalog table names, built once per fixture per
+  // JVM (same immutable-fixture lifetime contract as the pair memo)
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) =
+    bucketedTables.computeIfAbsent((s, dir), { _ =>
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val (ot, lt) = (s"graft_bk_orders_$tag", s"graft_bk_lineitem_$tag")
+      sources.Bucketed.write(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+        ot, numBuckets = 8, "o_orderkey")
+      sources.Bucketed.write(
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity"),
+        lt, numBuckets = 8, "l_orderkey")
+      (ot, lt)
+    })
 
   private def plantedMinhashPairs(s: SparkSession, dir: String): DataFrame =
     plantedPairsCache.computeIfAbsent((s, dir), { _ =>
@@ -1060,6 +1086,35 @@ object PipelineQueries {
       |       target_share * kk / actual_w AS rate
       |FROM j CROSS JOIN k ORDER BY source""".stripMargin
 
+  // Temperature-based source reweighting (mT5/XLM-R mixture) at
+  // τ = 2: sqrt is IEEE-correctly-rounded in every engine and the one
+  // cross-strata float sum runs on an exact ×10^15 decimal grid, so
+  // the oracle replays the identical mixture bit-for-bit.
+  val sm7Temperature: Q = (s, dir) =>
+    pipeline.Sampling.temperatureMix(
+      docs(s, dir).select("source", "n_chars"),
+      "source", "n_chars", tau = 2.0)
+      .orderBy("source")
+
+  val sm7Sql: String =
+    """WITH agg AS (
+      |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS actual_w
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT sum(actual_w) AS tw FROM agg),
+      |p AS (SELECT source, actual_w, actual_w / tw AS p_share
+      |      FROM agg CROSS JOIN tot),
+      |q AS (SELECT source, actual_w, p_share,
+      |             CAST(round(sqrt(p_share) * 1e15) AS HUGEINT) AS q_dec
+      |      FROM p),
+      |qt AS (SELECT sum(q_dec) AS qtot FROM q),
+      |w AS (SELECT source, actual_w, p_share,
+      |             CAST(q_dec AS DOUBLE) / CAST(qtot AS DOUBLE) AS temp_share
+      |      FROM q CROSS JOIN qt),
+      |k AS (SELECT min(p_share / temp_share) AS kk FROM w)
+      |SELECT source, actual_w, p_share, temp_share,
+      |       least(1.0, temp_share * kk / p_share) AS rate
+      |FROM w CROSS JOIN k ORDER BY source""".stripMargin
+
   // Exactly-k uniform sample in portable-hash order — planned as
   // TakeOrderedAndProject (per-partition k-heaps), pinned in PlanSpec.
   val sm4Exact: Q = (s, dir) =>
@@ -1322,6 +1377,29 @@ object PipelineQueries {
       |FROM dims d JOIN agg a ON a.media_id = d.media_id
       |ORDER BY d.media_id""".stripMargin
 
+  // ---------------- bucketed layout ----------------
+
+  // Co-located fact-to-fact join over bucketed catalog tables: the
+  // write-once shuffle (ensureBucketed) buys every later join on the
+  // bucket key a zero-exchange plan (pinned in PlanSpec). The oracle
+  // runs the identical join on the raw parquet — the layout must
+  // change the PLAN, never the ANSWER.
+  val bk1BucketedJoin: Q = (s, dir) => {
+    val (ot, lt) = ensureBucketed(s, dir)
+    sources.Bucketed.table(s, lt)
+      .join(sources.Bucketed.table(s, ot),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bk1Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------- profiling ----------------
 
   // Numeric corpus profile: one wide single-scan aggregation unpivoted
@@ -1471,6 +1549,8 @@ object PipelineQueries {
     "sm1_stratified_sample" -> sm1Sample,
     "sm2_source_cap" -> sm2Cap,
     "sm3_mixture_rates" -> sm3Mixture,
+    "sm7_temperature_mix" -> sm7Temperature,
+    "bk1_bucketed_join" -> bk1BucketedJoin,
     "sm4_exact_sample" -> sm4Exact,
     "sm5_token_budget" -> sm5Budget,
     "sm6_diverse_sample" -> sm6Diverse,
@@ -1526,6 +1606,8 @@ object PipelineQueries {
     "sm1_stratified_sample" -> sm1Sql,
     "sm2_source_cap" -> sm2Sql,
     "sm3_mixture_rates" -> sm3Sql,
+    "sm7_temperature_mix" -> sm7Sql,
+    "bk1_bucketed_join" -> bk1Sql,
     "sm4_exact_sample" -> sm4Sql,
     "sm5_token_budget" -> sm5Sql,
     "sm6_diverse_sample" -> sm6Sql,

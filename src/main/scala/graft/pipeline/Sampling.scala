@@ -145,6 +145,77 @@ object Sampling {
         (col("target_share") * col("__k") / col("actual_w")).as("rate"))
   }
 
+  /** Temperature-based source reweighting — the multilingual /
+    * multi-source pretraining mixture (mT5, arXiv:2010.11934 §3.1;
+    * XLM-R, arXiv:1911.02116 §3): sample stratum s with share
+    * q_s ∝ p_s^(1/τ), where p_s is its corpus weight share. τ = 1
+    * keeps the natural distribution; τ > 1 flattens it (upweights
+    * rare sources, the standard low-resource-language fix); τ → ∞
+    * approaches uniform. Unlike [[mixtureRates]], the target mixture
+    * is DERIVED from the corpus, not caller-provided.
+    *
+    * Downsampling-only, like mixtureRates: K = min_s p_s/q_s scales
+    * the q-mixture to the largest subcorpus reachable without
+    * upsampling any stratum, and rate_s = q_s·K/p_s feeds
+    * [[stratifiedSample]] directly. At τ = 1 every rate is exactly
+    * 1.0 (the whole corpus is already at temperature 1).
+    *
+    * Scale shape: one partial+final aggregation to the per-stratum
+    * frame (strata-sized, tiny), all mixture math on that frame, the
+    * corpus never re-scanned.
+    *
+    * Attestability (the pf2 pattern): the one float-sum in the
+    * formula — Σ q_s, whose double accumulation order would differ
+    * run to run and engine to engine — is quantized to an integer
+    * DECIMAL grid (×10¹⁵, exact for shares ≤ 1) and summed exactly,
+    * so the result is order-independent and an external oracle
+    * replaying the same IEEE projection math matches bit-for-bit.
+    * Corpus-weight sums are exact already when the weight column is
+    * integral (token/char counts — the intended inputs). τ = 2 and
+    * τ = 4 run on sqrt composition (correctly rounded per IEEE 754
+    * in every engine); other τ use `pow`, whose last-ulp rounding is
+    * libm-dependent (documented; the oracle-gated entry pins τ = 2).
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, weightCol: String,
+      tau: Double): DataFrame = {
+    require(tau >= 1.0, s"temperature must be >= 1 (got $tau): " +
+      "tau < 1 sharpens the mixture toward the head stratum, which " +
+      "is never the curation intent and upsamples nothing anyway")
+    val actual = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol).cast("double")).as("actual_w"))
+      .filter(col("actual_w") > 0.0)
+    // the per-stratum frame is tiny; totals broadcast back as
+    // one-row frames — the corpus is never re-scanned
+    val totals = actual.agg(sum(col("actual_w")).as("__tw"))
+    val withP = actual.crossJoin(broadcast(totals))
+      .withColumn("p_share", col("actual_w") / col("__tw"))
+    if (tau == 1.0)
+      // the corpus IS the τ=1 mixture — exactly, not up to float
+      // error: short-circuit instead of computing q = p through the
+      // quantized grid and landing at 1 ± 1e-15
+      withP.select(col(strataCol), col("actual_w"), col("p_share"),
+        col("p_share").as("temp_share"), lit(1.0).as("rate"))
+    else {
+      def tempered(c: org.apache.spark.sql.Column) =
+        if (tau == 2.0) sqrt(c)
+        else if (tau == 4.0) sqrt(sqrt(c))
+        else pow(c, lit(1.0 / tau))
+      val withQ = withP.withColumn("__q_dec",
+        round(tempered(col("p_share")) * lit(1e15), 0)
+          .cast("decimal(38,0)"))
+      val qTot = withQ.agg(sum(col("__q_dec")).as("__qt"))
+      val shared = withQ.crossJoin(broadcast(qTot))
+        .withColumn("temp_share",
+          col("__q_dec").cast("double") / col("__qt").cast("double"))
+      val k = shared.agg(min(col("p_share") / col("temp_share")).as("__k"))
+      shared.crossJoin(broadcast(k))
+        .select(col(strataCol), col("actual_w"), col("p_share"),
+          col("temp_share"),
+          least(lit(1.0), col("temp_share") * col("__k") / col("p_share"))
+            .as("rate"))
+    }
+  }
+
   /** Sequence packing: concatenate documents in id order into one
     * token stream and cut it into `budget`-token shards — the
     * GPT-style pretraining packing layout. Returns

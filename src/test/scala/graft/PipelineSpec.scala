@@ -1180,6 +1180,37 @@ class PipelineSpec extends SparkTestBase {
       ex.getCause != null && ex.getCause.getMessage.contains("64-dim"))
   }
 
+  test("temperatureMix: tau=1 keeps the corpus, higher tau flattens toward uniform") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // 80/15/5 mass split — the multilingual head/tail shape
+    val corpus = (Seq.fill(80)("en") ++ Seq.fill(15)("de") ++ Seq.fill(5)("sw"))
+      .zipWithIndex.map { case (s, i) => (s, 100L) }.toDF("source", "n_tokens")
+    def rates(tau: Double): Map[String, (Double, Double)] =
+      Sampling.temperatureMix(corpus, "source", "n_tokens", tau)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(3), r.getDouble(4)))).toMap
+    // tau=1: the natural mixture IS the answer; every rate exactly 1
+    val t1 = rates(1.0)
+    assert(t1.values.forall(_._2 == 1.0))
+    assert(math.abs(t1("en")._1 - 0.8) < 1e-12)
+    // tau=2: shares ∝ sqrt(p) — tail strata gain share, head loses;
+    // the head stratum (largest p/q) downsamples hardest, and the
+    // minimum-ratio stratum keeps rate 1 (downsampling-only contract)
+    val t2 = rates(2.0)
+    assert(t2("en")._1 < 0.8 && t2("sw")._1 > 0.05)
+    assert(t2("sw")._2 >= t2("de")._2 && t2("de")._2 >= t2("en")._2)
+    assert(t2.values.map(_._2).max == 1.0)
+    assert(t2.values.forall { case (_, r) => r > 0.0 && r <= 1.0 })
+    // tau=4 flattens further than tau=2
+    val t4 = rates(4.0)
+    assert(t4("en")._1 < t2("en")._1 && t4("sw")._1 > t2("sw")._1)
+    // temperature below 1 is a contract violation, not a sharpening
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(corpus, "source", "n_tokens", 0.5)
+    }
+  }
+
   test("deriveBits targets bucket occupancy and clamps to [4, 24]") {
     // 1000/64 -> ceil(log2(15.6)) = 4; 10x the corpus re-sizes the
     // buckets (fixed bits would instead 10x the in-bucket density)

@@ -219,6 +219,56 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), p.take(1500))
   }
 
+  test("bucketed join on the bucket key plans ZERO shuffle exchanges") {
+    import graft.sources.Bucketed
+    Bucketed.write(Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority"),
+      "bkspec_orders", numBuckets = 4, "o_orderkey")
+    Bucketed.write(Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity"),
+      "bkspec_lineitem", numBuckets = 4, "l_orderkey")
+    // force the non-broadcast path: the point is the SHUFFLE the
+    // bucket layout removes, which a tiny test table would otherwise
+    // dodge via broadcast
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def joined = Bucketed.table(spark, "bkspec_lineitem")
+        .join(Bucketed.table(spark, "bkspec_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      // the whole point of the layout: both sides arrive pre-
+      // clustered on the key — the shuffle is GONE (and the scans
+      // advertise the bucket layout they serve)
+      assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+      assert(p.contains("Bucketed: true"), p.take(2000))
+      // the in-task Sorts remain by default: since SPARK-28632 the
+      // scan does not report the written sortBy order (multi-file
+      // buckets can't be verified cheaply). Bucketed.write clusters
+      // one file per bucket, so the legacy sorted-scan conf
+      // legitimately drops the Sorts too — the full zero-work read
+      assert("Sort \\[".r.findAllIn(p).size == 2, p.take(2000))
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val pSorted =
+        try plan(joined)
+        finally spark.conf.set(
+          "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      assert(!"Sort \\[".r.findFirstIn(pSorted).isDefined, pSorted.take(2000))
+      assert(!pSorted.contains("Exchange hashpartitioning"), pSorted.take(2000))
+      assert(joined.count() == Tables.load(spark, sf, "lineitem").count())
+      // mismatched bucket counts degrade to a shuffle — refused loudly
+      Bucketed.write(Tables.load(spark, sf, "orders")
+        .select("o_orderkey"), "bkspec_orders8", numBuckets = 8, "o_orderkey")
+      val ex = intercept[IllegalArgumentException] {
+        Bucketed.join(spark, "bkspec_lineitem", "bkspec_orders8",
+          Seq("o_orderkey"))
+      }
+      assert(ex.getMessage.contains("SAME count"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("approxProfileChecked plans bounded buffers: no Expand, no exact distinct/percentile, broadcast profile") {
     val p = plan(graft.pipeline.Profiling.approxProfileChecked(
       Tables.load(spark, sf, "lineitem"),
