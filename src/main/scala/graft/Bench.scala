@@ -59,7 +59,8 @@ object Bench {
     // speedup.
     val warmIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def bench(entries: Map[String, (SparkSession, String) => DataFrame])
+        : Map[String, BenchTimes] = entries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)) } catch {
@@ -82,6 +83,11 @@ object Bench {
       val median = warms(warms.length / 2)
       name -> BenchTimes(cold, median, warms.head, warms.last)
     }
+    val results = bench(SparkEntry.queries)
+    // bench-only production-path twins: timed identically but
+    // reported under `extras` and excluded from the headline total so
+    // round-over-round totals compare gate-to-gate
+    val extras = bench(PipelineQueries.benchExtras)
     // full control-char escaping (same table as Verify.q): an
     // exception message carrying a tab or newline must not produce
     // invalid JSON that crashes soak_compare.py downstream
@@ -94,14 +100,15 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def obj(f: BenchTimes => Double): String =
-      results.map { case (k, v) => jstr(k) + ":" + f(v) }
+    def objOf(rs: Map[String, BenchTimes])(f: BenchTimes => Double): String =
+      rs.map { case (k, v) => jstr(k) + ":" + f(v) }
         .mkString("{", ",", "}")
+    def obj(f: BenchTimes => Double): String = objOf(results)(f)
     val errObj = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.median).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_iters":$warmIters,"queries":${obj(_.median)},"cold":${obj(_.cold)},"warm_min":${obj(_.min)},"warm_max":${obj(_.max)},"errors":$errObj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_iters":$warmIters,"queries":${obj(_.median)},"cold":${obj(_.cold)},"warm_min":${obj(_.min)},"warm_max":${obj(_.max)},"extras":${objOf(extras)(_.median)},"extras_cold":${objOf(extras)(_.cold)},"errors":$errObj,"sf":"$sfDir"}"""
     // a file copy survives the driver's stdout tail-capture limit
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),

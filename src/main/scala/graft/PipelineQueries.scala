@@ -112,6 +112,34 @@ object PipelineQueries {
   val dd2MinhashLsh: Q = (s, dir) =>
     plantedMinhashPairs(s, dir).orderBy("id1", "id2")
 
+  /** The production-hash (xxhash64) twin of dd2's planted miner.
+    * Bench-only (Bench `extras`, never in the oracle gate): no
+    * external engine reproduces xxhash64, so the portable md5 twin
+    * above carries the oracle; this entry exists so the bench shows
+    * the throughput the gate's md5 lane family trades away — the
+    * number a production deployment actually sees. Same corpus, same
+    * banding, same guard; only the hash family differs.
+    */
+  private[graft] val dd2xProdMinhash: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val nearDup = d.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 2000000).as("doc_id"),
+      concat(lit("zzz "), expr("substring(text, instr(text, ' ') + 1)"))
+        .as("text"))
+    Dedup.minhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
+      shingleWidth = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5,
+      portable = false)
+  }
+
+  /** Bench-only entries: timed by Bench under an `extras` JSON field
+    * (excluded from the gate and from the headline total so round
+    * totals stay comparable), each documenting a production path
+    * whose hash family the oracle cannot replay.
+    */
+  private[graft] val benchExtras: Map[String, Q] = Map(
+    "dd2x_minhash_prod_hash" -> dd2xProdMinhash,
+  )
+
   /** Shared oracle-SQL fragment: portable MinHash signatures, LSH
     * banding with the hot-bucket guard, candidate pairs, and agreement
     * counts over a CTE named `base(doc_id, text)`. Mirrors
@@ -703,6 +731,45 @@ object PipelineQueries {
       |       CAST(row_number() OVER (
       |         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
       |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // k-means cluster diagnostics over the same deterministic
+  // quantizer: per-cell member count, representative id, and the
+  // exact within-cluster scatter on the x1e9 integer grid. One
+  // map-side assignment + one partial agg; the oracle replays the
+  // full assignment (same cent/dist CTEs as ss3) and the same
+  // grid-scaled sum.
+  val km1ClusterProfile: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val centroids = pipeline.Ivf.staticCentroids(e, "vec_id", "embedding",
+      nlist = 16)
+    pipeline.Ivf.clusterProfile(e, "vec_id", "embedding", centroids)
+      .orderBy("cell")
+  }
+
+  val km1Sql: String =
+    """WITH st AS (
+      |  SELECT greatest(count(*) // 16, 1) AS step FROM embeddings),
+      |cent AS (
+      |  SELECT CAST(e.vec_id // st.step AS INT) AS j,
+      |         CAST(e.embedding AS DOUBLE[]) AS c
+      |  FROM embeddings e, st
+      |  WHERE e.vec_id % st.step = 0 AND e.vec_id < st.step * 16),
+      |dist AS (
+      |  SELECT e.vec_id, cent.j,
+      |         ((list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                            CAST(e.embedding AS DOUBLE[]))
+      |           - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), cent.c))
+      |          + list_dot_product(cent.c, cent.c)) AS d
+      |  FROM embeddings e CROSS JOIN cent),
+      |assigned AS (
+      |  SELECT vec_id, j AS cell, d FROM (
+      |    SELECT vec_id, j, d,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+      |    FROM dist) WHERE rn = 1)
+      |SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_id,
+      |       CAST(sum(CAST(round(d * 1000000000.0, 0) AS DECIMAL(38,0)))
+      |            AS DECIMAL(38,0)) AS sum_d9
+      |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
 
   // ---------------- text analysis ----------------
 
@@ -1400,6 +1467,67 @@ object PipelineQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------- ingest formats ----------------
+
+  // Per-fixture landing dirs for the format round trips. Each entry
+  // re-WRITES on every call (the round trip — serialize, then
+  // schema-enforced read-back — IS the operator being timed and
+  // attested; memoizing the write would bench a parquet-only read).
+  private def fmtDir(dir: String, kind: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt_${kind}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  // CSV round trip: documents → RFC-4180 CSV → schema-enforced
+  // FAILFAST read-back, compared row-for-row against the parquet
+  // oracle. Attests quoting/escaping fidelity and that the explicit
+  // landing schema reconstructs the exact column types (a bare CSV
+  // read would re-infer and widen).
+  val fm1CsvRoundtrip: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val path = fmtDir(dir, "csv")
+    sources.TextFormats.writeCsv(d, path)
+    sources.TextFormats.readCsv(s, path, d.schema)
+      .select(d.columns.map(col): _*)
+      .orderBy("doc_id")
+  }
+
+  // JSONL round trip — the pretraining-corpus interchange format.
+  val fm2JsonlRoundtrip: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val path = fmtDir(dir, "jsonl")
+    sources.TextFormats.writeJsonl(d, path)
+    sources.TextFormats.readJsonl(s, path, d.schema)
+      .select(d.columns.map(col): _*)
+      .orderBy("doc_id")
+  }
+
+  val fmRoundtripSql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Hive-style partitioned layout: documents written partitioned by
+  // source, read back through a partition-pruned scan (only the two
+  // selected directories are opened — planning-time pruning, pinned
+  // in PlanSpec). The oracle runs the same aggregate on the raw
+  // parquet: the layout changes the PLAN, never the ANSWER.
+  val fm3PartitionedPrune: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val path = fmtDir(dir, "part")
+    sources.Partitioned.write(d, path, Seq("source"))
+    sources.Partitioned.readPruned(s, path,
+        col("source").isin("src0", "src2"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  val fm3Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE source IN ('src0', 'src2')
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------- profiling ----------------
 
   // Numeric corpus profile: one wide single-scan aggregation unpivoted
@@ -1551,6 +1679,9 @@ object PipelineQueries {
     "sm3_mixture_rates" -> sm3Mixture,
     "sm7_temperature_mix" -> sm7Temperature,
     "bk1_bucketed_join" -> bk1BucketedJoin,
+    "fm1_csv_roundtrip" -> fm1CsvRoundtrip,
+    "fm2_jsonl_roundtrip" -> fm2JsonlRoundtrip,
+    "fm3_partitioned_prune" -> fm3PartitionedPrune,
     "sm4_exact_sample" -> sm4Exact,
     "sm5_token_budget" -> sm5Budget,
     "sm6_diverse_sample" -> sm6Diverse,
@@ -1566,6 +1697,7 @@ object PipelineQueries {
     "ss1_cosine_topk_brute" -> ss1BruteTopK,
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
+    "km1_cluster_profile" -> km1ClusterProfile,
     "tx1_text_quality" -> tx1Quality,
     "tx2_token_counts" -> tx2Tokens,
     "tx3_fingerprint" -> tx3Fingerprint,
@@ -1608,6 +1740,9 @@ object PipelineQueries {
     "sm3_mixture_rates" -> sm3Sql,
     "sm7_temperature_mix" -> sm7Sql,
     "bk1_bucketed_join" -> bk1Sql,
+    "fm1_csv_roundtrip" -> fmRoundtripSql,
+    "fm2_jsonl_roundtrip" -> fmRoundtripSql,
+    "fm3_partitioned_prune" -> fm3Sql,
     "sm4_exact_sample" -> sm4Sql,
     "sm5_token_budget" -> sm5Sql,
     "sm6_diverse_sample" -> sm6Sql,
@@ -1623,6 +1758,7 @@ object PipelineQueries {
     "ss1_cosine_topk_brute" -> ss1Sql,
     "ss2_cosine_topk_lsh" -> ss2Sql,
     "ss3_cosine_topk_ivf" -> ss3Sql,
+    "km1_cluster_profile" -> km1Sql,
     "tx1_text_quality" -> tx1Sql,
     "tx2_token_counts" -> tx2Sql,
     "tx3_fingerprint" -> tx3Sql,

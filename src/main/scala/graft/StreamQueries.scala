@@ -175,8 +175,61 @@ object StreamQueries {
       |  GROUP BY s2.user_id)
       |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin
 
+  // CDC last-write-wins upsert (batch twin of the streaming
+  // foreachBatch merge sink, StreamingSpec): the events feed plus a
+  // planted update wave (every event_id < 500 re-delivered an hour
+  // later with doubled value) compacts to the latest row per key.
+  // The Spark side is ONE struct-max hash aggregation — no window, no
+  // row_number Expand (PlanSpec-pinned); the oracle phrases the same
+  // semantics with the window form DuckDB is free to use.
+  val ev5Upsert: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val updates = ev.filter(col("event_id") < 500).select(
+      col("event_id"),
+      (col("ts") + expr("interval 1 hour")).as("ts"),
+      col("user_id"),
+      lit("update").as("event_type"),
+      (col("value") * 2).as("value"))
+    EventStreams.upsertLatest(ev.unionByName(updates),
+      Seq("event_id"), "ts")
+      .orderBy("event_id")
+  }
+  val ev5Sql: String =
+    """WITH feed AS (
+      |  SELECT event_id, ts, user_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts + INTERVAL 1 HOUR, user_id, 'update',
+      |         value * 2
+      |  FROM events WHERE event_id < 500),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_id ORDER BY ts DESC) AS rn
+      |  FROM feed)
+      |SELECT event_id, ts, user_id, event_type, value
+      |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // Sliding-window active users (rolling WAU): distinct user-days,
+  // a bounded x7 window explode, then the two-level distinct-count
+  // trick (groupBy twice, never countDistinct at the widest stage).
+  val sw1SlidingActive: Q = (s, dir) =>
+    graft.pipeline.Analytics.slidingActiveUsers(
+      Tables.load(s, dir, "events"), windowDays = 7)
+      .orderBy("window_start")
+  val sw1Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |w AS (
+      |  SELECT DISTINCT user_id, day - CAST(o AS INTEGER) AS window_start
+      |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o))
+      |SELECT window_start, count(*) AS n_active_users
+      |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ev1_windowed_agg" -> ev1WindowedAgg,
+    "ev5_cdc_upsert" -> ev5Upsert,
+    "sw1_sliding_active_users" -> sw1SlidingActive,
     "ev2_sessionize" -> ev2Sessions,
     "ev3_dedup" -> ev3Dedup,
     "ev4_interval_join" -> ev4Attribution,
@@ -188,6 +241,8 @@ object StreamQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ev4_interval_join" -> ev4Sql,
+    "ev5_cdc_upsert" -> ev5Sql,
+    "sw1_sliding_active_users" -> sw1Sql,
     "ev1_windowed_agg" -> ev1Sql,
     "ev2_sessionize" -> ev2Sql,
     "ev3_dedup" -> ev3Sql,

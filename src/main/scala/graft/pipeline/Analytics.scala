@@ -89,6 +89,42 @@ object Analytics {
     acc
   }
 
+  /** Sliding-window active users: for every window of `windowDays`
+    * calendar days (stepped daily), the count of distinct users active
+    * in it — the rolling-DAU/WAU/MAU family.
+    *
+    * Scale shape — bounded amplification, no countDistinct Expand, no
+    * range-window over raw events:
+    *   1. distinct (user, day) partial agg first: raw event volume
+    *      (hot users included) collapses map-side to at most
+    *      users × calendar-days rows.
+    *   2. each user-day explodes into the `windowDays` windows that
+    *      contain it — a bounded ×windowDays Generate inside codegen,
+    *      NOT a per-user range window (whose frame would rescan a
+    *      user's whole history per row).
+    *   3. distinct (window, user) partial agg, then a count(*) per
+    *      window that IS the distinct-user count — the same
+    *      two-level trick as [[cohortRetention]], never a
+    *      countDistinct over the widest stage.
+    * Windows with no active day are absent (a corpus-scale result
+    * carries no zero rows).
+    */
+  def slidingActiveUsers(events: DataFrame, windowDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    userDays
+      .select(col("user_id"), explode(sequence(lit(0),
+        lit(windowDays - 1))).as("__o"), col("day"))
+      .select(col("user_id"), date_sub(col("day"), col("__o"))
+        .as("window_start"))
+      .distinct()
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
   /** Funnel summary: converted-user count per step, from ONE
     * count-non-null aggregation over [[funnelStages]]'s per-user
     * frame, exploded to (step_idx, step_name, n_users) rows.

@@ -29,15 +29,48 @@ object Ivf {
     aggregate(transform(vec, x => x.cast("double")),
       lit(0.0d), (acc, v) => acc + v * v)
 
-  /** Nearest-centroid id via a struct-min over (distance, index). */
-  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+  /** The (distance, index) struct of the nearest centroid — a
+    * struct-min so distance ties break on the lower index, exactly
+    * like the oracle's `ORDER BY d, j`.
+    */
+  private def nearestCellStruct(vec: Column,
+      centroids: Array[Array[Double]]): Column = {
     val x2 = xx(vec)
     val cands = centroids.zipWithIndex.map { case (c, j) =>
       val c2 = c.map(v => v * v).sum
       struct((x2 - lit(2.0) * dotLit(vec, c) + lit(c2)).as("d"),
         lit(j).as("j"))
     }
-    least(cands.toIndexedSeq: _*).getField("j")
+    least(cands.toIndexedSeq: _*)
+  }
+
+  /** Nearest-centroid id via a struct-min over (distance, index). */
+  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    nearestCellStruct(vec, centroids).getField("j")
+
+  /** Per-cell cluster profile over a fixed quantizer: member count,
+    * representative (minimum) id, and the exact sum of squared-L2
+    * distances to the assigned centroid on a ×10⁹ integer grid —
+    * k-means diagnostics (cell balance, within-cluster scatter) as
+    * ONE map-side assignment plus ONE partial-aggregated groupBy.
+    *
+    * The distance sum is carried as DECIMAL(38,0) of round(d·10⁹):
+    * a double sum would be fold-order-dependent across partitions
+    * (unreproducible run to run, let alone by an oracle); the scaled
+    * integer grid is associative-exact, the same trick the
+    * correlation profile uses. Result size = centroid count —
+    * driver-tiny at any corpus size.
+    */
+  def clusterProfile(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val a = nearestCellStruct(col(vecCol), centroids)
+    corpus
+      .select(col(idCol), a.getField("j").as("cell"),
+        a.getField("d").as("__d"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("min_id"),
+        sum(round(col("__d") * lit(1e9)).cast("decimal(38,0)"))
+          .as("sum_d9"))
   }
 
   /** `nprobe` nearest centroid ids as an array column. */

@@ -243,4 +243,64 @@ object EventStreams {
           existing.unionByName(batch.localCheckpoint(true), true))
       }
       .start()
+
+  // ---------------- CDC upsert (last-write-wins) ----------------
+
+  /** Compact a change feed to its latest row per key — the CDC /
+    * upsert primitive (Delta-Lake `MERGE` shape without a table
+    * format): each key keeps the row with the highest `versionCol`,
+    * ties broken deterministically by the remaining payload columns.
+    *
+    * One partial+final aggregation: the max is taken over a
+    * `struct(version, payload...)` whose lexicographic ordering makes
+    * version the primary criterion — NO window, NO row_number Expand.
+    * (A struct-valued buffer is not hash-aggregable, so Spark plans
+    * SortAggregate; the property that matters at 100 TB of change
+    * rows survives: the map-side PARTIAL max collapses each
+    * partition's duplicates before the single key exchange, where the
+    * window-function phrasing would ship every version of every key
+    * to one task per key. Pinned in SourcesSpec.)
+    *
+    * Output columns: keys, then `versionCol`, then the remaining
+    * payload columns in input order.
+    */
+  def upsertLatest(changes: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "upsertLatest needs at least one key column")
+    require(changes.columns.contains(versionCol) &&
+      keyCols.forall(changes.columns.contains),
+      s"changes must carry ${(keyCols :+ versionCol).mkString(", ")}; got " +
+        changes.columns.mkString(", "))
+    val payload = versionCol +:
+      changes.columns.filterNot(c => keyCols.contains(c) || c == versionCol)
+    val winner = max(struct(payload.map(col): _*)).as("__w")
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(winner)
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"__w.`$c`").as(c)): _*)
+  }
+
+  /** Sink a keyed change stream into a managed table with
+    * last-write-wins semantics: each micro-batch is merged into the
+    * table by `upsertLatest` over (existing ∪ batch). Because the
+    * compaction is deterministic and idempotent (max is), a replayed
+    * micro-batch after a sink failure re-merges to the SAME table
+    * state — exactly-once table contents under the source's
+    * checkpointed offsets, the guarantee a raw append sink can't give.
+    */
+  def streamUpsertToManagedTable(df: DataFrame,
+      catalog: graft.frontend.ManagedCatalog, table: String,
+      keyCols: Seq[String], versionCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val existing = catalog.load(table)
+        catalog.overwrite(table, upsertLatest(
+          existing.unionByName(batch.localCheckpoint(true), true),
+          keyCols, versionCol))
+      }
+      .start()
 }

@@ -118,4 +118,29 @@ class AnalyticsSpec extends SparkTestBase {
       (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
     assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
   }
+
+  test("slidingActiveUsers: hand-computed 2-day rolling distinct counts") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 active Jan 10 (twice — must not double count) and Jan 12
+      (1L, ts(10, 9)), (1L, ts(10, 11)), (1L, ts(12, 9)),
+      // user 2 active Jan 10 only
+      (2L, ts(10, 10))
+    ).toDF("user_id", "ts")
+    val got = Analytics.slidingActiveUsers(ev, windowDays = 2)
+      .orderBy("window_start")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toSeq
+    // window [s, s+1]: Jan 9 covers {u1,u2}@10; Jan 10 covers both
+    // days 10-11 {u1,u2}; Jan 11 covers day 12 {u1}; Jan 12 {u1}
+    assert(got == Seq("2024-01-09" -> 2L, "2024-01-10" -> 2L,
+      "2024-01-11" -> 1L, "2024-01-12" -> 1L))
+  }
+
+  test("slidingActiveUsers plans the two-level distinct: no Window, no Expand") {
+    val p = Analytics.slidingActiveUsers(events, windowDays = 7)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Expand"), p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
 }

@@ -1280,4 +1280,27 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("doc_id"))
   }
+
+  test("clusterProfile partitions the corpus and agrees with the raw assignment") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val centroids = graft.pipeline.Ivf.staticCentroids(
+      e, "vec_id", "embedding", nlist = 8)
+    val prof = graft.pipeline.Ivf.clusterProfile(
+      e, "vec_id", "embedding", centroids).cache()
+    // every vector lands in exactly one cell
+    assert(prof.agg(sum("n_vecs")).head().getLong(0) == e.count())
+    // counts agree with an independent raw nearest-cell assignment
+    val raw = e.select(graft.pipeline.Ivf.nearestCell(
+        col("embedding"), centroids).as("cell"))
+      .groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = prof.select("cell", "n_vecs")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == raw)
+    // scatter is non-negative and zero only if a cell's sole member
+    // IS its centroid
+    assert(prof.filter(col("sum_d9") < 0).count() == 0)
+    prof.unpersist(false)
+  }
 }

@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Partitioned, TextFormats}
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Ingest formats (CSV/JSONL), the partitioned parquet layout, and
+  * the CDC upsert: round-trip fidelity with hostile values, explicit
+  * malformed-row policy, planning-time partition pruning, and
+  * last-write-wins compaction in both batch and streaming form.
+  */
+class SourcesSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val hostileSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+
+  /** Values that break naive serialization: separators, quotes,
+    * escapes, embedded newlines, unicode, empties, nulls.
+    */
+  private def hostile: DataFrame = {
+    val rows = Seq(
+      Row(1L, "plain words", 1.5),
+      Row(2L, "comma, semicolon; pipe|", -0.25),
+      Row(3L, "says \"quoted\" and 'single'", 0.0),
+      Row(4L, "back\\slash and tab\there", 2.0),
+      Row(5L, "line one\nline two", 3.5),
+      Row(6L, "ünïcodé — em-dash", null),
+      Row(7L, null, 4.25))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), hostileSchema)
+  }
+
+  private def sorted(df: DataFrame): Seq[Row] =
+    df.orderBy("id").collect().toSeq
+
+  test("JSONL round trip preserves hostile values, nulls included") {
+    val dir = tmp("graft_jsonl")
+    TextFormats.writeJsonl(hostile, dir)
+    val back = TextFormats.readJsonl(spark, dir, hostileSchema)
+      .select("id", "text", "score")
+    assert(sorted(back) == sorted(hostile))
+  }
+
+  test("CSV round trip preserves hostile values (multiLine for embedded newlines)") {
+    val dir = tmp("graft_csv")
+    TextFormats.writeCsv(hostile, dir)
+    val back = TextFormats.readCsv(spark, dir, hostileSchema,
+      multiLine = true).select("id", "text", "score")
+    val got = sorted(back)
+    val want = sorted(hostile)
+    // CSV cannot distinguish null from empty string without a quote
+    // convention; Spark's writer emits "" for null text, and the
+    // reader hands back null — the one lossy corner of the format
+    // (and a reason corpora land as JSONL/parquet, not CSV)
+    assert(got.map(r => (r.getLong(0), Option(r.get(2)))) ==
+      want.map(r => (r.getLong(0), Option(r.get(2)))))
+    assert(got.filter(_.getLong(0) != 7L).map(_.get(1)) ==
+      want.filter(_.getLong(0) != 7L).map(_.get(1)))
+  }
+
+  test("malformed JSONL: FAILFAST throws, PERMISSIVE captures the raw line") {
+    val dir = tmp("graft_badjson")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      ("""{"id": 1, "text": "good", "score": 1.0}""" + "\n" +
+        """{"id": "not a long", "text": "bad", "score": 2.0}""" + "\n" +
+        """{"id": 3, "text": "also good", "score": 3.0}""" + "\n")
+        .getBytes("UTF-8"))
+    val permissive =
+      TextFormats.readJsonlWithCorrupt(spark, dir, hostileSchema).cache()
+    val bad = permissive.filter(col(TextFormats.corruptCol).isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.head().getAs[String](TextFormats.corruptCol)
+      .contains("not a long"))
+    assert(permissive.filter(col(TextFormats.corruptCol).isNull)
+      .count() == 2)
+    permissive.unpersist(false)
+    val ex = intercept[org.apache.spark.SparkException] {
+      TextFormats.readJsonl(spark, dir, hostileSchema).collect()
+    }
+    assert(Option(ex.getMessage).nonEmpty)
+  }
+
+  test("malformed CSV: PERMISSIVE captures, FAILFAST throws") {
+    val dir = tmp("graft_badcsv")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.csv"),
+      ("id,text,score\n" +
+        "1,good,1.0\n" +
+        "oops,bad,2.0\n" +
+        "3,fine,3.0\n").getBytes("UTF-8"))
+    // same cache-before-corrupt-filter contract as JSONL (Spark
+    // disallows projecting ONLY the corrupt column off a raw scan)
+    val permissive = TextFormats.readCsvWithCorrupt(spark, dir, hostileSchema)
+      .cache()
+    assert(permissive.filter(col(TextFormats.corruptCol).isNotNull)
+      .count() == 1)
+    permissive.unpersist(false)
+    val ex = intercept[org.apache.spark.SparkException] {
+      TextFormats.readCsv(spark, dir, hostileSchema).collect()
+    }
+    assert(Option(ex.getMessage).nonEmpty)
+  }
+
+  test("partitioned layout: full read-back equality, column order restored") {
+    val dir = tmp("graft_part")
+    val docs = Tables.load(spark, sf, "documents")
+    Partitioned.write(docs, dir, Seq("source"))
+    val back = Partitioned.read(spark, dir)
+      .select(docs.columns.map(col): _*)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("partition filter prunes at planning time") {
+    val dir = tmp("graft_prune")
+    val docs = Tables.load(spark, sf, "documents")
+    Partitioned.write(docs, dir, Seq("source"))
+    val all = Partitioned.read(spark, dir)
+    val one = Partitioned.readPruned(spark, dir, col("source") === "src1")
+    def leafPartitions(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().map {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+        case _ => 0
+      }.sum
+    val total = leafPartitions(all)
+    assert(total > 1, s"expected multiple source partitions, got $total")
+    // pruning happened during planning: exactly ONE directory remains
+    assert(leafPartitions(one) == 1)
+    val p = one.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p.take(1500))
+  }
+
+  test("partitioned write refuses high-cardinality keys") {
+    val dir = tmp("graft_highcard")
+    val docs = Tables.load(spark, sf, "documents")
+    val ex = intercept[IllegalArgumentException] {
+      Partitioned.write(docs, dir, Seq("doc_id"), maxPartitions = 10)
+    }
+    assert(ex.getMessage.contains("distinct values"))
+  }
+
+  // ---------------- CDC upsert ----------------
+
+  private def feed: DataFrame = {
+    import spark.implicits._
+    Seq(
+      // key 1: three versions
+      (1L, 10L, "v1", 1.0), (1L, 30L, "v3", 3.0), (1L, 20L, "v2", 2.0),
+      // key 2: single version
+      (2L, 15L, "only", 9.0),
+      // key 3: version TIE — payload tie-break must be deterministic
+      (3L, 40L, "tie-a", 1.0), (3L, 40L, "tie-b", 2.0))
+      .toDF("k", "ver", "tag", "x")
+  }
+
+  test("upsertLatest keeps the highest version per key, ties broken deterministically") {
+    val got = EventStreams.upsertLatest(feed, Seq("k"), "ver")
+      .orderBy("k").collect().toSeq
+    assert(got == Seq(
+      Row(1L, 30L, "v3", 3.0),
+      Row(2L, 15L, "only", 9.0),
+      // lexicographic struct order: (40, "tie-b", 2.0) > (40, "tie-a", 1.0)
+      Row(3L, 40L, "tie-b", 2.0)))
+    // idempotence: compacting a compacted feed is the identity
+    val again = EventStreams.upsertLatest(
+      EventStreams.upsertLatest(feed, Seq("k"), "ver"), Seq("k"), "ver")
+      .orderBy("k").collect().toSeq
+    assert(again == got)
+  }
+
+  test("upsertLatest plans one partial aggregate: no Window, no Expand, one exchange") {
+    val p = EventStreams.upsertLatest(feed, Seq("k"), "ver")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Expand"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(1500))
+    // a struct-valued max buffer is not hash-aggregable, so Spark
+    // legitimately plans SortAggregate — the pin is the map-side
+    // PARTIAL combine (duplicates collapse before the exchange)
+    assert(p.contains("partial_max"), p.take(1500))
+  }
+
+  test("streaming upsert sink: last write wins across micro-batches, replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minute: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00")
+    val root = tmp("graft_upsert")
+    val env = new graft.frontend.Analyzer.Env().addDecls(
+      """create table latest (event_id int not null, ts datetime not null,
+        |  user_id int not null, event_type string not null,
+        |  value float not null)""".stripMargin)
+    val catalog = new graft.frontend.ManagedCatalog(spark, root, env)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamUpsertToManagedTable(mem.toDF(), catalog,
+      "latest", Seq("event_id"), "ts", s"$root/_ckpt")
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "created", 1.0),
+        Event(2, ts(1), 2, "created", 2.0))
+      q.processAllAvailable()
+      // batch 2: update for key 1, replay of key 2's original row
+      mem.addData(
+        Event(1, ts(5), 1, "updated", 10.0),
+        Event(2, ts(1), 2, "created", 2.0))
+      q.processAllAvailable()
+      val got = catalog.load("latest")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id").collect().toSeq
+      assert(got == Seq(
+        Row(1L, ts(5), "updated", 10.0),
+        Row(2L, ts(1), "created", 2.0)))
+      // the streamed table IS the batch twin of its own change feed
+      val changes = Seq(
+        Event(1, ts(0), 1, "created", 1.0),
+        Event(2, ts(1), 2, "created", 2.0),
+        Event(1, ts(5), 1, "updated", 10.0)).toDF()
+      val twin = EventStreams.upsertLatest(changes, Seq("event_id"), "ts")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id").collect().toSeq
+      assert(got == twin)
+    } finally q.stop()
+  }
+}
