@@ -1467,6 +1467,102 @@ object PipelineQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // The flagship end-to-end composition — the COMPLETE pass a
+  // pretraining-data job runs, every stage one of the attested
+  // operators, the whole chain one declarative plan:
+  //   quality gate → exact dedup → near-dup drop (shared mined
+  //   pairs) → eval-set decontamination → language filter →
+  //   per-source token budget → per-source report.
+  // The oracle replays ALL SIX stages (including the full portable
+  // minhash mining and the budget hash order) in one DuckDB query.
+  val cp3FullPass: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val survivors = pipeline.Curation.curate(d, portable = true,
+      precomputedPairs = Some(plantedMinhashPairs(s, dir)))
+    val evalDocs = d.select("doc_id", "text").filter(col("doc_id") < 50)
+    val leaked = pipeline.Contamination.contaminatedTrainDocs(
+      survivors.select("doc_id", "text"), evalDocs, "doc_id", "text",
+      w = 8).select("doc_id")
+    val clean = survivors.join(leaked, Seq("doc_id"), "left_anti")
+    val langKept = clean.filter(col("lang").isin("en", "de", "fr"))
+    val withTok = langKept.select(col("doc_id"), col("source"),
+      size(split(col("text"), " +")).cast("long").as("n_tokens"))
+    pipeline.Sampling.tokenBudgetSelect(withTok, "doc_id", "n_tokens",
+      "source",
+      budgets = Map("src0" -> 800L, "src1" -> 600L, "src2" -> 1000L),
+      seed = 7L, defaultBudget = 500L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("source")
+  }
+
+  val cp3Sql: String =
+    s"""WITH q AS (
+      |  SELECT doc_id, text, lang, source,
+      |         length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS n_words
+      |  FROM documents),
+      |gated AS (
+      |  SELECT * FROM q WHERE n_words >= 10 AND n_words <= 100000),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+      |deduped AS (
+      |  SELECT g.doc_id, g.text, g.lang, g.source
+      |  FROM gated g JOIN keep USING (doc_id)),
+      |base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'zzz ' || substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id < 50),
+      |${minhashPairsCtes()},
+      |losers AS (
+      |  SELECT DISTINCT id2 AS doc_id FROM agree
+      |  WHERE CAST(m AS DOUBLE) / 32 >= 0.9
+      |    AND id1 IN (SELECT doc_id FROM deduped)),
+      |survivors AS (
+      |  SELECT * FROM deduped
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+      |ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      |evw AS (SELECT regexp_split_to_array(text, ' +') AS w FROM ev),
+      |evsh AS (
+      |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS shingle
+      |  FROM (SELECT w,
+      |               unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i
+      |        FROM evw) p),
+      |sw AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      |       FROM survivors),
+      |ssh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i
+      |        FROM sw) p),
+      |leaked AS (
+      |  SELECT DISTINCT doc_id FROM ssh JOIN evsh USING (shingle)),
+      |clean AS (
+      |  SELECT * FROM survivors
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM leaked)),
+      |langed AS (
+      |  SELECT * FROM clean WHERE lang IN ('en', 'de', 'fr')),
+      |t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens,
+      |         CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS u
+      |  FROM langed),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |             sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |      FROM t),
+      |sel AS (
+      |  SELECT doc_id, source, n_tokens FROM c
+      |  WHERE cum_tokens <= CASE source WHEN 'src0' THEN 800
+      |                                  WHEN 'src1' THEN 600
+      |                                  WHEN 'src2' THEN 1000 ELSE 500 END)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       min(doc_id) AS min_doc_id
+      |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------- ingest formats ----------------
 
   // Per-fixture landing dirs for the format round trips. Each entry
@@ -1663,6 +1759,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "cp1_curation_pipeline" -> cp1Curation,
+    "cp3_full_pass" -> cp3FullPass,
     "dd1_exact_dedup" -> dd1ExactDedup,
     "dd2_minhash_lsh_pairs" -> dd2MinhashLsh,
     "dd3_simhash" -> dd3Simhash,
@@ -1724,6 +1821,7 @@ object PipelineQueries {
     "pf1a_numeric_profile_approx" -> pf1aSql,
     "pf2_corr_matrix" -> pf2Sql,
     "cp1_curation_pipeline" -> cp1Sql,
+    "cp3_full_pass" -> cp3Sql,
     "dd1_exact_dedup" -> dd1Sql,
     "dd2_minhash_lsh_pairs" -> dd2Sql,
     "dd3_simhash" -> dd3Sql,

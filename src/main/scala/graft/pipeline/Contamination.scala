@@ -67,6 +67,33 @@ object Contamination {
           col("n_shingles").cast("double")).as("contamination"))
   }
 
+  /** Train-side decontamination: the training documents to DROP
+    * because they carry at least `minHits` distinct word w-shingles
+    * of the evaluation set — the acting flip side of
+    * [[ngramContamination]] (which audits the eval side). Returns
+    * (idCol, n_hits) for the offending train documents; the caller
+    * anti-joins them away.
+    *
+    * Same scale shape: eval collapses to its distinct shingles (the
+    * benchmark-sized side), train shingles meet them in ONE equi join
+    * shuffle-partitioned on the shingle, and per-train-doc hit counts
+    * come from a partial aggregation — never train × eval, and the
+    * train text itself is dropped map-side after shingling.
+    */
+  def contaminatedTrainDocs(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, w: Int = 8,
+      minHits: Long = 1L): DataFrame = {
+    require(minHits >= 1L, s"minHits must be >= 1, got $minHits")
+    val evalSh = Dedup.wordShingles(eval_, idCol, textCol, w)
+      .select("shingle").distinct()
+    // wordShingles is distinct per document, so the count below is
+    // the number of DISTINCT leaked shingles
+    val trainSh = Dedup.wordShingles(train, idCol, textCol, w)
+    trainSh.join(evalSh, Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Pairwise source-overlap matrix: for every pair of strata, the
     * size of the intersection of their distinct word-w-shingle sets
     * and its Jaccard index — the cross-source redundancy diagnostic

@@ -1281,6 +1281,30 @@ class PipelineSpec extends SparkTestBase {
     assert(ex.getMessage.contains("doc_id"))
   }
 
+  test("contaminatedTrainDocs flags the planted leak and honors minHits") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // verbatim copy of the eval doc plus trailing noise: many hits
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      // shares exactly ONE 8-shingle (words 1-8)
+      (101L, "alpha beta gamma delta epsilon zeta eta theta xxx yyy"),
+      (102L, "totally unrelated words that never touch the benchmark at all"))
+      .toDF("doc_id", "text")
+    val hits = graft.pipeline.Contamination.contaminatedTrainDocs(
+      train, evalSet, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(100L, 101L))
+    assert(hits(101L) == 1L)
+    assert(hits(100L) >= 3L) // all three eval shingles leak into 100
+    val strict = graft.pipeline.Contamination.contaminatedTrainDocs(
+      train, evalSet, "doc_id", "text", w = 8, minHits = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(100L))
+  }
+
   test("clusterProfile partitions the corpus and agrees with the raw assignment") {
     val e = Tables.load(spark, sf, "embeddings")
       .select("vec_id", "embedding")
