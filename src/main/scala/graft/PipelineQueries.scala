@@ -732,6 +732,51 @@ object PipelineQueries {
       |         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
       |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // Product-quantization codebook profile: the billion-scale ANN
+  // memory layout (m sub-codes per vector instead of dims floats),
+  // over the deterministic sliced-pick codebooks. Per-(subspace,
+  // code) member counts and exact grid-scaled distortion; the oracle
+  // replays every sub-assignment. ADC search over the codes is
+  // spec-covered (exact planted-copy top-1 + driver-exact distances).
+  val pq1PqProfile: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val cbs = pipeline.Quantize.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 16)
+    pipeline.Quantize.pqProfile(e, "vec_id", "embedding", cbs)
+      .orderBy("subspace", "code")
+  }
+
+  val pq1Sql: String =
+    """WITH st AS (
+      |  SELECT greatest(count(*) // 16, 1) AS step FROM embeddings),
+      |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings),
+      |cent AS (
+      |  SELECT CAST(e.vec_id // st.step AS INT) AS code, e.v AS c
+      |  FROM ed e, st
+      |  WHERE e.vec_id % st.step = 0 AND e.vec_id < st.step * 16),
+      |sub AS (
+      |  SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS j),
+      |dist AS (
+      |  SELECT e.vec_id, sub.j, cent.code,
+      |         ((list_dot_product(e.v[sub.j*16+1 : sub.j*16+16],
+      |                            e.v[sub.j*16+1 : sub.j*16+16])
+      |           - 2.0 * list_dot_product(e.v[sub.j*16+1 : sub.j*16+16],
+      |                                    cent.c[sub.j*16+1 : sub.j*16+16]))
+      |          + list_dot_product(cent.c[sub.j*16+1 : sub.j*16+16],
+      |                             cent.c[sub.j*16+1 : sub.j*16+16])) AS d
+      |  FROM ed e CROSS JOIN sub CROSS JOIN cent),
+      |assigned AS (
+      |  SELECT vec_id, j, code, d FROM (
+      |    SELECT vec_id, j, code, d,
+      |           row_number() OVER (
+      |             PARTITION BY vec_id, j ORDER BY d, code) AS rn
+      |    FROM dist) WHERE rn = 1)
+      |SELECT j AS subspace, code, count(*) AS n_vecs,
+      |       CAST(sum(CAST(round(d * 1000000000.0, 0) AS DECIMAL(38,0)))
+      |            AS DECIMAL(38,0)) AS sum_d9
+      |FROM assigned GROUP BY j, code ORDER BY subspace, code""".stripMargin
+
   // k-means cluster diagnostics over the same deterministic
   // quantizer: per-cell member count, representative id, and the
   // exact within-cluster scatter on the x1e9 integer grid. One
@@ -1795,6 +1840,7 @@ object PipelineQueries {
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
     "km1_cluster_profile" -> km1ClusterProfile,
+    "pq1_pq_profile" -> pq1PqProfile,
     "tx1_text_quality" -> tx1Quality,
     "tx2_token_counts" -> tx2Tokens,
     "tx3_fingerprint" -> tx3Fingerprint,
@@ -1857,6 +1903,7 @@ object PipelineQueries {
     "ss2_cosine_topk_lsh" -> ss2Sql,
     "ss3_cosine_topk_ivf" -> ss3Sql,
     "km1_cluster_profile" -> km1Sql,
+    "pq1_pq_profile" -> pq1Sql,
     "tx1_text_quality" -> tx1Sql,
     "tx2_token_counts" -> tx2Sql,
     "tx3_fingerprint" -> tx3Sql,

@@ -33,7 +33,7 @@ object Ivf {
     * struct-min so distance ties break on the lower index, exactly
     * like the oracle's `ORDER BY d, j`.
     */
-  private def nearestCellStruct(vec: Column,
+  private[pipeline] def nearestCellStruct(vec: Column,
       centroids: Array[Array[Double]]): Column = {
     val x2 = xx(vec)
     val cands = centroids.zipWithIndex.map { case (c, j) =>

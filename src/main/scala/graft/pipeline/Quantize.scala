@@ -34,6 +34,115 @@ object Quantize {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => (q.cast("double") * scale) / lit(127.0d))
 
+  // ---------------- product quantization ----------------
+
+  /** Deterministic PQ codebooks: subspace `j`'s codebook is the j-th
+    * slice of the evenly-spaced corpus pick `Ivf.staticCentroids`
+    * makes (k whole-vector picks, sliced m ways) — training-free and
+    * replayable by the SQL oracle, like the IVF quantizer. Returns
+    * codebooks(j)(code) = the (dims/m)-dim sub-centroid.
+    *
+    * Why PQ at 100 TB: a 256-dim float embedding is 1 KB/vector —
+    * 100 B vectors don't fit anything; PQ stores m single-byte-ish
+    * codes (16-64 B) and searches with table-lookup (ADC) distances,
+    * the standard billion-scale ANN memory layout (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val picks = Ivf.staticCentroids(corpus, idCol, vecCol, k)
+    val dims = picks.head.length
+    require(m >= 1 && dims % m == 0,
+      s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    Array.tabulate(m)(j => picks.map(c => c.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** The per-subspace (subspace, code, d) assignment structs, with
+    * each subvector materialized ONCE per row (referencing a slice
+    * from inside the k-centroid struct-min would re-slice per
+    * centroid). Shared by encode and profile so they cannot drift.
+    */
+  private def withSubAssignments(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]])(
+      finish: (DataFrame, Seq[Column]) => DataFrame): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val sliced = (0 until m).foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"__sv$j", slice(col(vecCol), j * sub + 1, sub))
+    }
+    val assigns = (0 until m).map(j =>
+      Ivf.nearestCellStruct(col(s"__sv$j"), codebooks(j)))
+    finish(sliced, assigns)
+  }
+
+  /** PQ-encode: adds `codes array<int>`, one nearest-sub-centroid
+    * code per subspace — map-only, one pass, no shuffle. Downstream
+    * storage/search carries m small ints instead of dims floats.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    withSubAssignments(df, vecCol, codebooks) { (sliced, assigns) =>
+      sliced.withColumn("codes",
+          array(assigns.map(_.getField("j")): _*))
+        .drop(codebooks.indices.map(j => s"__sv$j"): _*)
+    }
+
+  /** Per-(subspace, code) codebook profile: member count and the
+    * exact ×10⁹-grid scatter (same associative-exact trick as
+    * `Ivf.clusterProfile`) — the balance/distortion diagnostic run
+    * after building a codebook. Result size = m × k rows.
+    */
+  def pqProfile(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    withSubAssignments(df, vecCol, codebooks) { (sliced, assigns) =>
+      val entries = array(assigns.zipWithIndex.map { case (a, j) =>
+        struct(lit(j).as("subspace"), a.getField("j").as("code"),
+          a.getField("d").as("d"))
+      }: _*)
+      sliced.select(explode(entries).as("e"))
+        .groupBy(col("e.subspace").as("subspace"), col("e.code").as("code"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(round(col("e.d") * lit(1e9)).cast("decimal(38,0)"))
+            .as("sum_d9"))
+    }
+
+  /** ADC (asymmetric distance) top-k over PQ codes: every corpus row
+    * costs m sub-distance computations against the query's
+    * subvectors — the scan reads CODES (m ints), never the original
+    * vectors; queries ride along broadcast. Per-query top-k is the
+    * same partial aggregation the brute-force path uses (≤ k rows
+    * per query per partition reach the shuffle). Returns
+    * (query_id, neighbor_id, adc_dist, rank), nearest first.
+    */
+  def pqAdcTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
+      vecCol: String, codebooks: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"))
+    val qs = (0 until m).foldLeft(q0) { (acc, j) =>
+      acc.withColumn(s"__qv$j", transform(
+        slice(col("qvec"), j * sub + 1, sub), x => x.cast("double")))
+    }
+    val c = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+    val subDists = (0 until m).map { j =>
+      val cb = array(codebooks(j).toIndexedSeq.map(cvec =>
+        array(cvec.toIndexedSeq.map(lit): _*)): _*)
+      val picked = element_at(cb, element_at(col("codes"), j + 1) + 1)
+      aggregate(zip_with(col(s"__qv$j"), picked,
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
+    }
+    val scored = broadcast(qs).join(c,
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-subDists.reduce(_ + _)).as("cosine"))
+    Similarity.topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cosine")).as("adc_dist"), col("rank"))
+  }
+
   /** Quantize→dequantize fidelity: cosine between the original and
     * the reconstructed vector (≈0.999+ for 64-dim unit-ish data).
     */

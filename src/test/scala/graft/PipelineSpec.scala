@@ -1281,6 +1281,71 @@ class PipelineSpec extends SparkTestBase {
     assert(ex.getMessage.contains("doc_id"))
   }
 
+  test("PQ: codes are the per-subspace argmin, ADC distances are driver-exact, copies rank first") {
+    import graft.pipeline.Quantize
+    val e = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val cbs = Quantize.pqCodebooks(e, "vec_id", "embedding", m = 4, k = 16)
+    assert(cbs.length == 4 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 16)))
+    // per-subspace membership partitions the corpus
+    val prof = Quantize.pqProfile(e, "vec_id", "embedding", cbs)
+    val n = e.count()
+    val bySub = prof.groupBy("subspace")
+      .agg(sum("n_vecs").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bySub == Map(0 -> n, 1 -> n, 2 -> n, 3 -> n))
+    // codes equal a driver-side argmin replay on a sample row
+    val row = Quantize.pqEncode(e, "embedding", cbs)
+      .filter(col("vec_id") === 7L)
+      .select("embedding", "codes").head()
+    val vec = row.getSeq[Float](0).map(_.toDouble).toArray
+    val codes = row.getSeq[Int](1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      // same expression order as the plan: ||x||^2 - 2 x.c + ||c||^2
+      val x2 = a.foldLeft(0.0)((s, v) => s + v * v)
+      val dot = a.zip(b).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+      x2 - 2.0 * dot + b.foldLeft(0.0)((s, v) => s + v * v)
+    }
+    (0 until 4).foreach { j =>
+      val sv = vec.slice(j * 16, (j + 1) * 16)
+      val want = cbs(j).zipWithIndex.minBy { case (c, i) => (d2(sv, c), i) }._2
+      assert(codes(j) == want, s"subspace $j: got ${codes(j)} want $want")
+    }
+    // ADC: planted exact copies share codes, so each query's top-1 is
+    // its copy, at exactly the query's own reconstruction distance
+    val copies = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val encoded = Quantize.pqEncode(e.unionByName(copies), "embedding", cbs)
+      .select("vec_id", "codes")
+    val top = Quantize.pqAdcTopK(e.filter(col("vec_id") < 5), encoded,
+      "vec_id", "embedding", cbs, k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val allCodes = encoded.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0L until 5L).foreach { q =>
+      // ADC distance is a function of the CODES alone, so any vector
+      // sharing the copy's codes legitimately ties at rank 1 — the
+      // tie-robust claims are: the minimum equals q's own
+      // reconstruction distance (the planted copy achieves it), and
+      // the winner holds the same codes
+      val (nb, dist) = top(q)
+      assert(allCodes(nb) == allCodes(q + 1000000L),
+        s"query $q: top-1 $nb codes ${allCodes(nb)} != copy codes")
+      val qvec = e.filter(col("vec_id") === q)
+        .head().getSeq[Float](1).map(_.toDouble).toArray
+      val expect = (0 until 4).map { j =>
+        val sv = qvec.slice(j * 16, (j + 1) * 16)
+        val c = cbs(j).zipWithIndex.minBy { case (cc, i) => (d2(sv, cc), i) }._1
+        sv.zip(c).foldLeft(0.0)((s, p) =>
+          s + (p._1 - p._2) * (p._1 - p._2))
+      }.sum
+      assert(math.abs(dist - expect) < 1e-9, s"query $q: $dist vs $expect")
+    }
+  }
+
   test("contaminatedTrainDocs flags the planted leak and honors minHits") {
     import spark.implicits._
     val evalSet = Seq(
