@@ -355,6 +355,45 @@ object PipelineQueries {
   // first/last word) also match wherever two planted docs share
   // that word — genuine duplicated 8-grams on this vocabulary. The
   // oracle replays plant, window hashing, span cover, and rebuild.
+  // C4-style cross-corpus line dedup. The fixture text is single-line,
+  // so the entry first folds each document into 3-token lines (the
+  // 31-word vocabulary makes verbatim 3-token lines collide across
+  // documents by the thousands) and then keeps only each distinct
+  // line's corpus-wide first occurrence.
+  val dd11LineDedup: Q = (s, dir) => {
+    val t = docs(s, dir).select(col("doc_id"),
+      split(col("text"), " +").as("tk"))
+    val lined = t.select(col("doc_id"),
+      array_join(transform(
+          sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(3)),
+          i => array_join(slice(col("tk"), i, lit(3)), " ")),
+        "\n").as("text"))
+    Dedup.lineDedup(lined, "doc_id", "text", delim = "\n")
+      .orderBy("doc_id")
+  }
+
+  val dd11Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      |           FROM documents),
+      |lines AS (
+      |  SELECT doc_id, (i - 1) // 3 AS pos,
+      |         array_to_string(w[i:i+2], ' ') AS line
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, greatest(len(w), 1), 3)) AS i
+      |        FROM t) p),
+      |r AS (SELECT doc_id, pos, line, row_number() OVER (
+      |        PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+      |      FROM lines),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      |  FROM r WHERE rn = 1 GROUP BY doc_id),
+      |nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+      |SELECT nl.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(n_lines - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
+      |  coalesce(clean_text, '') AS clean_text
+      |FROM nl LEFT JOIN agg USING (doc_id) ORDER BY nl.doc_id""".stripMargin
+
   val dd9SubstrDedup: Q = (s, dir) => {
     val hdr = "begin shared corpus header boilerplate marker alpha " +
       "beta gamma delta epsilon zeta "
@@ -1241,6 +1280,24 @@ object PipelineQueries {
       |  FROM documents ORDER BY u, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  // Weighted sample (Efraimidis–Spirakis): inclusion probability
+  // proportional to document length, realized as a deterministic
+  // top-k on ln(u)/w — the oracle replays the identical rank key.
+  val sm8Weighted: Q = (s, dir) =>
+    pipeline.Sampling.weightedSample(
+      docs(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", k = 120, seed = 13L)
+      .orderBy("doc_id")
+
+  val sm8Sql: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    ln((CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 0.5)
+      |       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS rk
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      |  ORDER BY rk DESC, doc_id LIMIT 120)
+      |ORDER BY doc_id""".stripMargin
+
   // Token-budget selection: each source keeps its hash-ordered prefix
   // of documents within a per-source token budget. The oracle replays
   // the NAIVE single running-total window — attesting that the
@@ -1642,9 +1699,56 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ORC round trip — the other columnar lake format; same pushdown /
+  // pruning / stripe-splitting contract as parquet, attested by the
+  // identical row-for-row oracle as the text round trips.
+  val fm4OrcRoundtrip: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val path = fmtDir(dir, "orc")
+    sources.Columnar.writeOrc(d, path)
+    sources.Columnar.readOrc(s, path, d.schema)
+      .select(d.columns.map(col): _*)
+      .orderBy("doc_id")
+  }
+
   val fmRoundtripSql: String =
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Z-order tiles: the Morton index that drives the writeZordered
+  // layout (sources.Zorder), computed over (user_id, floor(value))
+  // at 9 bits/dim and folded to 64 curve tiles. The per-tile counts
+  // attest every interleaved bit end-to-end (any wrong bit moves
+  // events across tiles), and the per-tile bounding boxes ARE the
+  // data-skipping property: each tile spans a narrow x/y range, so a
+  // z-sorted file covering it serves 2-D box predicates from footer
+  // min/max stats alone. The oracle replays the identical bit
+  // arithmetic via Zorder.zValueSql.
+  val zo1ZorderTiles: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events").select(
+      col("user_id").cast("long").as("x"),
+      floor(col("value")).cast("long").as("y"))
+    ev.withColumn("tile",
+        shiftright(sources.Zorder.zValue(col("x"), col("y"), 9), 12))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_events"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("tile")
+  }
+
+  val zo1Sql: String = {
+    val z = sources.Zorder.zValueSql("x", "y", 9)
+    s"""WITH d AS (
+       |  SELECT CAST(user_id AS BIGINT) AS x,
+       |         CAST(floor(value) AS BIGINT) AS y
+       |  FROM events),
+       |t AS (SELECT ($z) >> 12 AS tile, x, y FROM d)
+       |SELECT tile, count(*) AS n_events,
+       |  min(x) AS min_x, max(x) AS max_x,
+       |  min(y) AS min_y, max(y) AS max_y
+       |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+  }
 
   // Hive-style partitioned layout: documents written partitioned by
   // source, read back through a partition-pruned scan (only the two
@@ -1815,6 +1919,7 @@ object PipelineQueries {
     "dd8_cluster_keepers" -> dd8Keepers,
     "dd9_substr_dedup" -> dd9SubstrDedup,
     "dd10_embed_neardup_lsh" -> dd10CosinePairs,
+    "dd11_line_dedup" -> dd11LineDedup,
     "cp2_semantic_dedup" -> cp2SemanticDedup,
     "sm1_stratified_sample" -> sm1Sample,
     "sm2_source_cap" -> sm2Cap,
@@ -1824,8 +1929,11 @@ object PipelineQueries {
     "fm1_csv_roundtrip" -> fm1CsvRoundtrip,
     "fm2_jsonl_roundtrip" -> fm2JsonlRoundtrip,
     "fm3_partitioned_prune" -> fm3PartitionedPrune,
+    "fm4_orc_roundtrip" -> fm4OrcRoundtrip,
+    "zo1_zorder_tiles" -> zo1ZorderTiles,
     "sm4_exact_sample" -> sm4Exact,
     "sm5_token_budget" -> sm5Budget,
+    "sm8_weighted_sample" -> sm8Weighted,
     "sm6_diverse_sample" -> sm6Diverse,
     "tx9_normalize" -> tx9Normalize,
     "tx10_lm_score" -> tx10LmScore,
@@ -1878,6 +1986,7 @@ object PipelineQueries {
     "dd8_cluster_keepers" -> dd8Sql,
     "dd9_substr_dedup" -> dd9Sql,
     "dd10_embed_neardup_lsh" -> dd10Sql,
+    "dd11_line_dedup" -> dd11Sql,
     "cp2_semantic_dedup" -> cp2Sql,
     "sm1_stratified_sample" -> sm1Sql,
     "sm2_source_cap" -> sm2Sql,
@@ -1887,8 +1996,11 @@ object PipelineQueries {
     "fm1_csv_roundtrip" -> fmRoundtripSql,
     "fm2_jsonl_roundtrip" -> fmRoundtripSql,
     "fm3_partitioned_prune" -> fm3Sql,
+    "fm4_orc_roundtrip" -> fmRoundtripSql,
+    "zo1_zorder_tiles" -> zo1Sql,
     "sm4_exact_sample" -> sm4Sql,
     "sm5_token_budget" -> sm5Sql,
+    "sm8_weighted_sample" -> sm8Sql,
     "sm6_diverse_sample" -> sm6Sql,
     "tx9_normalize" -> tx9Sql,
     "tx10_lm_score" -> tx10Sql,

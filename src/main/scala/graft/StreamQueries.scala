@@ -210,6 +210,25 @@ object StreamQueries {
       |SELECT event_id, ts, user_id, event_type, value
       |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // Stream-static enrichment: the event feed left-joined to a
+  // broadcast customer-profile dimension (user_id indexes into
+  // c_custkey). The stream side never shuffles — each micro-batch is
+  // enriched map-side against the broadcast dim; the LEFT join keeps
+  // feed rows with no profile.
+  val ev6Enrich: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    EventStreams.enrichEvents(ev, dim, "user_id", "c_custkey")
+      .orderBy("event_id")
+  }
+  val ev6Sql: String =
+    """SELECT event_id, user_id, event_type, value, c_name, c_mktsegment
+      |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+      |ORDER BY event_id""".stripMargin
+
   // Sliding-window active users (rolling WAU): distinct user-days,
   // a bounded x7 window explode, then the two-level distinct-count
   // trick (groupBy twice, never countDistinct at the widest stage).
@@ -229,6 +248,7 @@ object StreamQueries {
   val queries: Map[String, Q] = Map(
     "ev1_windowed_agg" -> ev1WindowedAgg,
     "ev5_cdc_upsert" -> ev5Upsert,
+    "ev6_stream_enrich" -> ev6Enrich,
     "sw1_sliding_active_users" -> sw1SlidingActive,
     "ev2_sessionize" -> ev2Sessions,
     "ev3_dedup" -> ev3Dedup,
@@ -242,6 +262,7 @@ object StreamQueries {
   val oracleSql: Map[String, String] = Map(
     "ev4_interval_join" -> ev4Sql,
     "ev5_cdc_upsert" -> ev5Sql,
+    "ev6_stream_enrich" -> ev6Sql,
     "sw1_sliding_active_users" -> sw1Sql,
     "ev1_windowed_agg" -> ev1Sql,
     "ev2_sessionize" -> ev2Sql,

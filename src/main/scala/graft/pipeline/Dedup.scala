@@ -88,6 +88,64 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Cross-corpus line-level exact dedup — the C4 rule (Raffel et
+    * al., arXiv:1910.10683 §2.2: "we discarded all but one of any
+    * three-sentence span occurring more than once in the data set")
+    * at line granularity, as RefinedWeb/Dolma apply it. Documents are
+    * split on `delim`; of every set of verbatim-identical lines the
+    * corpus-wide FIRST occurrence (smallest (id, position)) survives,
+    * every other occurrence is removed, and each document is
+    * reassembled from its surviving lines in order. Lines shorter
+    * than `minChars` (e.g. blank separator lines) bypass dedup and
+    * are always kept — deduplicating those would splice unrelated
+    * boilerplate out of nearly every document.
+    *
+    * Returns one row per input document:
+    * (id, n_lines, n_dropped, clean_text); clean_text is "" when
+    * every line occurs earlier elsewhere.
+    *
+    * Scale shape: occurrences meet only through ONE partial+final
+    * hash aggregation on the line's 128-bit md5 (state per distinct
+    * line = a 12-byte min-(id,pos) struct, combined map-side — hot
+    * boilerplate lines collapse before the shuffle) plus an equi
+    * join of winners back to occurrences: linear in corpus lines,
+    * never pairwise. Reassembly is a per-row array_sort over the
+    * document's own surviving lines, bounded by document length.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", minChars: Int = 1): DataFrame = {
+    val delimRe = java.util.regex.Pattern.quote(delim)
+    val base = spread(df).select(col(idCol), col(textCol))
+    val lines = base.select(col(idCol),
+        posexplode(split(col(textCol), delimRe)))
+      .toDF(idCol, "__pos", "__line")
+    val parts = lines.filter(length(col("__line")) >= minChars)
+      .withColumn("__h", md5(col("__line").cast("binary")))
+    val winners = parts.groupBy("__h")
+      .agg(min(struct(col(idCol).as("i"), col("__pos").as("p")))
+        .as("__w"))
+      .select(col("__h"), col("__w.i").as("__wid"),
+        col("__w.p").as("__wpos"))
+    val kept = parts.join(winners, Seq("__h"))
+      .filter(col(idCol) === col("__wid") && col("__pos") === col("__wpos"))
+      .select(col(idCol), col("__pos"), col("__line"))
+      .unionByName(lines.filter(length(col("__line")) < minChars)
+        .select(col(idCol), col("__pos"), col("__line")))
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nkept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), delim).as("__clean"))
+    base.select(col(idCol),
+        size(split(col(textCol), delimRe)).as("__nl"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__nl").cast("long").as("n_lines"),
+        (col("__nl") - coalesce(col("__nkept"), lit(0))).cast("long")
+          .as("n_dropped"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   // ---------------- shingling ----------------
 
   /** Repartition a low-parallelism input before CPU-heavy per-row map

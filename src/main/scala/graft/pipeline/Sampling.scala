@@ -92,6 +92,34 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 97(5), 2006):
+    * each row draws u = hash(seed:id) mapped into (0,1) and is ranked
+    * by u^(1/w) — computed as ln(u)/w, monotone-equivalent and
+    * overflow-safe — so inclusion probability is proportional to the
+    * row's weight. The k largest ranks ARE the sample, which turns
+    * weighted reservoir sampling into a deterministic, rerunnable
+    * top-k: per-partition k-heaps + one k-merge
+    * (TakeOrderedAndProject), never a global sort, no driver-side
+    * randomness, reproducible across retries and cluster sizes.
+    *
+    * Rows with NULL or non-positive weight carry no selection mass
+    * and are excluded. `idCol` must be unique (same determinism
+    * contract as [[exactSample]]: ties in the rank key fall back to
+    * id order).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"weightedSample needs k > 0, got $k")
+    val u01 =
+      (PortableHash.hash60(concat_ws(":", lit(seed), col(idCol)))
+        .cast("double") + lit(0.5)) / lit(math.pow(2.0, 60))
+    val rank = log(u01) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .orderBy(rank.desc, col(idCol).asc).limit(k)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Mixture-rate solver for corpus composition: given a target
     * mixture (per-stratum weight shares) and the corpus's ACTUAL
     * per-stratum weights, compute the per-stratum sampling rates that

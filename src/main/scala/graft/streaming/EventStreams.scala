@@ -148,6 +148,31 @@ object EventStreams {
   def dedupEventsBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  // ---------------- stream-static enrichment ----------------
+
+  /** Enrich an event feed against a slowly-changing dimension table —
+    * the standard streaming "profile join" (click feed × user table).
+    * The dim side is broadcast: the stream never shuffles, every
+    * micro-batch is enriched map-side, and Structured Streaming
+    * supports exactly this shape natively (stream-static join, static
+    * on the build side). A LEFT join keeps events whose key has no
+    * profile yet — dropping them would silently lose feed rows on a
+    * dim lag, the classic enrichment bug.
+    *
+    * At 100 TB feed scale the dim (users, items) is the small side by
+    * orders of magnitude; if it outgrows broadcast, pre-bucket both
+    * sides on the key (sources.Bucketed) and the same plan downgrades
+    * to a zero-exchange sort-merge join — callers pass
+    * `broadcastDim = false` for that regime.
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String,
+      broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    events.join(d, events(eventKey) === d(dimKey), "left")
+      .drop(d(dimKey))
+  }
+
   // ---------------- stream-stream interval join ----------------
 
   /** Click→view attribution pairs: every (click, view) of one user

@@ -1392,4 +1392,63 @@ class PipelineSpec extends SparkTestBase {
     assert(prof.filter(col("sum_d9") < 0).count() == 0)
     prof.unpersist(false)
   }
+
+  test("lineDedup keeps first occurrence corpus-wide, bypasses short lines") {
+    import spark.implicits._
+    // doc 1: a|b|a  doc 2: b|c|a  doc 3: c (all of doc 3 seen earlier)
+    val d = Seq(
+      (1L, "alpha one\nbeta two\nalpha one"),
+      (2L, "beta two\ngamma three\nalpha one"),
+      (3L, "gamma three")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1 keeps its FIRST "alpha one" (pos 0) and "beta two",
+    // drops the intra-doc repeat at pos 2
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 1)
+    assert(out(0).getString(3) == "alpha one\nbeta two")
+    // doc 2: every line occurred earlier except "gamma three"
+    assert(out(1).getLong(2) == 2 &&
+      out(1).getString(3) == "gamma three")
+    // doc 3 loses everything but keeps its row
+    assert(out(2).getLong(1) == 1 && out(2).getLong(2) == 1 &&
+      out(2).getString(3) == "")
+    // blank separator lines bypass dedup under the default minChars=1
+    val blanky = Seq(
+      (1L, "alpha\n\nbeta"), (2L, "gamma\n\ndelta")).toDF("doc_id", "text")
+    val kept = Dedup.lineDedup(blanky, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(kept(0).getString(3) == "alpha\n\nbeta")
+    assert(kept(1).getString(3) == "gamma\n\ndelta")
+    // raising minChars pulls short lines INTO dedup
+    val short = Dedup.lineDedup(blanky, "doc_id", "text", minChars = 0)
+      .orderBy("doc_id").collect()
+    assert(short(1).getString(3) == "gamma\ndelta")
+  }
+
+  test("weightedSample is E-S weighted, deterministic, and excludes zero-mass rows") {
+    import spark.implicits._
+    val rows = Seq((1L, 10.0, "heavy"), (2L, 1.0, "light"),
+      (3L, 0.0, "zero"), (4L, -1.0, "neg"))
+    val d = rows.toDF("id", "w", "tag")
+    // k >= positive-mass rows returns exactly those rows
+    val all = graft.pipeline.Sampling.weightedSample(d, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == Seq(1L, 2L))
+    // same seed + repartition => identical selection (determinism is
+    // hash-borne, not partition-order-borne)
+    val big = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "w")
+    val a = graft.pipeline.Sampling.weightedSample(big, "id", "w", 20, seed = 5)
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.pipeline.Sampling.weightedSample(big.repartition(13),
+      "id", "w", 20, seed = 5).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // P(selected first) tracks weight: with w=10 vs w=1 the heavy row
+    // should win the k=1 draw ~10/11 of seeds
+    val two = Seq((1L, 10.0), (2L, 1.0)).toDF("id", "w")
+    val wins = (1 to 40).count { s =>
+      graft.pipeline.Sampling.weightedSample(two, "id", "w", 1,
+        seed = s.toLong).head().getLong(0) == 1L
+    }
+    assert(wins >= 28, s"heavy row won only $wins/40 draws")
+  }
 }

@@ -345,4 +345,49 @@ class PlanSpec extends SparkTestBase {
     val exComposed = "Exchange".r.findAllIn(plan(composed)).size
     assert(exComposed == exBase, plan(composed).take(1500))
   }
+
+  test("weightedSample plans per-partition k-heaps, not a full sort") {
+    val p = plan(graft.pipeline.Sampling.weightedSample(
+      Tables.load(spark, sf, "documents")
+        .select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", k = 100))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("lineDedup winners come from a partial min-struct agg: no Window, no Expand") {
+    val p = plan(graft.pipeline.Dedup.lineDedup(
+      Tables.load(spark, sf, "documents").select("doc_id", "text"),
+      "doc_id", "text", delim = " "))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("Expand"), p.take(1200))
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      p.take(1200))
+    assert(!p.toLowerCase.contains("cartesian"), p.take(1200))
+  }
+
+  test("stream-static enrichment broadcasts the dim: feed side never shuffles") {
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "value")
+    val dim = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val p = plan(graft.streaming.EventStreams.enrichEvents(
+      ev, dim, "user_id", "c_custkey"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the only exchange is the dim's broadcast, never a feed shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
+  test("zorder tile profile is one scan and one partial+final agg") {
+    val ev = Tables.load(spark, sf, "events").select(
+      col("user_id").cast("long").as("x"),
+      floor(col("value")).cast("long").as("y"))
+    val p = plan(ev
+      .withColumn("tile", shiftright(
+        graft.sources.Zorder.zValue(col("x"), col("y"), 9), 12))
+      .groupBy("tile").agg(count(lit(1)).as("n")))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      p.take(1200))
+    assert(!p.contains("Window") && !p.toLowerCase.contains("cartesian"),
+      p.take(1200))
+  }
 }

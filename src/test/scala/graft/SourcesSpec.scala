@@ -232,4 +232,63 @@ class SourcesSpec extends SparkTestBase {
       assert(got == twin)
     } finally q.stop()
   }
+
+  test("ORC round trip preserves hostile values, nulls included") {
+    val dir = tmp("graft_orc")
+    graft.sources.Columnar.writeOrc(hostile, dir)
+    val back = graft.sources.Columnar.readOrc(spark, dir, hostileSchema)
+      .select("id", "text", "score")
+    assert(sorted(back) == sorted(hostile))
+  }
+
+  test("zValue interleaves bits; SQL twin agrees bit-for-bit") {
+    import graft.sources.Zorder
+    import spark.implicits._
+    // x=5 (101), y=3 (011) -> z bits msb-first x2 y2 x1 y1 x0 y0 =
+    // 100111 = 39
+    val d = Seq((5L, 3L), (0L, 0L), (7L, 7L), (4L, 1L)).toDF("x", "y")
+    val got = d.select(Zorder.zValue(col("x"), col("y"), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(39L, 0L, 63L, 33L))
+    d.createOrReplaceTempView("zin")
+    val viaSql = spark.sql(
+      s"SELECT ${Zorder.zValueSql("x", "y", 3)} AS z FROM zin")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == got)
+  }
+
+  test("z-ordered layout: lossless, and files tile BOTH dimensions") {
+    import graft.sources.Zorder
+    import spark.implicits._
+    val n = 1 << 12
+    // a 64x64 grid, one point per cell, written as 16 z-files
+    val d = (0 until n).map(i => (i.toLong, (i % 64).toLong,
+      (i / 64).toLong)).toDF("id", "x", "y")
+    val dir = tmp("graft_zorder")
+    Zorder.writeZordered(d, dir, "x", "y", bits = 6, numFiles = 16)
+    val back = spark.read.parquet(dir)
+    // lossless: same rows, helper column gone
+    assert(back.columns.sorted.toSeq == Seq("id", "x", "y"))
+    assert(back.orderBy("id").collect().toSeq ==
+      d.orderBy("id").collect().toSeq)
+    // most files' bounding boxes must span far less than the full
+    // domain in BOTH dims (a single-column sort leaves one dim at
+    // full 64-width in EVERY file; a 256-row z-range is a ~16x16
+    // tile, except where a file straddles a high-level curve
+    // boundary — a handful of files at most)
+    val spans = back
+      .select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    assert(spans.length == 16)
+    val tiled = spans.count(r =>
+      math.max(r.getLong(1), r.getLong(2)) <= 31)
+    assert(tiled >= 10,
+      s"only $tiled/16 files are sub-half-domain tiles")
+    // box query over the layout equals the unlaid-out answer
+    val box = back.filter(col("x").between(10, 20) &&
+      col("y").between(30, 40)).agg(count(lit(1))).head().getLong(0)
+    assert(box == 11L * 11L)
+  }
 }

@@ -40,6 +40,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim, keeps orphans") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alice", "gold"), (2L, "bob", "tin"))
+      .toDF("uid", "name", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enrichEvents(mem.toDF(), dim, "user_id", "uid")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 9, "click", 3.0)) // no profile for user 9
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .select("event_id", "name", "tier")
+        .orderBy("event_id").collect().toSeq
+      assert(got.map(r => (r.getLong(0), r.getString(1), r.getString(2))) ==
+        Seq((1L, "alice", "gold"), (2L, "bob", "tin"), (3L, null, null)))
+      // the dim key column is dropped; feed columns survive
+      assert(!spark.table("enrich").columns.contains("uid"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
