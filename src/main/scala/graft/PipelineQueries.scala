@@ -1280,6 +1280,45 @@ object PipelineQueries {
       |  FROM documents ORDER BY u, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  // Ranked per-source top-k: each source's 30 longest documents —
+  // the "best K per source" quality cap, scored rather than
+  // hash-drawn (sm2). The oracle replays the naive single window;
+  // the operator's salted pre-window must keep the identical set.
+  val sm9TopPerSource: Q = (s, dir) =>
+    pipeline.Sampling.topKPerGroup(
+      docs(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "source", "n_chars", k = 30)
+      .orderBy("doc_id")
+
+  val sm9Sql: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars, row_number() OVER (
+      |    PARTITION BY source ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+      |  FROM documents) r WHERE rn <= 30 ORDER BY doc_id""".stripMargin
+
+  // Deterministic train/val/test split: membership is a pure function
+  // of (seed, doc_id), so the oracle recomputes every assignment and
+  // the aggregate attests all 10000 hash-bucket thresholds.
+  val sp1Splits: Q = (s, dir) =>
+    pipeline.Sampling.assignSplits(
+      docs(s, dir).select("doc_id", "source", "n_chars"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 29L)
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("split", "source")
+
+  val sp1Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST('0x' || substr(md5('29:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS b
+      |  FROM documents)
+      |SELECT CASE WHEN b < 8000 THEN 'train'
+      |            WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+      |  source, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // Weighted sample (Efraimidis–Spirakis): inclusion probability
   // proportional to document length, realized as a deterministic
   // top-k on ln(u)/w — the oracle replays the identical rank key.
@@ -1797,6 +1836,26 @@ object PipelineQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // Fixed-domain equi-width histogram: l_extendedprice in 20 bins of
+  // [0, 60000), out-of-range clamped into the edge bins — counts sum
+  // to the non-null row count by construction. One scan, one
+  // partial+final agg of <= 20 groups.
+  val pf3Histogram: Q = (s, dir) =>
+    pipeline.Profiling.histogram(
+      Tables.load(s, dir, "lineitem"), "l_extendedprice",
+      bins = 20, lo = 0.0, hi = 60000.0)
+      .orderBy("bin")
+
+  val pf3Sql: String =
+    """WITH b AS (
+      |  SELECT least(greatest(
+      |    floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 3000.0),
+      |    0.0), 19.0) AS binf
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      |SELECT CAST(binf AS BIGINT) AS bin, binf * 3000.0 AS bin_lo,
+      |  (binf + 1) * 3000.0 AS bin_hi, count(*) AS n_rows
+      |FROM b GROUP BY 1, 2, 3 ORDER BY bin""".stripMargin
+
   // The 100 TB profiling path: approx sketches (bounded buffers, no
   // Expand) with an in-plan rank-tolerance attestation. The oracle
   // recomputes the exact fields and asserts the quantile verdicts are
@@ -1934,6 +1993,9 @@ object PipelineQueries {
     "sm4_exact_sample" -> sm4Exact,
     "sm5_token_budget" -> sm5Budget,
     "sm8_weighted_sample" -> sm8Weighted,
+    "sm9_top_per_source" -> sm9TopPerSource,
+    "sp1_split_assign" -> sp1Splits,
+    "pf3_histogram" -> pf3Histogram,
     "sm6_diverse_sample" -> sm6Diverse,
     "tx9_normalize" -> tx9Normalize,
     "tx10_lm_score" -> tx10LmScore,
@@ -2001,6 +2063,9 @@ object PipelineQueries {
     "sm4_exact_sample" -> sm4Sql,
     "sm5_token_budget" -> sm5Sql,
     "sm8_weighted_sample" -> sm8Sql,
+    "sm9_top_per_source" -> sm9Sql,
+    "sp1_split_assign" -> sp1Sql,
+    "pf3_histogram" -> pf3Sql,
     "sm6_diverse_sample" -> sm6Sql,
     "tx9_normalize" -> tx9Sql,
     "tx10_lm_score" -> tx10Sql,

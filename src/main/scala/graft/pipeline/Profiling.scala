@@ -171,4 +171,32 @@ object Profiling {
     }: _*)
     wide.select(explode(structs).as("s")).select("s.*")
   }
+
+  /** Fixed-domain equi-width histogram of a numeric column: `bins`
+    * buckets over [lo, hi), NULLs dropped, out-of-range values
+    * clamped into the edge buckets (so the counts always sum to the
+    * non-null row count — a histogram that silently drops outliers
+    * hides exactly the rows a profile exists to surface). The domain
+    * is explicit rather than scanned: profiling pipelines already
+    * know it (or take it from [[numericProfile]]'s min/max), and an
+    * explicit domain keeps this a SINGLE scan + one partial+final
+    * aggregation of at most `bins` groups — no pre-pass, bounded
+    * state, any corpus size. Empty buckets are absent from the
+    * output (bin edges are reconstructable from the bin index).
+    */
+  def histogram(df: DataFrame, colName: String, bins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, s"histogram needs bins > 0, got $bins")
+    require(lo < hi, s"histogram needs lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+        floor((col(colName).cast("double") - lo) / width), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.filter(col(colName).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * width)
+      .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * width)
+      .select("bin", "bin_lo", "bin_hi", "n_rows")
+  }
 }

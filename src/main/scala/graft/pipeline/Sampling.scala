@@ -71,6 +71,72 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Ranked per-group top-k: keep each stratum's `k` BEST rows by an
+    * explicit score — quality filtering's "best K documents per
+    * source" — where [[capPerSource]] keeps a uniform reproducible
+    * draw. Ties (and NULL scores, which sort last and survive only
+    * when a stratum has fewer than k scored rows) break by id, so
+    * the kept set is deterministic.
+    *
+    * Same skew-safe two-window shape as [[capPerSource]]: a salted
+    * (stratum, bucket) pre-window keeps each bucket's top k, which
+    * provably retains every row of the stratum's true top k (removing
+    * other rows only improves a row's bucket rank), then the exact
+    * per-stratum window ranks at most `salts * k` survivors — a
+    * billion-row source never funnels into one task.
+    */
+  def topKPerGroup(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: String, k: Int, descending: Boolean = true,
+      salts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"topKPerGroup needs k > 0, got $k")
+    require(salts > 0, s"topKPerGroup needs salts > 0, got $salts")
+    val ord =
+      if (descending) col(scoreCol).desc_nulls_last
+      else col(scoreCol).asc_nulls_last
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col(strataCol), col("__salt"))
+      .orderBy(ord, col(idCol).asc)
+    val w2 = Window.partitionBy(col(strataCol))
+      .orderBy(ord, col(idCol).asc)
+    salted
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= k)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Deterministic train/val/test split assignment: each row's split
+    * is a pure function of (seed, id) — a 10000-way portable-hash
+    * bucket mapped through cumulative fraction thresholds (0.01%
+    * granularity, fractions are rounded to basis points). Map-only,
+    * zero shuffle, and STABLE UNDER CORPUS GROWTH: a document keeps
+    * its split when new data arrives or the job reruns — the property
+    * that random assignment lacks and that keeps eval sets
+    * uncontaminated across pipeline versions. Fractions summing to
+    * less than 1 leave the remainder assigned NULL (held out).
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long = 42L,
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(splits.forall(_._2 > 0.0), "split fractions must be positive")
+    val denom = 10000L
+    val cums = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * denom)
+    }.tail
+    require(cums.last <= denom,
+      s"split fractions sum past 1.0 (${cums.last} bp)")
+    val b = PortableHash.hash60(concat_ws(":", lit(seed), col(idCol))) % denom
+    val assign = splits.map(_._1).zip(cums).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, hi)) =>
+        when(b < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(outCol, assign)
+  }
+
   /** Exactly-k uniform sample: the k rows with the smallest portable
     * hash of (seed, id), ties to the smaller id. Rate-based sampling
     * ([[stratifiedSample]]) returns a BINOMIAL count; audits and

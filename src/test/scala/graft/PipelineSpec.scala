@@ -1451,4 +1451,80 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(wins >= 28, s"heavy row won only $wins/40 draws")
   }
+
+  test("topKPerGroup equals the naive window; NULL scores sort last") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("source"),
+        // plant NULL scores on a fifth of the rows
+        when(col("doc_id") % 5 === 2, lit(null))
+          .otherwise(col("n_chars")).as("score"))
+    val salted = graft.pipeline.Sampling.topKPerGroup(
+      d, "doc_id", "source", "score", k = 7, salts = 8)
+      .collect().map(_.getLong(0)).toSet
+    val naive = d.withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("score").desc_nulls_last, col("doc_id"))))
+      .filter(col("rn") <= 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(salted == naive)
+    // a group smaller than k keeps NULL-scored rows too
+    val tiny = Seq((1L, "a", Some(5.0)), (2L, "a", None))
+      .toDF("id", "g", "s")
+    val kept = graft.pipeline.Sampling.topKPerGroup(
+      tiny, "id", "g", "s", k = 5).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    // ascending mode flips the selection
+    val asc = graft.pipeline.Sampling.topKPerGroup(
+      d.filter(col("score").isNotNull), "doc_id", "source", "score",
+      k = 3, descending = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val worst = d.filter(col("score").isNotNull)
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("score").asc_nulls_last, col("doc_id"))))
+      .filter(col("rn") <= 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(asc == worst)
+  }
+
+  test("assignSplits is growth-stable, exhaustive at sum=1, NULL past the thresholds") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 300L).toDF("id")
+    val grown = (1L to 900L).toDF("id")
+    val a = graft.pipeline.Sampling.assignSplits(small, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.pipeline.Sampling.assignSplits(grown, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growth stability: every original row keeps its split
+    assert(a.forall { case (k, v) => b(k) == v })
+    // exhaustive when fractions sum to 1; proportions near target
+    assert(b.values.forall(v => v != null))
+    val frac = b.values.count(_ == "train").toDouble / b.size
+    assert(frac > 0.72 && frac < 0.88, s"train share $frac")
+    // fractions summing under 1 hold out the remainder as NULL
+    val held = graft.pipeline.Sampling.assignSplits(
+      grown, "id", Seq("train" -> 0.5)).collect()
+      .count(_.isNullAt(1))
+    assert(held > 350 && held < 550, s"held-out count $held")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Sampling.assignSplits(small, "id",
+        Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
+
+  test("histogram clamps outliers into edge bins and drops NULLs") {
+    import spark.implicits._
+    val d = Seq[java.lang.Double](-5.0, 0.0, 1.0, 9.9, 10.0, 25.0,
+      99.9, 100.0, 250.0, null).toDF("x")
+    val got = graft.pipeline.Profiling.histogram(d, "x", bins = 10,
+      lo = 0.0, hi = 100.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // -5 clamps into bin 0; 100 and 250 clamp into bin 9; null dropped
+    assert(got == Map(0L -> 4L, 1L -> 1L, 2L -> 1L, 9L -> 3L))
+    val out = graft.pipeline.Profiling.histogram(d, "x", 10, 0.0, 100.0)
+      .agg(sum("n_rows")).head().getLong(0)
+    assert(out == 9L) // everything but the NULL
+  }
 }

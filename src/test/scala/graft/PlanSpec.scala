@@ -377,6 +377,36 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
   }
 
+  test("topKPerGroup pre-tops inside salt buckets; limits pushed map-side") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars")
+    val p = plan(graft.pipeline.Sampling.topKPerGroup(
+      d, "doc_id", "source", "n_chars", k = 10))
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.linesIterator.filter(_.contains("Window ["))
+      .exists(_.contains("__salt")), p.take(2000))
+    val partials = p.linesIterator
+      .filter(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+      .toSeq
+    assert(partials.size == 2, p.take(2000))
+  }
+
+  test("assignSplits is map-only: no exchange, no window, no job at composition") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "source")
+    val p = plan(graft.pipeline.Sampling.assignSplits(
+      d, "doc_id", Seq("train" -> 0.9, "val" -> 0.1)))
+    assert(!p.contains("Exchange") && !p.contains("Window"), p.take(1200))
+  }
+
+  test("histogram is one scan, bounded groups, partial+final agg") {
+    val p = plan(graft.pipeline.Profiling.histogram(
+      Tables.load(spark, sf, "lineitem"), "l_extendedprice",
+      bins = 20, lo = 0.0, hi = 60000.0))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      p.take(1200))
+    assert(!p.contains("Window") && !p.contains("Expand"), p.take(1200))
+  }
+
   test("zorder tile profile is one scan and one partial+final agg") {
     val ev = Tables.load(spark, sf, "events").select(
       col("user_id").cast("long").as("x"),
