@@ -245,7 +245,23 @@ object StreamQueries {
       |SELECT window_start, count(*) AS n_active_users
       |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin
 
+  // One-pass multi-level rollup (type x day / type / grand total),
+  // levels tagged by the standard grouping bitmask.
+  val an1Rollup: Q = (s, dir) =>
+    graft.pipeline.Analytics.dailyRollup(Tables.load(s, dir, "events"))
+      .orderBy("gid", "event_type", "day")
+  val an1Sql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+      |    AS value_cents,
+      |  CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid
+      |FROM events
+      |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+      |ORDER BY gid, event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "an1_daily_rollup" -> an1Rollup,
     "ev1_windowed_agg" -> ev1WindowedAgg,
     "ev5_cdc_upsert" -> ev5Upsert,
     "ev6_stream_enrich" -> ev6Enrich,
@@ -260,6 +276,7 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "an1_daily_rollup" -> an1Sql,
     "ev4_interval_join" -> ev4Sql,
     "ev5_cdc_upsert" -> ev5Sql,
     "ev6_stream_enrich" -> ev6Sql,

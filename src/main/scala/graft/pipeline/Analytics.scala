@@ -142,4 +142,25 @@ object Analytics {
     }: _*)
     counts.select(explode(stepStructs).as("s")).select("s.*")
   }
+
+  /** Multi-level daily rollup in ONE pass: per (event_type, day),
+    * per event_type, and the grand total, distinguished by
+    * `grouping_id` (standard bitmask, first column = high bit) — the
+    * pre-aggregated table a dashboard reads instead of re-scanning
+    * events. Spark plans ROLLUP via Expand, which this codebase
+    * otherwise avoids — but here Expand multiplies rows by exactly
+    * the LEVEL count (3), a fixed constant, not by distinct-value
+    * cardinality (the countDistinct Expand that retention/profiling
+    * route around), and map-side partial aggregation collapses each
+    * level before the single shuffle. Value sums ride the exact
+    * integer-cents grid, so totals are fold-order-independent on any
+    * cluster.
+    */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events.select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"),
+        grouping_id().as("gid"))
 }

@@ -143,4 +143,31 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!p.contains("Expand"), p.take(1500))
     assert(p.contains("HashAggregate"), p.take(1500))
   }
+
+  test("dailyRollup: three levels in one pass, exact cents, grouping bitmask") {
+    import spark.implicits._
+    val ev = Seq(
+      (ts(1, 9), "view", 1.25), (ts(1, 10), "view", 2.10),
+      (ts(2, 9), "view", 0.65), (ts(1, 11), "click", 10.00)
+    ).toDF("ts", "event_type", "value")
+    val got = Analytics.dailyRollup(ev).collect().map { r =>
+      (Option(r.getString(0)).orNull,
+        Option(r.getDate(1)).map(_.toString).orNull,
+        r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toSet
+    assert(got == Set(
+      ("view", "2024-01-01", 2L, 335L, 0L),
+      ("view", "2024-01-02", 1L, 65L, 0L),
+      ("click", "2024-01-01", 1L, 1000L, 0L),
+      ("view", null, 3L, 400L, 1L),
+      ("click", null, 1L, 1000L, 1L),
+      (null, null, 4L, 1400L, 3L)))
+    // ROLLUP's Expand multiplies by the LEVEL count (a constant 3),
+    // and partial aggregation still collapses before the shuffle
+    val p = Analytics.dailyRollup(ev)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      p.take(1200))
+  }
 }
