@@ -98,10 +98,46 @@ object DmlQueries {
       |WHERE doc_id < 100 AND NOT (n_chars > 300)
       |ORDER BY doc_id""".stripMargin
 
+  /** ON CONFLICT UPDATE SET (partial-column upsert): conflicting
+    * incoming rows update in place — SET sees the existing row and
+    * `excluded.*` — while fresh keys insert; untouched rows survive.
+    * The oracle rebuilds the identical final state declaratively.
+    */
+  val dm3Upsert: Q = (s, dir) => {
+    val root = tempRoot("dml3")
+    val env = new Analyzer.Env().addDecls(
+      """create table mdocs (
+        |  doc_id int not null primary key,
+        |  lang string not null,
+        |  n_chars int not null)""".stripMargin)
+    val catalog = new ManagedCatalog(s, root, env)
+    val managed = new ManagedEngine(catalog,
+      new Engine(s, env, catalog.load _))
+    catalog.overwrite("mdocs",
+      Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 100))
+    managed.exec(
+      "insert into mdocs(doc_id, lang, n_chars) " +
+        "values (1, 'up', 1000), (2, 'up', 1000), (150, 'new', 5) " +
+        "on conflict update set " +
+        "n_chars = mdocs.n_chars + excluded.n_chars, lang = excluded.lang")
+    managed.exec("select doc_id, lang, n_chars from mdocs order by doc_id")
+  }
+  val dm3Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id IN (1, 2) THEN 'up' ELSE lang END AS lang,
+      |  CASE WHEN doc_id IN (1, 2) THEN n_chars + 1000
+      |       ELSE n_chars END AS n_chars
+      |FROM documents WHERE doc_id < 100
+      |UNION ALL SELECT 150, 'new', 5
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dm1_dml_roundtrip" -> dm1Roundtrip,
-    "dm2_dml_subquery_where" -> dm2Subquery)
+    "dm2_dml_subquery_where" -> dm2Subquery,
+    "dm3_upsert" -> dm3Upsert)
   val oracleSql: Map[String, String] = Map(
     "dm1_dml_roundtrip" -> dm1Sql,
-    "dm2_dml_subquery_where" -> dm2Sql)
+    "dm2_dml_subquery_where" -> dm2Sql,
+    "dm3_upsert" -> dm3Sql)
 }

@@ -932,6 +932,25 @@ object Analyzer {
     if (missing.nonEmpty)
       fail(s"missing required columns: ${missing.mkString(", ")}")
 
+    // ON CONFLICT UPDATE SET: expressions see the existing row
+    // (unqualified or table-qualified) plus `excluded.<col>` for the
+    // incoming row, each typed as the table column (PostgreSQL/SQLite
+    // scoping)
+    val onConflict2 = insert.onConflict.map {
+      case ConflictUpdate(set) =>
+        val cscope = Scope.create(scopes = List(
+          insert.table -> SElem(tableScope, nullable = false),
+          "excluded" -> SElem(tableScope, nullable = false)))
+        ConflictUpdate(set.map { case (name, e) =>
+          val f = findField(name)
+          val ectx = new ExprCtx(cscope, isUsed = true, ctx)
+          val (ty, e2) = checkExpr(ectx, f.ty, e)
+          subsumes(ty, f.ty)
+          (name, e2)
+        })
+      case other => other
+    }
+
     val innerScope = new Scope(
       List(insert.table -> SElem(tableScope, nullable = false)),
       innerScope0.fields, innerScope0.isOpen, innerScope0.groupBy)
@@ -943,7 +962,7 @@ object Analyzer {
       params = ctx.params.params,
       row = getRow(innerScope2, returning2),
       query = QInsert(Insert(insert.table, insert.columns, from2,
-        insert.onConflict, returning2)))
+        onConflict2, returning2)))
   }
 
   def inferDelete(ctx: QueryCtx, delete: Delete): QueryInfo = {

@@ -314,7 +314,8 @@ final class ManagedEngine(
     }
     val newRows = withAll.select(ddl.cols.map(c => col(c.name)): _*)
 
-    // ON CONFLICT against the primary key
+    // ON CONFLICT against the primary key: (affected, untouched) —
+    // affected rows land in the table AND feed RETURNING
     val pks = primaryKeys(i.table)
     val (finalNew, finalExisting) = i.onConflict match {
       case None => (newRows, existing)
@@ -326,6 +327,38 @@ final class ManagedEngine(
         if (pks.isEmpty) (newRows, existing)
         else (newRows,
           existing.join(newRows.select(pks.map(col): _*), pks, "left_anti"))
+      case Some(ConflictUpdate(set)) =>
+        if (pks.isEmpty) (newRows, existing)
+        else {
+          // one action per key among the incoming rows (the same
+          // deterministic first-match convention as UPDATE ... FROM)
+          val incoming1 = newRows.dropDuplicates(pks)
+          val freshNew = incoming1.join(
+            existing.select(pks.map(col): _*), pks, "left_anti")
+          // conflicting (existing, incoming) pairs, namespaced so SET
+          // expressions resolve `table.col` to the existing row and
+          // `excluded.col` to the incoming one
+          val exNs = existing.select(existing.columns.map(c =>
+            col(c).as(s"${i.table}__$c")).toIndexedSeq: _*)
+          val incNs = incoming1.select(incoming1.columns.map(c =>
+            col(c).as(s"excluded__$c")).toIndexedSeq: _*)
+          val joinCond = pks.map(k =>
+            col(s"${i.table}__$k") === col(s"excluded__$k")).reduce(_ && _)
+          val pairs = exNs.join(incNs, joinCond, "inner")
+          // SET may carry IN/EXISTS subqueries — same flag-join
+          // rewrite as UPDATE
+          val computed = Lowering.withColumnsWithSubqueries(ctx, pairs,
+            set.map { case (n, e) => (s"__new_$n", e) })
+          val colTy = ddl.cols.map(c => c.name -> c.ty).toMap
+          val updatedRows = computed.select(existing.columns.map { c =>
+            if (set.exists(_._1 == c))
+              col(s"__new_$c").cast(Lowering.toSparkType(colTy(c))).as(c)
+            else col(s"${i.table}__$c").as(c)
+          }.toIndexedSeq: _*)
+          (freshNew.unionByName(updatedRows),
+            existing.join(incoming1.select(pks.map(col): _*), pks,
+              "left_anti"))
+        }
     }
     // materialize before the swap: RETURNING must observe the
     // pre-write state, not lazily recompute over the new files

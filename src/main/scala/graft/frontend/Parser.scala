@@ -387,7 +387,25 @@ final class Parser(tokens: Vector[Token],
         next(); expectKw("CONFLICT")
         if (eat("IGNORE")) Some(ConflictIgnore)
         else if (eat("REPLACE")) Some(ConflictReplace)
-        else perr("expected IGNORE or REPLACE after ON CONFLICT")
+        else {
+          // accept both UPDATE SET and DO UPDATE SET ("do" lexes as a
+          // plain identifier — it is not a dialect keyword)
+          peek match {
+            case TIdent(w) if w.equalsIgnoreCase("do") => next()
+            case _ => ()
+          }
+          if (eat("UPDATE")) {
+            expectKw("SET")
+            val sets = nonemptyFlexList(
+              { case TIdent(_) => true; case _ => false }) { () =>
+              val nm = ident()
+              expect(TOp("="), "=")
+              (nm, parseExpr())
+            }
+            Some(ConflictUpdate(sets))
+          } else perr(
+            "expected IGNORE, REPLACE or [DO] UPDATE SET after ON CONFLICT")
+        }
       } else None
     Insert(table, columns, from, onConflict, parseReturning())
   }

@@ -152,6 +152,10 @@ object Printer {
       i.onConflict.foreach {
         case ConflictIgnore  => sb ++= " ON CONFLICT IGNORE"
         case ConflictReplace => sb ++= " ON CONFLICT REPLACE"
+        case ConflictUpdate(set) =>
+          sb ++= " ON CONFLICT UPDATE SET "
+          sb ++= set.map { case (n, e) => s"$n = ${expr(e)}" }
+            .mkString(", ")
       }
       if (i.returning.nonEmpty)
         sb ++= s" RETURNING ${i.returning.map(field).mkString(", ")}"

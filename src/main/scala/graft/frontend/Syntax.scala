@@ -237,6 +237,15 @@ object Syntax {
   sealed trait OnConflict
   case object ConflictIgnore extends OnConflict
   case object ConflictReplace extends OnConflict
+  /** `ON CONFLICT UPDATE SET col = expr, ...` — partial-column upsert
+    * (the standard-SQL `DO UPDATE` the reference's own backend
+    * printer targets, surfaced in the dialect; sqlpp only exposes
+    * IGNORE/REPLACE, printer.ml:289-290). SET expressions see the
+    * EXISTING row's columns plus `excluded.<col>` for the incoming
+    * row, as in PostgreSQL/SQLite.
+    */
+  final case class ConflictUpdate(set: List[(String, Expr)])
+    extends OnConflict
 
   final case class Insert(
       table: String,

@@ -84,6 +84,39 @@ class ManagedSpec extends SparkTestBase {
       .collect()(0).getLong(0) == 2)
   }
 
+  test("ON CONFLICT UPDATE SET: partial upsert, excluded.* scope, RETURNING covers both") {
+    val (catalog, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    def created(name: String): Double = managed.exec(
+      s"select created from projects where name = '$name'")
+      .collect()(0).getDouble(0)
+    managed.exec("insert into projects(name, created) values ('p1', 1.0)")
+    // p1 conflicts -> SET sees the existing row (projects.created)
+    // and the incoming one (excluded.created); p2 inserts fresh
+    managed.exec(
+      "insert into projects(name, created) values ('p1', 10.0), ('p2', 5.0) " +
+        "on conflict update set created = projects.created + excluded.created")
+    assert(created("p1") == 11.0)
+    assert(created("p2") == 5.0)
+    // DO UPDATE spelling; RETURNING reports inserted AND updated rows
+    // with post-update values
+    val ret = managed.exec(
+      "insert into projects(name, created) values ('p2', 0.5), ('p9', 7.0) " +
+        "on conflict do update set created = excluded.created " +
+        "returning name, created")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ret == Map("p2" -> 0.5, "p9" -> 7.0))
+    assert(created("p2") == 0.5)
+    // untouched rows survive: default + p1 + p2 + p9
+    assert(managed.exec("select count(1) as n from projects group by ()")
+      .collect()(0).getLong(0) == 4)
+    // SET targeting an unknown column is rejected at analysis
+    intercept[Exception] {
+      managed.exec("insert into projects(name, created) values ('p1', 1.0) " +
+        "on conflict update set nope = 1.0")
+    }
+  }
+
   test("INSERT ... SELECT from another managed table") {
     val (catalog, managed, runner) = freshManaged()
     runner.apply(migrations)
