@@ -395,8 +395,10 @@ class FuzzSpec extends SparkTestBase {
   val genDml: Gen[Dml] = for {
     p <- fzPred
     p2 <- fzPred
-    shape <- Gen.chooseNum(0, 4)
+    shape <- Gen.chooseNum(0, 6)
     d <- Gen.chooseNum(1, 9)
+    k1 <- Gen.chooseNum(0, 119) // always present in the seed
+    kf <- Gen.chooseNum(500, 900) // never present
   } yield {
     val inD = s"id in (select id from fz where ${p.dialect})"
     val inS = s"id IN (SELECT id FROM fzseed WHERE ${p.sql})"
@@ -416,10 +418,32 @@ class FuzzSpec extends SparkTestBase {
         s"update fz set n = n + $d where $inD returning id, n",
         s"SELECT id, CASE WHEN $inS THEN n + $d ELSE n END AS n, s, b FROM fzseed",
         Some(s"SELECT id, n + $d AS n FROM fzseed WHERE $inS"))
-      case _ => Dml(
+      case 4 => Dml(
         s"delete from fz where not ($inD) returning id, s",
         s"SELECT id, n, s, b FROM fzseed WHERE $inS",
         Some(s"SELECT id, s FROM fzseed WHERE NOT ($inS)"))
+      // upsert: one conflicting key (updates via existing+excluded)
+      // and one fresh key (inserts); RETURNING covers both
+      case 5 => Dml(
+        s"insert into fz(id, n, s, b) values ($k1, $d, 'uu', true), " +
+          s"($kf, $d, 'nn', false) " +
+          "on conflict update set n = fz.n + excluded.n, s = excluded.s " +
+          "returning id, n",
+        s"SELECT id, CASE WHEN id = $k1 THEN n + $d ELSE n END AS n, " +
+          s"CASE WHEN id = $k1 THEN 'uu' ELSE s END AS s, b FROM fzseed " +
+          s"UNION ALL SELECT $kf, $d, 'nn', false",
+        Some(s"SELECT id, n + $d AS n FROM fzseed WHERE id = $k1 " +
+          s"UNION ALL SELECT $kf, $d"))
+      // upsert whose SET carries an IN subquery over the
+      // pre-statement table state
+      case _ => Dml(
+        s"insert into fz(id, n, s, b) values ($k1, 7, 'qq', true) " +
+          s"on conflict update set b = (fz.id in " +
+          s"(select id from fz where ${p.dialect}))",
+        s"SELECT id, n, s, CASE WHEN id = $k1 THEN " +
+          s"id IN (SELECT id FROM fzseed WHERE ${p.sql}) " +
+          "ELSE b END AS b FROM fzseed",
+        None)
     }
   }
 
