@@ -1133,6 +1133,44 @@ object PipelineQueries {
 
   // Salted equi-join: result must equal the plain join exactly (the
   // salt only re-routes rows), so the oracle IS the plain join.
+  // Hot-key report: the diagnostic run before a join to decide
+  // whether it needs the salted path (sj1). Counts, top-k by mass,
+  // row share against a lazily cross-joined total.
+  val hk1HotKeys: Q = (s, dir) =>
+    pipeline.Skew.hotKeys(
+      Tables.load(s, dir, "events").select("user_id"), "user_id", k = 20)
+      .orderBy(col("n_rows").desc, col("user_id").asc)
+
+  val hk1Sql: String =
+    """SELECT user_id, count(*) AS n_rows,
+      |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+      |FROM events GROUP BY user_id
+      |ORDER BY n_rows DESC, user_id LIMIT 20""".stripMargin
+
+  // Z-score outliers over exact grid sums: the flagged set is
+  // identical on any cluster because mean/std derive from DECIMAL
+  // integer sums, not fold-order-dependent double addition.
+  val pf4Outliers: Q = (s, dir) =>
+    pipeline.Profiling.zOutliers(
+      Tables.load(s, dir, "events").select("event_id", "value"),
+      "event_id", "value", z = 3.0)
+      .orderBy("event_id")
+
+  val pf4Sql: String =
+    """WITH st AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(round(value * 100.0, 0) AS HUGEINT)) AS DOUBLE) AS s,
+      |    CAST(sum(CAST(round(value * 100.0, 0) AS HUGEINT)
+      |             * CAST(round(value * 100.0, 0) AS HUGEINT)) AS DOUBLE) AS ss
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT n, (s / 100) / n AS mean,
+      |  sqrt((ss / 10000) / n - ((s / 100) / n) * ((s / 100) / n)) AS std
+      |  FROM st)
+      |SELECT event_id, value, (value - mean) / std AS z_score
+      |FROM events, c
+      |WHERE value IS NOT NULL AND abs((value - mean) / std) > 3
+      |ORDER BY event_id""".stripMargin
+
   val sj1SaltedJoin: Q = (s, dir) => {
     val li = Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -2006,6 +2044,8 @@ object PipelineQueries {
     "qz1_embed_quantize" -> qz1Quantize,
     "mm2_resize_features" -> mm2ResizeFeatures,
     "sj1_salted_join" -> sj1SaltedJoin,
+    "hk1_hot_keys" -> hk1HotKeys,
+    "pf4_z_outliers" -> pf4Outliers,
     "ss1_cosine_topk_brute" -> ss1BruteTopK,
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
@@ -2076,6 +2116,8 @@ object PipelineQueries {
     "qz1_embed_quantize" -> qz1Sql,
     "mm2_resize_features" -> mm2Sql,
     "sj1_salted_join" -> sj1Sql,
+    "hk1_hot_keys" -> hk1Sql,
+    "pf4_z_outliers" -> pf4Sql,
     "ss1_cosine_topk_brute" -> ss1Sql,
     "ss2_cosine_topk_lsh" -> ss2Sql,
     "ss3_cosine_topk_ivf" -> ss3Sql,

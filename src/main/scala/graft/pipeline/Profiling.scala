@@ -172,6 +172,39 @@ object Profiling {
     wide.select(explode(structs).as("s")).select("s.*")
   }
 
+  /** Z-score outlier rows: rows whose column value sits more than
+    * `z` standard deviations from the mean, with the z-score
+    * attached. Mean and standard deviation come from ONE scan of
+    * exact grid-scaled DECIMAL sums (the [[corrProfile]] trick:
+    * ×`scale` integers summed in DECIMAL(38,0)), so the thresholds —
+    * and therefore the flagged set — are identical on any cluster
+    * and partitioning, where a double sum's fold order would make
+    * outlier membership nondeterministic at the boundary. The
+    * one-row stats frame joins back as a lazy broadcast cross: two
+    * scans total, bounded state, no driver action.
+    */
+  def zOutliers(df: DataFrame, idCol: String, colName: String,
+      z: Double = 3.0, scale: Long = 100L): DataFrame = {
+    require(z > 0, s"zOutliers needs z > 0, got $z")
+    val v = round(col(colName).cast("double") * scale, 0)
+      .cast("decimal(38,0)")
+    val clean = df.filter(col(colName).isNotNull)
+    val stats = clean.agg(
+      count(lit(1)).as("__n"),
+      sum(v).as("__s"),
+      sum(v * v).as("__ss"))
+    val sD = (col("__s").cast("double") / scale) / col("__n")
+    val ssD = (col("__ss").cast("double") / (scale * scale)) / col("__n")
+    val withStats = clean.crossJoin(broadcast(stats))
+      .withColumn("__mean", sD)
+      .withColumn("__std", sqrt(ssD - sD * sD))
+    withStats
+      .withColumn("z_score",
+        (col(colName).cast("double") - col("__mean")) / col("__std"))
+      .filter(abs(col("z_score")) > z)
+      .select(col(idCol), col(colName), col("z_score"))
+  }
+
   /** Fixed-domain equi-width histogram of a numeric column: `bins`
     * buckets over [lo, hi), NULLs dropped, out-of-range values
     * clamped into the edge buckets (so the counts always sum to the

@@ -29,4 +29,28 @@ object Skew {
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     bigSalted.join(smallReplicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** Hot-key report: the `k` heaviest values of a prospective
+    * join/group key with their row share — the diagnostic that
+    * decides between a plain equi-join and [[saltedJoin]] (or a
+    * bigger `saltFactor`). Run it on the key BEFORE shipping a join
+    * that might funnel one task; a key with share >> 1/parallelism
+    * is the skew that salting exists for.
+    *
+    * One partial+final count aggregation (state = distinct keys, the
+    * same bound any join on that key pays) + a per-partition-heap
+    * top-k; the total-row count joins in as a lazy one-row cross —
+    * no driver action, no second scan.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"hotKeys needs k > 0, got $k")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(total)
+      .select(col(keyCol), col("n_rows"),
+        (col("n_rows").cast("double") / col("__total")).as("share"))
+      .orderBy(col("n_rows").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

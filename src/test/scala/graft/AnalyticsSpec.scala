@@ -170,4 +170,47 @@ class AnalyticsSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial count"),
       p.take(1200))
   }
+
+  test("hotKeys ranks by mass with shares summing to the heavy fraction") {
+    import spark.implicits._
+    val d = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 10).map(i => s"cold$i")).toDF("k")
+    val got = graft.pipeline.Skew.hotKeys(d, "k", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq(("hot", 60L), ("warm", 30L)))
+    assert(math.abs(got(0)._3 - 0.6) < 1e-12)
+    assert(math.abs(got(1)._3 - 0.3) < 1e-12)
+    // ties break by key, deterministically
+    val tied = (Seq.fill(5)("b") ++ Seq.fill(5)("a")).toDF("k")
+    assert(graft.pipeline.Skew.hotKeys(tied, "k", k = 1)
+      .head().getString(0) == "a")
+  }
+
+  test("zOutliers flags exactly the rows past z, drops NULLs, exact-grid stats") {
+    import spark.implicits._
+    // 20 values at 10.0 and one far outlier: mean/std pull from the
+    // exact cents grid, the single extreme row is the only flag
+    val d = ((1L to 20L).map(i => (i, 10.0)) :+ (99L, 1000.0))
+      .toDF("id", "x")
+      .unionByName(Seq((100L, Option.empty[Double])).toDF("id", "x"))
+    val got = Profiling.zOutliers(d, "id", "x", z = 3.0).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(99L))
+    assert(got(0).getDouble(2) > 4.0) // far above the threshold
+    // z larger than the extreme's score flags nothing
+    assert(Profiling.zOutliers(d, "id", "x", z = 10.0).count() == 0)
+    // the flagged set equals a direct two-pass computation
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("value"))
+    val cents = round(col("value") * 100, 0).cast("decimal(38,0)")
+    val st = ev.agg(count(lit(1)).cast("double").as("n"),
+      sum(cents).cast("double").as("s"),
+      sum(cents * cents).cast("double").as("ss")).head()
+    val (n, s, ss) = (st.getDouble(0), st.getDouble(1), st.getDouble(2))
+    val mean = s / 100 / n
+    val std = math.sqrt(ss / 10000 / n - mean * mean)
+    val want = ev.filter(abs((col("value") - mean) / std) > 3.0)
+      .count()
+    assert(Profiling.zOutliers(ev, "event_id", "value").count() == want)
+  }
 }

@@ -407,6 +407,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("Expand"), p.take(1200))
   }
 
+  test("hotKeys plans partial counts and a top-k heap, no window") {
+    val p = plan(graft.pipeline.Skew.hotKeys(
+      Tables.load(spark, sf, "events").select("user_id"), "user_id"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("zOutliers broadcasts the one-row stats frame; no window, no expand") {
+    val p = plan(graft.pipeline.Profiling.zOutliers(
+      Tables.load(spark, sf, "events").select("event_id", "value"),
+      "event_id", "value"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("Window") && !p.contains("Expand"), p.take(1500))
+  }
+
   test("zorder tile profile is one scan and one partial+final agg") {
     val ev = Tables.load(spark, sf, "events").select(
       col("user_id").cast("long").as("x"),
