@@ -58,6 +58,8 @@ object Bench {
     // benched as near-0s — the bench must not report a breakage as a
     // speedup.
     val warmIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    require(warmIters >= 1,
+      s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $warmIters")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def bench(entries: Map[String, (SparkSession, String) => DataFrame])
         : Map[String, BenchTimes] = entries.map { case (name, fn) =>

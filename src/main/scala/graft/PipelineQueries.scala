@@ -383,11 +383,15 @@ object PipelineQueries {
       |        FROM t) p),
       |r AS (SELECT doc_id, pos, line, row_number() OVER (
       |        PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
-      |      FROM lines),
+      |      FROM lines WHERE length(line) >= 1),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT doc_id, pos, line FROM lines WHERE length(line) < 1),
       |agg AS (
       |  SELECT doc_id, count(*) AS n_kept,
       |         string_agg(line, chr(10) ORDER BY pos) AS clean_text
-      |  FROM r WHERE rn = 1 GROUP BY doc_id),
+      |  FROM kept GROUP BY doc_id),
       |nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
       |SELECT nl.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
       |  CAST(n_lines - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,

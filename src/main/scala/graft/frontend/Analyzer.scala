@@ -933,9 +933,11 @@ object Analyzer {
       fail(s"missing required columns: ${missing.mkString(", ")}")
 
     // ON CONFLICT UPDATE SET: expressions see the existing row
-    // (unqualified or table-qualified) plus `excluded.<col>` for the
-    // incoming row, each typed as the table column (PostgreSQL/SQLite
-    // scoping)
+    // (table-qualified) plus `excluded.<col>` for the incoming row,
+    // each typed as the table column. Unqualified table columns are
+    // ambiguous here (both scopes carry them) and fail with the
+    // dialect's uniform ambiguity error — qualification required, a
+    // documented divergence from PostgreSQL's implicit binding
     val onConflict2 = insert.onConflict.map {
       case ConflictUpdate(set) =>
         val cscope = Scope.create(scopes = List(

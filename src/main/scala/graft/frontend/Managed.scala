@@ -330,9 +330,17 @@ final class ManagedEngine(
       case Some(ConflictUpdate(set)) =>
         if (pks.isEmpty) (newRows, existing)
         else {
-          // one action per key among the incoming rows (the same
-          // deterministic first-match convention as UPDATE ... FROM)
-          val incoming1 = newRows.dropDuplicates(pks)
+          // one action per key among the incoming rows. PostgreSQL
+          // raises "cannot affect row a second time"; here the
+          // smallest full row (struct order: pk, then remaining
+          // columns) acts, which — unlike dropDuplicates, whose pick
+          // follows partition order — is deterministic across
+          // reruns/partitionings.
+          val nrCols = newRows.columns.toIndexedSeq
+          val incoming1 = newRows
+            .groupBy(pks.map(col): _*)
+            .agg(min(struct(nrCols.map(col): _*)).as("__r"))
+            .select(nrCols.map(c => col(s"__r.$c").as(c)): _*)
           val freshNew = incoming1.join(
             existing.select(pks.map(col): _*), pks, "left_anti")
           // conflicting (existing, incoming) pairs, namespaced so SET

@@ -241,8 +241,11 @@ object Syntax {
     * (the standard-SQL `DO UPDATE` the reference's own backend
     * printer targets, surfaced in the dialect; sqlpp only exposes
     * IGNORE/REPLACE, printer.ml:289-290). SET expressions see the
-    * EXISTING row's columns plus `excluded.<col>` for the incoming
-    * row, as in PostgreSQL/SQLite.
+    * existing row as `<table>.<col>` and the incoming row as
+    * `excluded.<col>`. Because both carry every table column, an
+    * unqualified column name is ambiguous and must be qualified —
+    * the dialect's uniform ambiguity rule, a documented divergence
+    * from PostgreSQL's bind-unqualified-to-existing convention.
     */
   final case class ConflictUpdate(set: List[(String, Expr)])
     extends OnConflict

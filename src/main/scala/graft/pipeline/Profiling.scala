@@ -113,8 +113,12 @@ object Profiling {
       val n = count(v)
       val below = sum(when(v < qv, 1L).otherwise(0L))
       val atOrBelow = sum(when(v <= qv, 1L).otherwise(0L))
-      (below.cast("double") / n <= q + rankTol) &&
-        (atOrBelow.cast("double") / n >= q - rankTol)
+      // an all-NULL column has no ranks to violate: 0/0 would give
+      // NaN and a spuriously FALSE verdict for a sketch that did
+      // nothing wrong (approx_percentile legitimately returns NULL)
+      when(n === 0, lit(true)).otherwise(
+        (below.cast("double") / n <= q + rankTol) &&
+          (atOrBelow.cast("double") / n >= q - rankTol))
     }
     joined
       .groupBy("col_name", "n_rows", "n_nulls", "min_v", "max_v",

@@ -39,14 +39,15 @@ object Skew {
     *
     * One partial+final count aggregation (state = distinct keys, the
     * same bound any join on that key pays) + a per-partition-heap
-    * top-k; the total-row count joins in as a lazy one-row cross —
-    * no driver action, no second scan.
+    * top-k; the total-row count re-aggregates the counts frame — the
+    * input is scanned ONCE — and joins in as a lazy one-row cross.
+    * No driver action.
     */
   def hotKeys(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     require(k > 0, s"hotKeys needs k > 0, got $k")
     val counts = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_rows"))
-    val total = df.agg(count(lit(1)).as("__total"))
+    val total = counts.agg(sum("n_rows").as("__total"))
     counts.crossJoin(total)
       .select(col(keyCol), col("n_rows"),
         (col("n_rows").cast("double") / col("__total")).as("share"))

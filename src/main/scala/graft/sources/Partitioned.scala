@@ -40,14 +40,22 @@ object Partitioned {
 
   /** Write `df` partitioned by `partCols`, clustered so each
     * partition value is one writer's output instead of every task's.
+    *
+    * The cardinality guard costs one extra pass over the PARTITION
+    * COLUMNS only (column-pruned scan — a sliver of the bytes at
+    * columnar sources); callers who already know the key's
+    * cardinality skip it with `checkCardinality = false`.
     */
   def write(df: DataFrame, path: String, partCols: Seq[String],
-      maxPartitions: Int = 10000): Unit = {
-    val n = df.select(partCols.map(col): _*).distinct().count()
-    require(n <= maxPartitions,
-      s"${partCols.mkString(",")} has $n distinct values — beyond " +
-        s"$maxPartitions a directory per value turns file listing into " +
-        "the dominant scan cost; bucket on the key instead")
+      maxPartitions: Int = 10000,
+      checkCardinality: Boolean = true): Unit = {
+    if (checkCardinality) {
+      val n = df.select(partCols.map(col): _*).distinct().count()
+      require(n <= maxPartitions,
+        s"${partCols.mkString(",")} has $n distinct values — beyond " +
+          s"$maxPartitions a directory per value turns file listing into " +
+          "the dominant scan cost; bucket on the key instead")
+    }
     df.repartition(partCols.map(col): _*)
       .write
       .mode("overwrite")

@@ -23,6 +23,8 @@ object QuerySoak {
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    require(iters >= 1,
+      s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -37,6 +39,11 @@ object QuerySoak {
         Bench.materializeForSoak(fn(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
+      // reset shared memos before the COLD run too: a query sharing a
+      // harness memo with an earlier-soaked entry would otherwise get
+      // an artificially fast cold (the dd8-after-dd2 artifact Bench
+      // fixed in r9)
+      PipelineQueries.resetCaches()
       val cold = once()
       val warms = Seq.fill(iters) {
         PipelineQueries.resetCaches(); once()

@@ -115,6 +115,14 @@ class ManagedSpec extends SparkTestBase {
       managed.exec("insert into projects(name, created) values ('p1', 1.0) " +
         "on conflict update set nope = 1.0")
     }
+    // unqualified table columns are ambiguous in conflict-SET scope
+    // (both the table and excluded carry them): qualification
+    // required — the dialect's uniform ambiguity rule, documented
+    // divergence from PostgreSQL's implicit existing-row binding
+    intercept[Exception] {
+      managed.exec("insert into projects(name, created) values ('p1', 1.0) " +
+        "on conflict update set created = created + 1.0")
+    }
   }
 
   test("INSERT ... SELECT from another managed table") {
