@@ -2007,7 +2007,105 @@ object PipelineQueries {
       |       min(doc_id) AS min_doc_id
       |FROM survivors GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------- link analysis ----------------
+
+  // Damped PageRank over the customer<->supplier purchase graph
+  // (orders x lineitem, both directions so mass circulates). The
+  // integer-grid arithmetic (floor divisions, BIGINT sums) makes the
+  // five power-iteration rounds exactly replayable as chained CTEs —
+  // a double-typed rank could never hash-match across engines because
+  // shuffle order changes the fold order of incoming mass.
+  val gr1PageRank: Q = (s, dir) => {
+    val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val cs = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = cs.unionByName(
+      cs.select(col("dst").as("src"), col("src").as("dst")))
+    pipeline.Graph.pageRank(edges, iters = 5).orderBy("node")
+  }
+
+  private def pageRankIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""r$k AS (
+        |  SELECT nd.node AS node,
+        |         CAST((SELECT tp FROM t) + COALESCE(c.mass, 0) AS BIGINT) AS rank
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           SUM((85 * (r.rank // d.outdeg)) // 100) AS mass
+        |    FROM edges e
+        |    JOIN deg d ON e.src = d.src
+        |    JOIN r${k - 1} r ON r.node = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+
+  val gr1Sql: String =
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |n AS (SELECT count(*) AS cnt FROM nodes),
+      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |t AS (SELECT ((1000000000000 * 15) // 100) // cnt AS tp FROM n),
+      |r0 AS (SELECT node, 1000000000000 // cnt AS rank FROM nodes, n),
+      |${pageRankIterCtes(5)}
+      |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+
+  // ---------------- snapshot diff ----------------
+
+  // Corpus version regression: v2 is v1 with a deterministic delete
+  // (every 19th doc), edit (every 13th doc's text), and insert (every
+  // 31st doc re-keyed) — the summary classifies every key via
+  // fingerprint equality and counts per (source, status).
+  val df1SnapshotDiff: Q = (s, dir) => {
+    val v1 = docs(s, dir).select("doc_id", "text", "lang", "source")
+    val v2 = v1.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+      .unionByName(
+        v1.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            col("text"), col("lang"), col("source")))
+    pipeline.Snapshot.snapshotDiffSummary(v1, v2,
+      keyCols = Seq("doc_id"), fpCols = Seq("text", "lang"),
+      groupCols = Seq("source"))
+      .orderBy("source", "status")
+  }
+
+  val df1Sql: String =
+    """WITH v1 AS (SELECT doc_id, text, lang, source FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+      |         lang, source
+      |  FROM v1 WHERE doc_id % 19 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source
+      |  FROM v1 WHERE doc_id % 31 = 0),
+      |a AS (SELECT doc_id, source,
+      |        md5(coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))) AS fp
+      |      FROM v1),
+      |b AS (SELECT doc_id, source,
+      |        md5(coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))) AS fp
+      |      FROM v2),
+      |j AS (
+      |  SELECT coalesce(b.source, a.source) AS source,
+      |         CASE WHEN a.fp IS NULL THEN 'added'
+      |              WHEN b.fp IS NULL THEN 'removed'
+      |              WHEN a.fp = b.fp THEN 'unchanged'
+      |              ELSE 'changed' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT source, status, count(*) AS n_rows
+      |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "gr1_pagerank" -> gr1PageRank,
+    "df1_snapshot_diff" -> df1SnapshotDiff,
     "cp1_curation_pipeline" -> cp1Curation,
     "cp3_full_pass" -> cp3FullPass,
     "dd1_exact_dedup" -> dd1ExactDedup,
@@ -2072,6 +2170,8 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "gr1_pagerank" -> gr1Sql,
+    "df1_snapshot_diff" -> df1Sql,
     "tx6_repetition" -> tx6Sql,
     "tx7_vocab_topk" -> tx7Sql,
     "tx8_tfidf_keywords" -> tx8Sql,

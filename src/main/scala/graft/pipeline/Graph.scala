@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis over an edge list. [[Cluster]] answers
+  * "which nodes are the same thing" (idempotent min-propagation);
+  * this answers "which nodes matter" (damped mass propagation) — the
+  * importance signal corpus curation uses to weight a source/page
+  * graph (e.g. harmonic/PageRank centrality over a crawl's link
+  * graph as a quality prior).
+  */
+object Graph {
+
+  /** Damped PageRank on an exact integer grid.
+    *
+    * All arithmetic is 64-bit integer: the unit rank mass is `scale`
+    * (default 10^12), the damping factor is the exact rational
+    * `dampNum/dampDen` (default 85/100), and every division is a
+    * floor division — so each iteration is a sum of integers, which
+    * is fold-order-independent. The result is bit-identical on any
+    * cluster, any partitioning, any round ordering; a double-typed
+    * rank would differ in the last ulps between runs because shuffle
+    * order changes the fold order of incoming mass. (Same exact-grid
+    * trade as [[Profiling.corrProfile]] / Ivf.clusterProfile.)
+    *
+    * Semantics: edges are deduplicated (multigraph edges collapse to
+    * one), every distinct endpoint is a node, rank starts uniform at
+    * `scale DIV n`, and each of `iters` rounds sets
+    *
+    *   rank'(v) = teleport + Σ_{(u,v) ∈ E} (dampNum * (rank(u) DIV outdeg(u))) DIV dampDen
+    *
+    * with `teleport = (scale * (dampDen - dampNum) DIV dampDen) DIV n`.
+    * Mass at dangling nodes (no out-edges) leaks rather than being
+    * redistributed — the simple formulation; ranks remain a valid
+    * relative ordering, which is what a quality prior consumes.
+    * Floor-division remainders also leak (bounded by outdeg(u) per
+    * node per round, i.e. ~E ulps of the 10^12 grid per round).
+    *
+    * Scale shape: the edge list is the big frame and is shuffled ONCE
+    * — `edgesWithDeg` (edges ⋈ out-degrees, both keyed on src) is
+    * hash-repartitioned on src and lineage-truncated before the loop,
+    * so every iteration's rank join reuses that layout and only the
+    * rank frame (|V| rows, not |E|) moves. Each round is then one
+    * equi-join on src, one partial (map-side combined) sum keyed on
+    * dst, and one left join back to the node frame for teleport-only
+    * nodes. No all-pairs work, no driver-side loop over rows; the one
+    * driver action besides checkpoints is the node count (a scalar
+    * needed as a literal divisor). Lineage is truncated every
+    * `checkpointEvery` rounds (pass `reliableCheckpoints = true` on a
+    * real cluster — see [[Lineage]]).
+    *
+    * Returns (node, rank) with rank on the `scale` grid.
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      checkpointEvery: Int = 3,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    require(iters >= 1, s"pageRank needs >= 1 iteration, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    // scale * dampNum must stay in Long for the per-edge contribution
+    require(scale <= Long.MaxValue / dampDen,
+      s"scale $scale overflows the contribution product")
+    def truncate(df: DataFrame): DataFrame =
+      Lineage.truncate(df, reliableCheckpoints)
+
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // The |E|-row frame, partitioned on the join key once and pinned:
+    // the per-round join against ranks reuses this exchange.
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edgesWithDeg = truncate(
+      e.join(outdeg, "src").repartition(shufflePartitions, col("src")))
+    val nodes = truncate(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty edge list")
+    val teleport = (scale * (dampDen - dampNum) / dampDen) / n
+
+    var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
+    for (i <- 1 to iters) {
+      val inMass = edgesWithDeg
+        .join(ranks, edgesWithDeg("src") === ranks("node"))
+        .select(col("dst"),
+          expr(s"($dampNum * (rank DIV outdeg)) DIV $dampDen").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("in_mass"))
+      ranks = nodes.join(inMass, nodes("node") === inMass("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = truncate(ranks)
+    }
+    ranks
+  }
+}

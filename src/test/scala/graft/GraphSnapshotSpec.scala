@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Graph, Snapshot}
+
+/** Behavior tests for integer-grid PageRank (vs an in-spec reference
+  * implementation with identical arithmetic) and the snapshot diff.
+  */
+class GraphSnapshotSpec extends SparkTestBase {
+
+  /** Reference PageRank: same integer-grid semantics as
+    * [[Graph.pageRank]], computed driver-side over plain maps.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val teleport = (scale * 15L / 100L) / n
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) =>
+          (85L * (rank(s) / outdeg(s))) / 100L
+        }.sum
+      }
+      rank = nodes.map(v => v -> (teleport + in.getOrElse(v, 0L))).toMap
+    }
+    rank
+  }
+
+  private def runPageRank(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank: 2-cycle is an exact fixpoint of the integer grid") {
+    // a<->b, outdeg 1 each: rank' = tp + (85*(r div 1)) div 100
+    //   = 75e9 + 425e9 = 5e11 = r0, every round.
+    val got = runPageRank(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(got == Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("pageRank: matches the reference implementation exactly") {
+    // star + chain + dangling node, 12 nodes, deterministic edges
+    val edges = (1L to 8L).map(l => (l, 100L)) ++ // leaves -> hub
+      Seq((100L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), // chain with cycle back
+        (4L, 1L), (100L, 200L)) // 200 is dangling (no out-edges)
+    for (iters <- Seq(1, 3, 5)) {
+      val got = runPageRank(edges, iters)
+      val want = refPageRank(edges, iters)
+      assert(got == want, s"iters=$iters")
+    }
+  }
+
+  test("pageRank: hub outranks leaves and mass never exceeds scale") {
+    val edges = (1L to 8L).map(l => (l, 100L)) ++ Seq((100L, 1L))
+    val got = runPageRank(edges, iters = 5)
+    assert((2L to 8L).forall(l => got(100L) > got(l)))
+    assert(got.values.sum <= 1000000000000L) // floor + dangling leak only
+  }
+
+  test("pageRank: multigraph edges collapse (duplicates don't change ranks)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(runPageRank(e ++ e ++ e, iters = 3) == runPageRank(e, iters = 3))
+  }
+
+  test("pageRank: rejects bad damping and empty edges") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), dampNum = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"))
+    }
+  }
+
+  // ---------------- snapshot diff ----------------
+
+  private def mkDocs(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "body", "lang", "source")
+  }
+
+  lazy val v1 = mkDocs(Seq(
+    (1L, "alpha", null, "s1"), // lang NULL -> changed in v2 ("" != NULL)
+    (2L, "beta", "en", "s1"), // unchanged
+    (3L, "gamma", "en", "s2"), // removed in v2
+    (5L, "delta", "en", "s2"))) // body edited in v2
+  lazy val v2 = mkDocs(Seq(
+    (1L, "alpha", "", "s1"),
+    (2L, "beta", "en", "s1"),
+    (4L, "new doc", "de", "s2"), // added
+    (5L, "delta2", "en", "s2")))
+
+  test("snapshotDiff: all four statuses, NULL vs empty-string distinct") {
+    val got = Snapshot.snapshotDiff(v1, v2, Seq("id"), Seq("body", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged",
+      3L -> "removed", 4L -> "added", 5L -> "changed"))
+  }
+
+  test("snapshotDiff: non-fingerprint column changes are 'unchanged'") {
+    val moved = v1.withColumn("source", lit("elsewhere"))
+    val got = Snapshot.snapshotDiff(v1, moved, Seq("id"), Seq("body", "lang"))
+      .collect().map(_.getString(1)).toSet
+    assert(got == Set("unchanged"))
+  }
+
+  test("snapshotDiffSummary: per-group counts, v2 grouping wins") {
+    // move doc 2 to source s9 in v2: it counts under s9 (the NEW
+    // snapshot's grouping), while removed doc 3 counts under its v1
+    // source s2.
+    val v2moved = v2.withColumn("source",
+      when(col("id") === 2, lit("s9")).otherwise(col("source")))
+    val got = Snapshot.snapshotDiffSummary(v1, v2moved, Seq("id"),
+      Seq("body", "lang"), Seq("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("s1", "changed") -> 1L, ("s9", "unchanged") -> 1L,
+      ("s2", "removed") -> 1L, ("s2", "added") -> 1L,
+      ("s2", "changed") -> 1L))
+  }
+}
