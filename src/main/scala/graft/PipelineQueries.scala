@@ -2007,6 +2007,34 @@ object PipelineQueries {
       |       min(doc_id) AS min_doc_id
       |FROM survivors GROUP BY source ORDER BY source""".stripMargin
 
+  // Token-distribution entropy: lexical-diversity quality signal.
+  // The Σ c·ln c fold runs in sorted-token order on BOTH sides
+  // (sort_array+aggregate vs list(ORDER BY)+list_sum) so fold order
+  // never diverges; the engines' ln implementations differ by ≤1 ulp
+  // on some inputs (measured: 85/500 rows at sf0.01), well inside
+  // the gate's 6-decimal rounding.
+  val tx12Entropy: Q = (s, dir) =>
+    TextAnalysis.tokenEntropy(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val tx12Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+      |  FROM documents),
+      |counts AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+      |per AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_distinct,
+      |         list(CAST(c AS DOUBLE) ORDER BY tok) AS cs
+      |  FROM counts GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |       ln(CAST(n_tokens AS DOUBLE)) -
+      |         list_sum(list_transform(cs, c -> c * ln(c)))
+      |           / CAST(n_tokens AS DOUBLE) AS entropy
+      |FROM per ORDER BY doc_id""".stripMargin
+
   // ---------------- link analysis ----------------
 
   // Damped PageRank over the customer<->supplier purchase graph
@@ -2106,6 +2134,7 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "gr1_pagerank" -> gr1PageRank,
     "df1_snapshot_diff" -> df1SnapshotDiff,
+    "tx12_token_entropy" -> tx12Entropy,
     "cp1_curation_pipeline" -> cp1Curation,
     "cp3_full_pass" -> cp3FullPass,
     "dd1_exact_dedup" -> dd1ExactDedup,
@@ -2172,6 +2201,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "gr1_pagerank" -> gr1Sql,
     "df1_snapshot_diff" -> df1Sql,
+    "tx12_token_entropy" -> tx12Sql,
     "tx6_repetition" -> tx6Sql,
     "tx7_vocab_topk" -> tx7Sql,
     "tx8_tfidf_keywords" -> tx8Sql,

@@ -338,4 +338,47 @@ object TextAnalysis {
         .otherwise(lit("unk")).as("predicted_lang"),
       best.getField("score").cast("long").as("lang_score"))
   }
+
+  /** Token-distribution Shannon entropy per document (nats):
+    * H = ln(n) − (Σ c·ln c)/n over token counts c — the
+    * lexical-diversity quality signal (near-0 entropy = a document
+    * that repeats one token; boilerplate and keyword-stuffed spam
+    * score far below natural prose of the same length). Documents
+    * with no tokens are absent from the result (H is undefined).
+    *
+    * Determinism: the Σ c·ln c fold runs over the per-document counts
+    * SORTED BY TOKEN (sort_array of (token, count) structs, then a
+    * sequential `aggregate` fold) — double addition is
+    * order-sensitive in the last ulps, and collect_list order is
+    * partition-dependent, so folding unsorted would make the entropy
+    * differ between runs. Sorted-sequential makes it bit-identical on
+    * any cluster, and replayable by an oracle folding the same order
+    * up to the engines' ln implementations (measured ≤1 ulp apart
+    * between the JVM and DuckDB — inside the gate's 6-decimal
+    * rounding, and irrelevant to the within-Spark determinism).
+    *
+    * Scale shape: one (doc, token) partial aggregation (a hot
+    * token's occurrences collapse map-side), then one per-doc
+    * aggregation whose state is the document's DISTINCT token counts
+    * — bounded by vocabulary, not document length. Map-only before
+    * the first exchange; no window, no join.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val counts = Dedup.spread(df)
+      .withColumn("__words", split(col(textCol), " +"))
+      .select(col(idCol), explode(col("__words")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+    val n = col("n_tokens").cast("double")
+    counts.groupBy(col(idCol))
+      .agg(sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct(col("__tok"), col("__c"))))
+          .as("__arr"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        (log(n) - aggregate(col("__arr"), lit(0.0), (acc, x) =>
+          acc + x.getField("__c").cast("double") *
+            log(x.getField("__c").cast("double"))) / n).as("entropy"))
+  }
 }

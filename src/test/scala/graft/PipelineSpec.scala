@@ -1527,4 +1527,38 @@ class PipelineSpec extends SparkTestBase {
       .agg(sum("n_rows")).head().getLong(0)
     assert(out == 9L) // everything but the NULL
   }
+
+  test("tokenEntropy: hand-computed values, empty docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),        // H = ln3 - (2ln2)/3
+      (2L, "x x x x"),      // single token type -> H = 0
+      (3L, "p q r s"),      // uniform -> H = ln4
+      (4L, "  "),           // no tokens -> absent
+      (5L, "b a a")         // same multiset as doc 1 -> same H
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    // hand values are ulp-tolerant: Spark's ln (StrictMath) and the
+    // JVM's Math.log differ in the last ulp for some inputs
+    val h1 = math.log(3.0) - (2.0 * math.log(2.0)) / 3.0
+    assert(got(1L)._1 == 3L && got(1L)._2 == 2L)
+    assert(math.abs(got(1L)._3 - h1) < 1e-12)
+    assert(got(2L) == ((4L, 1L, 0.0))) // ln4 - 4*ln4/4 is exactly 0
+    assert(math.abs(got(3L)._3 - math.log(4.0)) < 1e-12)
+    assert(got(5L)._3 == got(1L)._3) // exact: same sorted fold order
+  }
+
+  test("tokenEntropy: bit-identical across partitionings") {
+    import spark.implicits._
+    val docs = (1L to 50L)
+      .map(i => (i, (1L to i).map(j => s"t${j % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.tokenEntropy(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(run(docs) == run(docs.repartition(13)))
+  }
 }
