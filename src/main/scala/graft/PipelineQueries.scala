@@ -2035,6 +2035,27 @@ object PipelineQueries {
       |           / CAST(n_tokens AS DOUBLE) AS entropy
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // Exact percentile rank over events.value: two-level bucketed
+  // prefix sums (no window ever sees raw rows), oracle = min-rank
+  // percent_rank replay; the one double division runs on the same
+  // exact integers both sides.
+  val pr1PercentileRank: Q = (s, dir) =>
+    pipeline.Profiling.percentileRank(
+      Tables.load(s, dir, "events").select("event_id", "value"),
+      "event_id", "value")
+      .orderBy("event_id")
+
+  val pr1Sql: String =
+    """WITH nn AS (
+      |  SELECT event_id, value FROM events WHERE value IS NOT NULL),
+      |n AS (SELECT count(*) AS n FROM nn)
+      |SELECT event_id, value,
+      |       CAST(rank() OVER (ORDER BY value) - 1 AS BIGINT) AS rows_below,
+      |       CASE WHEN n > 1
+      |            THEN CAST(rank() OVER (ORDER BY value) - 1 AS DOUBLE) / (n - 1)
+      |            ELSE 0.0 END AS pct_rank
+      |FROM nn, n ORDER BY event_id""".stripMargin
+
   // ---------------- link analysis ----------------
 
   // Damped PageRank over the customer<->supplier purchase graph
@@ -2135,6 +2156,7 @@ object PipelineQueries {
     "gr1_pagerank" -> gr1PageRank,
     "df1_snapshot_diff" -> df1SnapshotDiff,
     "tx12_token_entropy" -> tx12Entropy,
+    "pr1_percentile_rank" -> pr1PercentileRank,
     "cp1_curation_pipeline" -> cp1Curation,
     "cp3_full_pass" -> cp3FullPass,
     "dd1_exact_dedup" -> dd1ExactDedup,
@@ -2202,6 +2224,7 @@ object PipelineQueries {
     "gr1_pagerank" -> gr1Sql,
     "df1_snapshot_diff" -> df1Sql,
     "tx12_token_entropy" -> tx12Sql,
+    "pr1_percentile_rank" -> pr1Sql,
     "tx6_repetition" -> tx6Sql,
     "tx7_vocab_topk" -> tx7Sql,
     "tx8_tfidf_keywords" -> tx8Sql,

@@ -76,9 +76,12 @@ object Graph {
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edgesWithDeg = truncate(
       e.join(outdeg, "src").repartition(shufflePartitions, col("src")))
+    // derive nodes FROM the materialized edge frame — deriving from
+    // `e` would recompute the caller's whole upstream plan (base
+    // join + distinct) a second time just to list the endpoints
     val nodes = truncate(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
+      edgesWithDeg.select(col("src").as("node"))
+        .union(edgesWithDeg.select(col("dst").as("node"))).distinct())
 
     val n = nodes.count()
     require(n > 0, "pageRank on an empty edge list")

@@ -236,4 +236,69 @@ object Profiling {
       .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * width)
       .select("bin", "bin_lo", "bin_hi", "n_rows")
   }
+
+  /** Exact percentile rank of every non-NULL row:
+    * pct_rank = rows_below / (n − 1) with rows_below = count of rows
+    * with STRICTLY smaller value (ties share a rank — SQL
+    * percent_rank with min-rank semantics). The normalization step
+    * for combining quality signals on different scales before a
+    * weighted mix (each signal mapped onto [0,1] by corpus position).
+    *
+    * Scale shape — no global window ever touches raw rows:
+    *   1. rows collapse to (bucket, value) counts via ONE partial
+    *      aggregation; all window state from here on is bounded by
+    *      DISTINCT values, not row count.
+    *   2. range buckets come from an `approx_percentile` sketch
+    *      (lazy one-row broadcast — the sketch's error moves WORK
+    *      between buckets, never the answer; per-row bucket lookup is
+    *      a codegen fold over the ≤`buckets`-element split array).
+    *   3. within-bucket running sums order by value inside each
+    *      bucket partition; bucket offsets are a second running sum
+    *      over the ≤`buckets`-row totals frame. Offset + in-bucket
+    *      sum = exact global rows_below (the sm5 two-level prefix-sum
+    *      shape, keyed by value range instead of draw order).
+    *   4. ranks join back to the id frame on value (fixed-width), and
+    *      n arrives as a lazy broadcast one-row count.
+    * The one division is IEEE double of two exact integers — an
+    * oracle computing rank()−1 over the same data matches bit-exact.
+    * NULL values are excluded (absent from the result); NaN is the
+    * caller's to filter (its ordering differs between engines).
+    */
+  def percentileRank(df: DataFrame, idCol: String, colName: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"percentileRank needs buckets >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(colName)
+    val nonNull = df.select(col(idCol), v).filter(v.isNotNull)
+    val bucketed =
+      if (buckets == 1) nonNull.withColumn("__b", lit(0))
+      else {
+        val splits = nonNull.agg(percentile_approx(v,
+          lit((1 until buckets).map(_.toDouble / buckets).toArray),
+          lit(10000)).as("__splits"))
+        nonNull.crossJoin(broadcast(splits))
+          .withColumn("__b", aggregate(col("__splits"), lit(0),
+            (acc, s) => acc + when(v >= s, 1).otherwise(0)))
+      }
+    val vc = bucketed.groupBy(col("__b"), v)
+      .agg(count(lit(1)).as("__c"))
+    val inBucket = Window.partitionBy("__b").orderBy(colName)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = vc.withColumn("__below_in",
+      coalesce(sum("__c").over(inBucket), lit(0L)))
+    val acrossBuckets = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vc.groupBy("__b").agg(sum("__c").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(acrossBuckets), lit(0L)))
+      .select("__b", "__off")
+    val ranks = withIn.join(offsets, "__b")
+      .select(v.as("__v"), (col("__off") + col("__below_in")).as("rows_below"))
+    val n = nonNull.agg(count(lit(1)).as("__n"))
+    nonNull.join(ranks, v === col("__v")).crossJoin(broadcast(n))
+      .select(col(idCol), v,
+        col("rows_below"),
+        when(col("__n") > 1,
+          col("rows_below").cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("pct_rank"))
+  }
 }

@@ -1561,4 +1561,42 @@ class PipelineSpec extends SparkTestBase {
         .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(run(docs) == run(docs.repartition(13)))
   }
+
+  test("percentileRank: hand-computed with ties, NULLs dropped") {
+    import spark.implicits._
+    // values 1,2,2,3,NULL: rows_below = 0,1,1,3; n=4
+    val d = Seq((1L, java.lang.Double.valueOf(1.0)),
+      (2L, java.lang.Double.valueOf(2.0)),
+      (3L, java.lang.Double.valueOf(2.0)),
+      (4L, java.lang.Double.valueOf(3.0)),
+      (5L, null.asInstanceOf[java.lang.Double])).toDF("id", "x")
+    val got = graft.pipeline.Profiling.percentileRank(d, "id", "x")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(1L -> ((0L, 0.0)), 2L -> ((1L, 1.0 / 3.0)),
+      3L -> ((1L, 1.0 / 3.0)), 4L -> ((3L, 1.0))))
+  }
+
+  test("percentileRank: equals the naive global window at any bucket count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = (1L to 500L).map(i => (i, ((i * 37) % 83).toDouble))
+      .toDF("id", "x")
+    val naive = d.withColumn("rb",
+        rank().over(Window.orderBy("x")).cast("long") - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (b <- Seq(1, 4, 64)) {
+      val got = graft.pipeline.Profiling.percentileRank(d, "id", "x", b)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == naive, s"buckets=$b")
+    }
+  }
+
+  test("percentileRank: single-row frame gets pct 0.0") {
+    import spark.implicits._
+    val got = graft.pipeline.Profiling.percentileRank(
+      Seq((1L, 5.0)).toDF("id", "x"), "id", "x").collect()
+    assert(got.length == 1 && got(0).getLong(2) == 0L &&
+      got(0).getDouble(3) == 0.0)
+  }
 }
