@@ -2035,6 +2035,30 @@ object PipelineQueries {
       |           / CAST(n_tokens AS DOUBLE) AS entropy
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // Join-cardinality pre-flight: predicts sj1's output size (60000)
+  // from (key,count) frames without running the row-level join — the
+  // report a 100 TB join runs first. Cross-validated: out_rows here
+  // equals sj1's materialized row count.
+  val jc1JoinCardinality: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"))
+    pipeline.Skew.joinCardinality(li, ord, Seq("k"))
+  }
+
+  val jc1Sql: String =
+    """WITH a AS (
+      |  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      |b AS (SELECT o_orderkey AS k, count(*) AS c2 FROM orders GROUP BY 1),
+      |j AS (SELECT count(*) AS n_matched_keys,
+      |             COALESCE(CAST(sum(c * c2) AS BIGINT), 0) AS out_rows
+      |      FROM a JOIN b USING (k))
+      |SELECT (SELECT count(*) FROM lineitem) AS n_left,
+      |       (SELECT count(*) FROM orders) AS n_right,
+      |       n_matched_keys, out_rows
+      |FROM j""".stripMargin
+
   // Exact percentile rank over events.value: two-level bucketed
   // prefix sums (no window ever sees raw rows), oracle = min-rank
   // percent_rank replay; the one double division runs on the same
@@ -2157,6 +2181,7 @@ object PipelineQueries {
     "df1_snapshot_diff" -> df1SnapshotDiff,
     "tx12_token_entropy" -> tx12Entropy,
     "pr1_percentile_rank" -> pr1PercentileRank,
+    "jc1_join_cardinality" -> jc1JoinCardinality,
     "cp1_curation_pipeline" -> cp1Curation,
     "cp3_full_pass" -> cp3FullPass,
     "dd1_exact_dedup" -> dd1ExactDedup,
@@ -2225,6 +2250,7 @@ object PipelineQueries {
     "df1_snapshot_diff" -> df1Sql,
     "tx12_token_entropy" -> tx12Sql,
     "pr1_percentile_rank" -> pr1Sql,
+    "jc1_join_cardinality" -> jc1Sql,
     "tx6_repetition" -> tx6Sql,
     "tx7_vocab_topk" -> tx7Sql,
     "tx8_tfidf_keywords" -> tx8Sql,

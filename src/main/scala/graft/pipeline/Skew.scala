@@ -54,4 +54,40 @@ object Skew {
       .orderBy(col("n_rows").desc, col(keyCol).asc)
       .limit(k)
   }
+
+  /** Exact output cardinality of an inner equi-join WITHOUT running
+    * it: Σ over matched keys of c_left(k)·c_right(k), plus side row
+    * counts and the matched-key count. The pre-flight check before a
+    * join that might explode (a 100 TB join whose answer is 100 PB is
+    * cheaper to learn about from this one-row report than from the
+    * shuffle that dies): est rows >> max(n_left, n_right) means a
+    * many-to-many key — reconsider the key, pre-aggregate a side, or
+    * plan for the output size.
+    *
+    * Scale shape: each side collapses to (key, count) via one partial
+    * aggregation — the join that follows is distinct-keys ×
+    * distinct-keys on the SAME equi key (never row × row), and the
+    * final sum is one scalar aggregation. Side totals re-aggregate
+    * the counts frames (each input scanned once) and arrive as lazy
+    * one-row crosses. Returns one row:
+    * (n_left, n_right, n_matched_keys, out_rows).
+    */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinCardinality needs >= 1 key column")
+    def keyCounts(df: DataFrame) = df
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+    val lc = keyCounts(left)
+    val rc = keyCounts(right).withColumnRenamed("__c", "__c2")
+    val nLeft = lc.agg(sum("__c").as("n_left"))
+    val nRight = rc.agg(sum("__c2").as("n_right"))
+    lc.join(rc, keys)
+      .agg(count(lit(1)).as("n_matched_keys"),
+        coalesce(sum(col("__c") * col("__c2")), lit(0L)).as("out_rows"))
+      .crossJoin(broadcast(nLeft)).crossJoin(broadcast(nRight))
+      .select(
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        col("n_matched_keys"), col("out_rows"))
+  }
 }

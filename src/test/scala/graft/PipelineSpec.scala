@@ -1599,4 +1599,26 @@ class PipelineSpec extends SparkTestBase {
     assert(got.length == 1 && got(0).getLong(2) == 0L &&
       got(0).getDouble(3) == 0.0)
   }
+
+  test("joinCardinality: hand-computed, equals the materialized join") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 1L, 2L, 3L, 5L).toDF("k")
+    val r = Seq(1L, 1L, 2L, 4L).toDF("k")
+    val got = graft.pipeline.Skew.joinCardinality(l, r, Seq("k")).head()
+    // matched keys 1,2; out = 3*2 + 1*1 = 7
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((6L, 4L, 2L, 7L)))
+    assert(got.getLong(3) == l.join(r, "k").count())
+  }
+
+  test("joinCardinality: disjoint keys and empty sides report zeros") {
+    import spark.implicits._
+    val l = Seq(1L, 2L).toDF("k")
+    val r = Seq(3L).toDF("k")
+    val d = graft.pipeline.Skew.joinCardinality(l, r, Seq("k")).head()
+    assert((d.getLong(2), d.getLong(3)) == ((0L, 0L)))
+    val e = graft.pipeline.Skew.joinCardinality(
+      Seq.empty[Long].toDF("k"), r, Seq("k")).head()
+    assert((e.getLong(0), e.getLong(2), e.getLong(3)) == ((0L, 0L, 0L)))
+  }
 }
