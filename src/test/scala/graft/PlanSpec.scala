@@ -438,4 +438,39 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.toLowerCase.contains("cartesian"),
       p.take(1200))
   }
+
+  test("percentileRank windows only aggregated values, partitioned by bucket") {
+    val p = plan(graft.pipeline.Profiling.percentileRank(
+      Tables.load(spark, sf, "events").select("event_id", "value"),
+      "event_id", "value"))
+    // exactly two windows: bucket offsets (over the <= buckets-row
+    // totals frame) and the within-bucket running sum, whose
+    // partition spec must include the bucket column so no single task
+    // ever orders the whole distinct-value set
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(2000))
+    val valueWindow = p.linesIterator
+      .filter(l => l.contains("Window [") && l.contains("value")).toSeq
+    assert(valueWindow.nonEmpty && valueWindow.forall(_.contains("__b")),
+      p.take(2000))
+    // raw rows collapse to (bucket, value) counts BEFORE any window
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      p.take(2000))
+  }
+
+  test("joinCardinality joins distinct-key counts, never raw rows") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"))
+    val ord = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"))
+    val p = plan(graft.pipeline.Skew.joinCardinality(li, ord, Seq("k")))
+    // ONE equi join (counts x counts); the side-total one-row frames
+    // arrive as broadcast nested-loop crosses, and every count is
+    // partial-aggregated before its exchange
+    val equiJoins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).size
+    assert(equiJoins == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      p.take(2000))
+  }
 }
