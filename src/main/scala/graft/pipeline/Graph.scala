@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Outcome of a [[pageRankUntilStable]] run: rounds executed,
+    * whether the max per-node rank delta reached `tolGrid`, and the
+    * final round's max delta (grid units).
+    */
+  final case class PrStats(rounds: Int, converged: Boolean,
+      maxDelta: Long)
+
   /** Damped PageRank on an exact integer grid.
     *
     * All arithmetic is 64-bit integer: the unit rank mass is `scale`
@@ -59,6 +66,82 @@ object Graph {
       checkpointEvery: Int = 3,
       reliableCheckpoints: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank needs >= 1 iteration, got $iters")
+    val st = setup(edges, srcCol, dstCol, dampNum, dampDen, scale,
+      reliableCheckpoints)
+    var ranks = st.ranks0
+    for (i <- 1 to iters) {
+      ranks = st.round(ranks)
+      if (i % checkpointEvery == 0 && i < iters) ranks = st.truncate(ranks)
+    }
+    ranks
+  }
+
+  /** [[pageRank]] iterated to a FIXPOINT instead of a fixed round
+    * count: stops when the largest per-node rank change of a round is
+    * <= `tolGrid` grid units. Deltas decay by ~dampNum/dampDen per
+    * round, so expect ≈ ln(scale/tolGrid) / ln(dampDen/dampNum)
+    * rounds (~85 for the defaults); `tolGrid = 0` demands the EXACT
+    * integer fixpoint, which symmetric graphs reach (the grid makes
+    * it well-defined where doubles would dither forever) but floor
+    * dynamics on asymmetric graphs can orbit a few grid units wide
+    * instead — don't pass 0 unless the graph is known to settle.
+    * Throws if `maxIters` rounds don't get there, like
+    * [[Cluster.connectedComponents]]: silently returning a
+    * half-converged ranking would hand the caller wrong importance
+    * scores.
+    *
+    * Unlike the fixed-count loop (which runs lazily between
+    * checkpoints), convergence detection needs one action per round:
+    * each round's rank frame is materialized (lineage-truncated) and
+    * the max |Δrank| read from the already-cached frame — the same
+    * price [[Cluster]] pays for its changed-label probe. Use the
+    * fixed-count form when the round budget is known; this form when
+    * the graph's mixing time isn't.
+    *
+    * Returns ((node, rank), [[PrStats]]).
+    */
+  def pageRankUntilStable(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", tolGrid: Long = 1000000L, maxIters: Int = 100,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      reliableCheckpoints: Boolean = false): (DataFrame, PrStats) = {
+    require(tolGrid >= 0, s"tolGrid must be >= 0, got $tolGrid")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val st = setup(edges, srcCol, dstCol, dampNum, dampDen, scale,
+      reliableCheckpoints)
+    var ranks = st.truncate(st.ranks0)
+    var round = 0
+    var delta = Long.MaxValue
+    while (round < maxIters && delta > tolGrid) {
+      val prev = ranks.withColumnRenamed("rank", "__prev")
+      val next = st.truncate(
+        st.round(ranks).join(prev, "node")
+          .select(col("node"), col("rank"),
+            abs(col("rank") - col("__prev")).as("__delta")))
+      delta = next.agg(max("__delta")).head().getLong(0)
+      ranks = next.select("node", "rank")
+      round += 1
+    }
+    if (delta > tolGrid) throw new IllegalStateException(
+      s"pageRankUntilStable did not reach tolGrid=$tolGrid in " +
+        s"$maxIters rounds (last max delta $delta) — raise maxIters " +
+        "or tolGrid")
+    (ranks, PrStats(round, converged = true, maxDelta = delta))
+  }
+
+  /** Shared setup: deduped long-typed edges joined with out-degrees,
+    * repartitioned on src once and materialized; nodes derived FROM
+    * that materialized frame (deriving from the raw plan would
+    * recompute the caller's whole upstream join a second time just to
+    * list the endpoints); uniform initial ranks; and the one-round
+    * transition function.
+    */
+  private final case class Setup(ranks0: DataFrame,
+      round: DataFrame => DataFrame, truncate: DataFrame => DataFrame)
+
+  private def setup(edges: DataFrame, srcCol: String, dstCol: String,
+      dampNum: Long, dampDen: Long, scale: Long,
+      reliableCheckpoints: Boolean): Setup = {
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
     // scale * dampNum must stay in Long for the per-edge contribution
@@ -76,9 +159,6 @@ object Graph {
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edgesWithDeg = truncate(
       e.join(outdeg, "src").repartition(shufflePartitions, col("src")))
-    // derive nodes FROM the materialized edge frame — deriving from
-    // `e` would recompute the caller's whole upstream plan (base
-    // join + distinct) a second time just to list the endpoints
     val nodes = truncate(
       edgesWithDeg.select(col("src").as("node"))
         .union(edgesWithDeg.select(col("dst").as("node"))).distinct())
@@ -87,18 +167,17 @@ object Graph {
     require(n > 0, "pageRank on an empty edge list")
     val teleport = (scale * (dampDen - dampNum) / dampDen) / n
 
-    var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
-    for (i <- 1 to iters) {
+    def round(ranks: DataFrame): DataFrame = {
       val inMass = edgesWithDeg
         .join(ranks, edgesWithDeg("src") === ranks("node"))
         .select(col("dst"),
           expr(s"($dampNum * (rank DIV outdeg)) DIV $dampDen").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("in_mass"))
-      ranks = nodes.join(inMass, nodes("node") === inMass("dst"), "left")
+      nodes.join(inMass, nodes("node") === inMass("dst"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
-      if (i % checkpointEvery == 0 && i < iters) ranks = truncate(ranks)
     }
-    ranks
+    Setup(nodes.select(col("node"), lit(scale / n).as("rank")),
+      round, truncate)
   }
 }

@@ -68,6 +68,41 @@ class GraphSnapshotSpec extends SparkTestBase {
     assert(runPageRank(e ++ e ++ e, iters = 3) == runPageRank(e, iters = 3))
   }
 
+  test("pageRankUntilStable: 2-cycle hits the exact fixpoint in one round") {
+    import spark.implicits._
+    val (df, stats) = Graph.pageRankUntilStable(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), tolGrid = 0L)
+    assert(stats == Graph.PrStats(1, converged = true, maxDelta = 0L))
+    assert(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("pageRankUntilStable: K4 settles exactly in 2 rounds, matches fixed loop") {
+    import spark.implicits._
+    // complete digraph on 4 nodes: symmetric, exact fixpoint round 2
+    val edges = (for { a <- 1L to 4L; b <- 1L to 4L if a != b }
+      yield (a, b)).toDF("src", "dst")
+    val (df, stats) = Graph.pageRankUntilStable(edges, tolGrid = 0L)
+    assert(stats == Graph.PrStats(2, converged = true, maxDelta = 0L))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 4L).map(_ -> 249999999999L).toMap)
+    val fixed = Graph.pageRank(edges, iters = stats.rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == fixed)
+  }
+
+  test("pageRankUntilStable: throws when maxIters can't reach the tolerance") {
+    import spark.implicits._
+    // bidirectional star: floor dynamics orbit a few grid units wide,
+    // so tolGrid=0 is unreachable — the cap must throw, not return
+    // half-converged ranks
+    val edges = ((1L to 4L).map(l => (l, 100L)) ++
+      (1L to 4L).map(l => (100L, l))).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.pageRankUntilStable(edges, tolGrid = 0L, maxIters = 5)
+    }
+  }
+
   test("pageRank: rejects bad damping and empty edges") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
