@@ -2035,6 +2035,53 @@ object PipelineQueries {
       |           / CAST(n_tokens AS DOUBLE) AS entropy
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // Hashing-trick features: fixed-dim sparse term counts with the
+  // portable md5 bucket hash the oracle re-derives per token.
+  val fh1HashingTrick: Q = (s, dir) =>
+    pipeline.Features.hashingTrick(docs(s, dir), "doc_id", "text",
+      dim = 64)
+      .orderBy("doc_id", "bucket")
+
+  val fh1Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+      |  FROM documents),
+      |nn AS (SELECT doc_id, tok FROM toks WHERE tok <> '')
+      |SELECT doc_id,
+      |       CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS bucket,
+      |       count(*) AS n_hits
+      |FROM nn GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
+
+  // PMI collocations: adjacent-pair mutual information over the
+  // corpus; counts are exact integers, the pmi expression runs in
+  // identical multiplication order both sides, and the k/k+1 cutoff
+  // gap (8e-4 measured at sf0.01) dwarfs the <=1-ulp cross-engine ln.
+  val tx13Pmi: Q = (s, dir) =>
+    TextAnalysis.pmiCollocations(docs(s, dir), "text",
+      minCount = 5L, topK = 50)
+
+  val tx13Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, ' +'), w -> w <> '') AS ws
+      |  FROM documents),
+      |uni AS (SELECT unnest(ws) AS w FROM toks),
+      |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+      |nt AS (SELECT count(*) AS n FROM uni),
+      |bg AS (
+      |  SELECT ws[g] AS w1, ws[g + 1] AS w2
+      |  FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(g)),
+      |bc AS (SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY w1, w2),
+      |nb AS (SELECT CAST(sum(c_pair) AS BIGINT) AS m FROM bc)
+      |SELECT w1, w2, c_pair,
+      |       ln((CAST(c_pair AS DOUBLE) * n * n) /
+      |          (CAST(m AS DOUBLE) * u1.c * u2.c)) AS pmi
+      |FROM bc, nt, nb
+      |JOIN uc u1 ON u1.w = bc.w1
+      |JOIN uc u2 ON u2.w = bc.w2
+      |WHERE c_pair >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
   // Join-cardinality pre-flight: predicts sj1's output size (60000)
   // from (key,count) frames without running the row-level join — the
   // report a 100 TB join runs first. Cross-validated: out_rows here
@@ -2191,6 +2238,8 @@ object PipelineQueries {
     "tx12_token_entropy" -> tx12Entropy,
     "pr1_percentile_rank" -> pr1PercentileRank,
     "jc1_join_cardinality" -> jc1JoinCardinality,
+    "fh1_hashing_trick" -> fh1HashingTrick,
+    "tx13_pmi_collocations" -> tx13Pmi,
     "cp1_curation_pipeline" -> cp1Curation,
     "cp3_full_pass" -> cp3FullPass,
     "dd1_exact_dedup" -> dd1ExactDedup,
@@ -2260,6 +2309,8 @@ object PipelineQueries {
     "tx12_token_entropy" -> tx12Sql,
     "pr1_percentile_rank" -> pr1Sql,
     "jc1_join_cardinality" -> jc1Sql,
+    "fh1_hashing_trick" -> fh1Sql,
+    "tx13_pmi_collocations" -> tx13Sql,
     "tx6_repetition" -> tx6Sql,
     "tx7_vocab_topk" -> tx7Sql,
     "tx8_tfidf_keywords" -> tx8Sql,

@@ -363,6 +363,56 @@ object TextAnalysis {
     * — bounded by vocabulary, not document length. Map-only before
     * the first exchange; no window, no join.
     */
+  /** PMI collocations: corpus-level pointwise mutual information of
+    * adjacent token pairs — ln(p(w1,w2) / (p(w1)·p(w2))) — the
+    * phrase-detection signal (word2vec's word2phrase pass) and a
+    * vocabulary-design diagnostic. High-PMI pairs behave as one unit
+    * ("new york"); `minCount` drops the unstable rare-pair tail.
+    *
+    * Scale shape: one bigram (w1,w2) partial aggregation and one
+    * unigram aggregation — both bounded by vocabulary², collapsed
+    * map-side — then two equi joins on the words and two lazy one-row
+    * totals; the top-K is a TakeOrdered, no full sort. The pmi
+    * expression runs once per surviving pair on exact integer counts
+    * (multiplication order fixed so both engines compute the same
+    * doubles; cross-engine ln differs ≤1 ulp — membership at the
+    * top-K cutoff is robust as long as the k/k+1 gap exceeds that,
+    * which minCount guarantees in practice).
+    *
+    * Empty tokens are dropped BEFORE pairing (split(" +") only yields
+    * them at text edges, so interior adjacency is unaffected).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      s"pmiCollocations needs minCount >= 1, topK >= 1")
+    val words = col("__words")
+    val base = Dedup.spread(df).withColumn("__words",
+      filter(split(col(textCol), " +"), w => length(w) > 0))
+    val uni = base.select(explode(words).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("__c"))
+    val nTotal = uc.agg(sum("__c").as("__n"))
+    val pairs = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => struct(element_at(words, i + 1).as("w1"),
+          element_at(words, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bc = base.select(explode(pairs).as("__bg"))
+      .select(col("__bg.w1"), col("__bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+    val nBigrams = bc.agg(sum("c_pair").as("__m"))
+    bc.filter(col("c_pair") >= minCount)
+      .join(uc.select(col("w").as("w1"), col("__c").as("__c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("__c").as("__c2")), "w2")
+      .crossJoin(broadcast(nTotal)).crossJoin(broadcast(nBigrams))
+      .select(col("w1"), col("w2"), col("c_pair"),
+        log((col("c_pair").cast("double") * col("__n") * col("__n")) /
+          (col("__m").cast("double") * col("__c1") * col("__c2")))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val counts = Dedup.spread(df)

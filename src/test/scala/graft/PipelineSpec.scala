@@ -1621,4 +1621,53 @@ class PipelineSpec extends SparkTestBase {
       Seq.empty[Long].toDF("k"), r, Seq("k")).head()
     assert((e.getLong(0), e.getLong(2), e.getLong(3)) == ((0L, 0L, 0L)))
   }
+
+  test("hashingTrick: deterministic buckets, counts sum to token count") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a"), (3L, "  ")).toDF("id", "text")
+    val got = graft.pipeline.Features.hashingTrick(docs, "id", "text", dim = 8)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // empty doc 3 absent; all buckets in range; per-doc sums = tokens
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 8 })
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDoc == Map(1L -> 4L, 2L -> 1L))
+    // same token -> same bucket across docs
+    val aBuckets = Seq((10L, "a"), (11L, "a")).toDF("id", "text")
+    val ab = graft.pipeline.Features.hashingTrick(aBuckets, "id", "text", 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(ab.size == 1)
+    // rerun-stable under repartition
+    val re = graft.pipeline.Features.hashingTrick(
+      docs.repartition(7), "id", "text", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == rows.toSet)
+  }
+
+  test("pmiCollocations: hand-computed pmi, minCount gate, edge pairing") {
+    import spark.implicits._
+    // corpus: "x y" appears 5 times, "x z" once; unigrams x=6,y=5,z=1
+    val docs = (Seq.fill(5)("x y") :+ "x z").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = graft.pipeline.TextAnalysis.pmiCollocations(
+      docs.select(col("text")), "text", minCount = 5L, topK = 10)
+      .collect()
+    assert(got.length == 1) // "x z" dropped by minCount
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("x", "y", 5L)))
+    // pmi = ln((5 * 12 * 12) / (6 * 6 * 5)); n=12 tokens, m=6 bigrams
+    val want = math.log((5.0 * 12 * 12) / (6.0 * 6 * 5))
+    assert(math.abs(r.getDouble(3) - want) < 1e-12)
+  }
+
+  test("pmiCollocations: empty tokens dropped before pairing") {
+    import spark.implicits._
+    // leading/trailing spaces must not create ("", w) pairs
+    val docs = Seq((1L, " p q "), (2L, "p q"), (3L, "p q"), (4L, "p q"),
+      (5L, "p q")).toDF("id", "text")
+    val got = graft.pipeline.TextAnalysis.pmiCollocations(
+      docs, "text", minCount = 5L, topK = 10).collect()
+    assert(got.length == 1 &&
+      (got(0).getString(0), got(0).getString(1)) == (("p", "q")))
+  }
 }
