@@ -473,4 +473,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("Partial"),
       p.take(2000))
   }
+
+  test("hashingTrick is map-only before one partial agg: no join, no window") {
+    val p = plan(graft.pipeline.Features.hashingTrick(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", dim = 64))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      p.take(1500))
+  }
+
+  test("pmiCollocations: equi joins on words, TakeOrdered top-K, no cartesian") {
+    val p = plan(graft.pipeline.TextAnalysis.pmiCollocations(
+      Tables.load(spark, sf, "documents"), "text", minCount = 5L, topK = 50))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the one-row totals arrive as broadcast nested-loop crosses; the
+    // word joins stay equi (hash or sort-merge)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }
