@@ -91,20 +91,25 @@ object Graph {
     * scores.
     *
     * Unlike the fixed-count loop (which runs lazily between
-    * checkpoints), convergence detection needs one action per round:
-    * each round's rank frame is materialized (lineage-truncated) and
-    * the max |Δrank| read from the already-cached frame — the same
-    * price [[Cluster]] pays for its changed-label probe. Use the
-    * fixed-count form when the round budget is known; this form when
-    * the graph's mixing time isn't.
+    * checkpoints), convergence detection needs per-round actions:
+    * each round's rank frame is materialized (lineage-truncated),
+    * then the max |Δrank| is read by a separate |V|-row join of the
+    * two truncated frames — the same price [[Cluster]] pays for its
+    * changed-label probe. The probe MUST stay outside the truncated
+    * frame (see the loop comment). Use the fixed-count form when the
+    * round budget is known; this form when the graph's mixing time
+    * isn't.
     *
-    * Returns ((node, rank), [[PrStats]]).
+    * Returns ((node, rank), [[PrStats]]). `onRound` is invoked after
+    * each materialized round with (round, maxDelta) — hook for
+    * progress logging in long fixpoint runs; default no-op.
     */
   def pageRankUntilStable(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", tolGrid: Long = 1000000L, maxIters: Int = 100,
       dampNum: Long = 85L, dampDen: Long = 100L,
       scale: Long = 1000000000000L,
-      reliableCheckpoints: Boolean = false): (DataFrame, PrStats) = {
+      reliableCheckpoints: Boolean = false,
+      onRound: (Int, Long) => Unit = (_, _) => ()): (DataFrame, PrStats) = {
     require(tolGrid >= 0, s"tolGrid must be >= 0, got $tolGrid")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val st = setup(edges, srcCol, dstCol, dampNum, dampDen, scale,
@@ -113,14 +118,22 @@ object Graph {
     var round = 0
     var delta = Long.MaxValue
     while (round < maxIters && delta > tolGrid) {
-      val prev = ranks.withColumnRenamed("rank", "__prev")
-      val next = st.truncate(
-        st.round(ranks).join(prev, "node")
-          .select(col("node"), col("rank"),
-            abs(col("rank") - col("__prev")).as("__delta")))
-      delta = next.agg(max("__delta")).head().getLong(0)
-      ranks = next.select("node", "rank")
+      // The delta probe joins the two TRUNCATED frames and is never
+      // itself checkpointed. Folding the prev-join into the frame
+      // that gets truncated (the obvious one-action shape) compounds:
+      // each LogicalRDD carries the constraints/stats of the plan it
+      // replaced, so a checkpointed (round ⋈ prev-checkpoint) nests
+      // the previous round's captured plan state and optimization
+      // cost grows exponentially — ~2.5×/round from round ~16,
+      // measured in tools/Scratch.scala (variant "full" blows up,
+      // "sep" is flat at constant plan size / RDD depth).
+      val next = st.truncate(st.round(ranks))
+      delta = next
+        .join(ranks.withColumnRenamed("rank", "__prev"), "node")
+        .agg(max(abs(col("rank") - col("__prev")))).head().getLong(0)
+      ranks = next
       round += 1
+      onRound(round, delta)
     }
     if (delta > tolGrid) throw new IllegalStateException(
       s"pageRankUntilStable did not reach tolGrid=$tolGrid in " +

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bisect harness for the pageRankUntilStable checkpoint-plan blowup
+  * (cited from Graph.scala): replicates the real round shape on a
+  * synthetic graph and prints per-round wall / optimized-plan size /
+  * RDD chain depth. `variant` strips pieces:
+  *  - "full": delta join folded INTO the checkpointed frame (the
+  *    pre-fix shape) — per-round cost grows ~2.5×/round from ~r16
+  *  - "sep": checkpoint the round result, delta as a separate join
+  *    (the shipped shape) — flat plan size, flat wall
+  *  - "noprev"/"noleft": isolate which join drives the growth
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val variant = if (args.nonEmpty) args(0) else "full"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def trunc(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+    val fwd = (1L to 5000L).map { i =>
+      (i % 1000 + 1, 1001 + (i * i * 13 + i * 7) % 500)
+    }
+    val edges0 = (fwd ++ fwd.map(p => (p._2, p._1))).toDF("src", "dst")
+
+    val e = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesWithDeg = trunc(e.join(outdeg, "src").repartition(8, col("src")))
+    val nodes = trunc(edgesWithDeg.select(col("src").as("node"))
+      .union(edgesWithDeg.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    val scale = 1000000000000L
+    val teleport = (scale * 15L / 100L) / n
+
+    def round(ranks: DataFrame): DataFrame = {
+      val inMass = edgesWithDeg
+        .join(ranks, edgesWithDeg("src") === ranks("node"))
+        .select(col("dst"),
+          expr(s"(85 * (rank DIV outdeg)) DIV 100").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("in_mass"))
+      if (variant == "noleft")
+        inMass.select(col("dst").as("node"),
+          (lit(teleport) + col("in_mass")).as("rank"))
+      else
+        nodes.join(inMass, nodes("node") === inMass("dst"), "left")
+          .select(col("node"),
+            (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+    }
+
+    var ranks = trunc(nodes.select(col("node"), lit(scale / n).as("rank")))
+    var last = System.nanoTime()
+    for (r <- 1 to 26) {
+      val prev = ranks.withColumnRenamed("rank", "__prev")
+      var d = 0L
+      if (variant == "sep") {
+        val next = trunc(round(ranks))
+        d = next.join(prev, "node")
+          .agg(max(abs(col("rank") - col("__prev")))).head().getLong(0)
+        ranks = next
+      } else {
+        val joined =
+          if (variant == "noprev") round(ranks).withColumn("__delta", lit(0L))
+          else round(ranks).join(prev, "node")
+            .select(col("node"), col("rank"),
+              abs(col("rank") - col("__prev")).as("__delta"))
+        val next = trunc(joined)
+        d = next.agg(max("__delta")).head().getLong(0)
+        ranks = next.select("node", "rank")
+      }
+      val planLen = ranks.queryExecution.optimizedPlan.toString.length
+      val nCons = ranks.rdd.toDebugString.linesIterator.size
+      val now = System.nanoTime()
+      System.err.println(f"SCRATCH[$variant] r=$r delta=$d cons=$nCons " +
+        f"plan=$planLen wall=${(now - last) / 1e9}%.2fs")
+      last = now
+    }
+    spark.stop()
+  }
+}

@@ -91,6 +91,36 @@ class GraphSnapshotSpec extends SparkTestBase {
     assert(got == fixed)
   }
 
+  test("pageRankUntilStable: deep fixpoint runs stay flat per round") {
+    import spark.implicits._
+    // Regression pin for the exponential plan blowup: checkpointing
+    // the (round ⋈ prev) delta frame nested each round's captured
+    // plan state inside the next LogicalRDD, and per-round cost grew
+    // ~2.5×/round from round ~16 (tools/Scratch.scala bisect) — a
+    // ~40-round run like this one would effectively hang. With the
+    // delta probe outside the truncated frame, rounds are flat and
+    // this finishes in seconds; deltas decay by dampNum/dampDen per
+    // round, which also pins the documented decay model.
+    val fwd = (1L to 2000L).map { i =>
+      (i % 400 + 1, 401 + (i * i * 13 + i * 7) % 200)
+    }
+    val edges = (fwd ++ fwd.map(p => (p._2, p._1))).toDF("src", "dst")
+    val walls = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = System.nanoTime()
+    val (_, stats) = Graph.pageRankUntilStable(edges,
+      tolGrid = 1000000L, maxIters = 80,
+      onRound = { (_, _) =>
+        val now = System.nanoTime(); walls += now - last; last = now
+      })
+    assert(stats.converged && stats.rounds >= 35,
+      s"graph converged too fast (${stats.rounds} rounds) to exercise deep iteration")
+    // late rounds must not dwarf early rounds (pre-fix: 100×+)
+    val early = walls.slice(2, 10).sorted.apply(4)
+    val late = walls.takeRight(8).sorted.apply(4)
+    assert(late < early * 10,
+      s"per-round wall grew: early median ${early / 1e6}ms late ${late / 1e6}ms")
+  }
+
   test("pageRankUntilStable: throws when maxIters can't reach the tolerance") {
     import spark.implicits._
     // bidirectional star: floor dynamics orbit a few grid units wide,
