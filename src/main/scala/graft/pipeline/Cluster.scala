@@ -47,10 +47,16 @@ object Cluster {
     labels
   }
 
+  /** As [[connectedComponents]] but returns [[CcStats]] instead of
+    * throwing on non-convergence. `onRound` is invoked after each
+    * materialized round with (round, converged) — progress hook for
+    * long runs, same contract as Graph.pageRankUntilStable's.
+    */
   def connectedComponentsWithStats(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIters: Int = 20,
       checkpointEvery: Int = 3,
-      reliableCheckpoints: Boolean = false): (DataFrame, CcStats) = {
+      reliableCheckpoints: Boolean = false,
+      onRound: (Int, Boolean) => Unit = (_, _) => ()): (DataFrame, CcStats) = {
     def truncate(df: DataFrame): DataFrame =
       Lineage.truncate(df, reliableCheckpoints)
     val edges = truncate(pairs
@@ -105,6 +111,7 @@ object Cluster {
           flat
         } else fresh
       iter += 1
+      onRound(iter, converged)
     }
     // materialize the result off the round cache before freeing it
     val out = truncate(labels)

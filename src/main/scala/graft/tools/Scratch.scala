@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   *  - "sep": checkpoint the round result, delta as a separate join
   *    (the shipped shape) — flat plan size, flat wall
   *  - "noprev"/"noleft": isolate which join drives the growth
+  *  - "cc [log2n]": deep-round probe for Cluster.connectedComponents
+  *    — path graph of 2^log2n nodes (default 19, ~20 rounds; rounds
+  *    scale with log2 diameter, data stays small) printing per-round
+  *    wall; attests the CC loop has no post-round-15 plan blowup
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -23,6 +27,30 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+
+    if (variant == "cc") {
+      val log2n = if (args.length >= 2) args(1).toInt else 19
+      val n = 1L << log2n
+      val pairs = spark.range(0L, n - 1)
+        .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+      var last = System.nanoTime()
+      val t0 = last
+      val (labels, stats) = graft.pipeline.Cluster
+        .connectedComponentsWithStats(pairs, maxIters = log2n + 8,
+          onRound = { (r, conv) =>
+            val now = System.nanoTime()
+            System.err.println(f"SCRATCH[cc] r=$r conv=$conv " +
+              f"wall=${(now - last) / 1e9}%.2fs")
+            last = now
+          })
+      val nLab = labels.count()
+      val nClusters = labels.select("cluster_id").distinct().count()
+      System.err.println(f"SCRATCH[cc] n=$n rounds=${stats.rounds} " +
+        f"converged=${stats.converged} labeled=$nLab clusters=$nClusters " +
+        f"total=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      spark.stop()
+      return
+    }
 
     def trunc(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
