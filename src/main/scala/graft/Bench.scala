@@ -3,9 +3,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
 
 /** Per-query timings: one cold run, then `median`/`min`/`max` over
-  * the warm iterations (sorted).
+  * the warm iterations (sorted); `retries` counts contention retry
+  * passes (see the retry note in `main`).
   */
-case class BenchTimes(cold: Double, median: Double, min: Double, max: Double)
+case class BenchTimes(cold: Double, median: Double, min: Double,
+    max: Double, retries: Int = 0)
 
 object Bench {
 
@@ -60,6 +62,9 @@ object Bench {
     val warmIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(warmIters >= 1,
       s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $warmIters")
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "1").toInt
+    require(maxRetries >= 0,
+      s"SPARK_GRAFT_BENCH_RETRIES must be >= 0, got $maxRetries")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def bench(entries: Map[String, (SparkSession, String) => DataFrame])
         : Map[String, BenchTimes] = entries.map { case (name, fn) =>
@@ -78,12 +83,27 @@ object Bench {
       // cold then under-reads warm and the median-warm<=cold sanity
       // bound breaks spuriously (observed on dd8 in the first r9 run)
       val cold = { PipelineQueries.resetCaches(); once() }
-      val warms = Seq.fill(warmIters) {
+      def warmPass(): Seq[Double] = Seq.fill(warmIters) {
         PipelineQueries.resetCaches()
         once()
-      }.sorted
-      val median = warms(warms.length / 2)
-      name -> BenchTimes(cold, median, warms.head, warms.last)
+      }
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+      // Contention retry (r9 item 5): median-of-3 bounds a contended
+      // window but can still REPORT it (r9's cp3: median 13.1 s vs
+      // warm_min 4.6 s — a shared-host stall, not a plan change). If
+      // the warm median exceeds 2x the entry's own warm min, the
+      // samples disagree with themselves, so run up to `maxRetries`
+      // extra warm passes and take the median over ALL samples; the
+      // per-entry retry count is reported so a persistently noisy
+      // entry is visible rather than silently smoothed.
+      var warms = warmPass()
+      var retries = 0
+      while (retries < maxRetries && med(warms) > 2.0 * warms.min) {
+        retries += 1
+        warms = warms ++ warmPass()
+      }
+      val sorted = warms.sorted
+      name -> BenchTimes(cold, med(warms), sorted.head, sorted.last, retries)
     }
     val results = bench(SparkEntry.queries)
     // bench-only production-path twins: timed identically but
@@ -109,8 +129,13 @@ object Bench {
     val errObj = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.median).sum
+    // only entries that actually retried appear in `retries` (keeps
+    // the line compact; absent = 0)
+    val retryObj = results.filter(_._2.retries > 0)
+      .map { case (k, v) => jstr(k) + ":" + v.retries }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_iters":$warmIters,"queries":${obj(_.median)},"cold":${obj(_.cold)},"warm_min":${obj(_.min)},"warm_max":${obj(_.max)},"extras":${objOf(extras)(_.median)},"extras_cold":${objOf(extras)(_.cold)},"errors":$errObj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_iters":$warmIters,"queries":${obj(_.median)},"cold":${obj(_.cold)},"warm_min":${obj(_.min)},"warm_max":${obj(_.max)},"retries":$retryObj,"extras":${objOf(extras)(_.median)},"extras_cold":${objOf(extras)(_.cold)},"errors":$errObj,"sf":"$sfDir"}"""
     // a file copy survives the driver's stdout tail-capture limit
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),

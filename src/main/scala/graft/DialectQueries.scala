@@ -272,7 +272,37 @@ object DialectQueries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  // JDBC-backed engine path (the reference's pg/mariadb backend role,
+  // sqlpp_postgresql.ml:77-219): the fixture's nation/region are
+  // loaded into embedded Derby, then the SAME dialect stack runs with
+  // the loader resolving table names against the connection — nation
+  // through a 4-cursor ranged parallel read (the at-scale shape),
+  // region through a plain read. The oracle replays the query over
+  // the parquet originals: the entry proves the operational-DB
+  // round trip is value-exact, not just spec-plumbed. Pushdown and
+  // stride-completeness pins live in JdbcSpec.
+  val jd1: Q = (s, _dir) => {
+    val dbDir = java.nio.file.Files
+      .createTempDirectory("graft_jd1_derby").toString
+    val conn = sources.Jdbc.Conn(s"jdbc:derby:$dbDir/db;create=true")
+    sources.Jdbc.write(Tables.load(s, _dir, "nation"), conn, "nation",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    sources.Jdbc.write(Tables.load(s, _dir, "region"), conn, "region",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val eng = sources.Jdbc.engine(s, Catalog.env(), conn,
+      partitions = Map("nation" -> (("n_nationkey", 0L, 24L, 4))))
+    eng.sql(
+      """select r_name, count(1) as n_nations, min(n_nationkey) as min_key
+        |from nation join region on n_regionkey = r_regionkey
+        |group by r_name order by r_name""".stripMargin)
+  }
+  val jd1Sql: String =
+    """SELECT r_name, count(1) AS n_nations, min(n_nationkey) AS min_key
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "jd1_jdbc_engine" -> jd1,
     "sq16_dialect_multicol_in_3vl" -> sq16,
     "sq15_dialect_left_join_on_subquery" -> sq15,
     "sq14_dialect_having_subquery" -> sq14,
@@ -292,6 +322,7 @@ object DialectQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "jd1_jdbc_engine" -> jd1Sql,
     "sq16_dialect_multicol_in_3vl" -> sq16Sql,
     "sq15_dialect_left_join_on_subquery" -> sq15Sql,
     "sq14_dialect_having_subquery" -> sq14Sql,

@@ -792,7 +792,9 @@ object PipelineQueries {
   val pq1Sql: String =
     """WITH st AS (
       |  SELECT greatest(count(*) // 16, 1) AS step FROM embeddings),
-      |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |ed AS (SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |                        x -> floor(x * 1000000.0 + 0.5)) AS v
       |       FROM embeddings),
       |cent AS (
       |  SELECT CAST(e.vec_id // st.step AS INT) AS code, e.v AS c
@@ -816,16 +818,94 @@ object PipelineQueries {
       |             PARTITION BY vec_id, j ORDER BY d, code) AS rn
       |    FROM dist) WHERE rn = 1)
       |SELECT j AS subspace, code, count(*) AS n_vecs,
-      |       CAST(sum(CAST(round(d * 1000000000.0, 0) AS DECIMAL(38,0)))
-      |            AS DECIMAL(38,0)) AS sum_d9
+      |       CAST(sum(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_d12
       |FROM assigned GROUP BY j, code ORDER BY subspace, code""".stripMargin
+
+  // IVFADC: the IVF coarse quantizer composed with PQ codes — probe
+  // nprobe cells per query, ADC-rerank inside probed cells only (the
+  // Jégou-et-al billion-scale layout; kills flat ADC's per-query
+  // full-corpus scan). Integer-grid end to end: the oracle replays
+  // the coarse cells, probe order, per-subspace codes, ADC sums and
+  // ranks bit-for-bit.
+  val pq2IvfAdcTopK: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val centroids = pipeline.Ivf.staticCentroids(e, "vec_id", "embedding",
+      nlist = 16)
+    val cbs = pipeline.Quantize.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 16)
+    pipeline.Quantize.ivfAdcTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", centroids, cbs, k = 10, nprobe = 6)
+      .orderBy("query_id", "rank")
+  }
+
+  val pq2Sql: String =
+    """WITH st AS (
+      |  SELECT greatest(count(*) // 16, 1) AS step FROM embeddings),
+      |eq AS (SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |                        x -> floor(x * 1000000.0 + 0.5)) AS v
+      |       FROM embeddings),
+      |cent AS (
+      |  SELECT CAST(e.vec_id // st.step AS INT) AS cid, e.v AS c
+      |  FROM eq e, st
+      |  WHERE e.vec_id % st.step = 0 AND e.vec_id < st.step * 16),
+      |cdist AS (
+      |  SELECT e.vec_id, cent.cid,
+      |         ((list_dot_product(e.v, e.v)
+      |           - 2.0 * list_dot_product(e.v, cent.c))
+      |          + list_dot_product(cent.c, cent.c)) AS d
+      |  FROM eq e CROSS JOIN cent),
+      |cell AS (
+      |  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM cdist) WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM cdist WHERE vec_id < 5) WHERE rn <= 6),
+      |sub AS (
+      |  SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS j),
+      |sdist AS (
+      |  SELECT e.vec_id, sub.j, cent.cid AS code,
+      |         ((list_dot_product(e.v[sub.j*16+1 : sub.j*16+16],
+      |                            e.v[sub.j*16+1 : sub.j*16+16])
+      |           - 2.0 * list_dot_product(e.v[sub.j*16+1 : sub.j*16+16],
+      |                                    cent.c[sub.j*16+1 : sub.j*16+16]))
+      |          + list_dot_product(cent.c[sub.j*16+1 : sub.j*16+16],
+      |                             cent.c[sub.j*16+1 : sub.j*16+16])) AS d
+      |  FROM eq e CROSS JOIN sub CROSS JOIN cent),
+      |codes AS (
+      |  SELECT vec_id, j, code FROM (
+      |    SELECT vec_id, j, code,
+      |           row_number() OVER (
+      |             PARTITION BY vec_id, j ORDER BY d, code) AS rn
+      |    FROM sdist) WHERE rn = 1),
+      |cand AS (
+      |  SELECT p.query_id, c.neighbor_id
+      |  FROM probe p JOIN cell c ON c.cell = p.cell
+      |  WHERE c.neighbor_id <> p.query_id),
+      |adc AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |         CAST(sum(sd.d) AS BIGINT) AS adc_d12
+      |  FROM cand
+      |  JOIN codes k2 ON k2.vec_id = cand.neighbor_id
+      |  JOIN sdist sd ON sd.vec_id = cand.query_id
+      |              AND sd.j = k2.j AND sd.code = k2.code
+      |  GROUP BY cand.query_id, cand.neighbor_id)
+      |SELECT query_id, neighbor_id, adc_d12,
+      |       CAST(row_number() OVER (
+      |         PARTITION BY query_id
+      |         ORDER BY adc_d12, neighbor_id) AS INT) AS rank
+      |FROM adc QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // k-means cluster diagnostics over the same deterministic
   // quantizer: per-cell member count, representative id, and the
-  // exact within-cluster scatter on the x1e9 integer grid. One
-  // map-side assignment + one partial agg; the oracle replays the
-  // full assignment (same cent/dist CTEs as ss3) and the same
-  // grid-scaled sum.
+  // exact within-cluster scatter on the x1e6-per-coordinate integer
+  // grid (distances are integer-valued, so argmin AND sum replay
+  // bit-for-bit cross-engine — the r9 fix for the final-double-round
+  // hash drift). One map-side assignment + one partial agg.
   val km1ClusterProfile: Q = (s, dir) => {
     val e = embs(s, dir).select("vec_id", "embedding")
     val centroids = pipeline.Ivf.staticCentroids(e, "vec_id", "embedding",
@@ -837,26 +917,27 @@ object PipelineQueries {
   val km1Sql: String =
     """WITH st AS (
       |  SELECT greatest(count(*) // 16, 1) AS step FROM embeddings),
+      |eq AS (SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |                        x -> floor(x * 1000000.0 + 0.5)) AS v
+      |       FROM embeddings),
       |cent AS (
-      |  SELECT CAST(e.vec_id // st.step AS INT) AS j,
-      |         CAST(e.embedding AS DOUBLE[]) AS c
-      |  FROM embeddings e, st
+      |  SELECT CAST(e.vec_id // st.step AS INT) AS j, e.v AS c
+      |  FROM eq e, st
       |  WHERE e.vec_id % st.step = 0 AND e.vec_id < st.step * 16),
       |dist AS (
       |  SELECT e.vec_id, cent.j,
-      |         ((list_dot_product(CAST(e.embedding AS DOUBLE[]),
-      |                            CAST(e.embedding AS DOUBLE[]))
-      |           - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), cent.c))
+      |         ((list_dot_product(e.v, e.v)
+      |           - 2.0 * list_dot_product(e.v, cent.c))
       |          + list_dot_product(cent.c, cent.c)) AS d
-      |  FROM embeddings e CROSS JOIN cent),
+      |  FROM eq e CROSS JOIN cent),
       |assigned AS (
       |  SELECT vec_id, j AS cell, d FROM (
       |    SELECT vec_id, j, d,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
       |    FROM dist) WHERE rn = 1)
       |SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_id,
-      |       CAST(sum(CAST(round(d * 1000000000.0, 0) AS DECIMAL(38,0)))
-      |            AS DECIMAL(38,0)) AS sum_d9
+      |       CAST(sum(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_d12
       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
 
   // ---------------- text analysis ----------------
@@ -1132,6 +1213,29 @@ object PipelineQueries {
       |       a.checksum, a.f0
       |FROM documents d JOIN agg a ON a.media_id = d.doc_id
       |ORDER BY media_id""".stripMargin
+
+  // REAL image codec round trip (javax.imageio, in the JDK): each
+  // doc_id becomes a deterministic RGB test-card, PNG-ENCODED then
+  // DECODED by the actual codec inside one mapPartitions batch; the
+  // oracle recomputes the decoded per-channel pixel sums from the
+  // closed-form pixel function (PNG is lossless, so codec-correct ⇔
+  // hash-green). Dimension + EXIF-strip pins live in PipelineSpec.
+  val mm3ImageCodec: Q = (s, dir) =>
+    Multimodal.imagePixelStats(s, docs(s, dir).select("doc_id"), "doc_id",
+      width = 16, height = 16, partitions = 32)
+      .orderBy("media_id")
+
+  val mm3Sql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, xs.x, ys.y
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys)
+      |SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+      |       CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS r_sum,
+      |       CAST(sum((doc_id * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS g_sum,
+      |       CAST(sum((doc_id * 29 + x * 5 + y * 19) % 256) AS BIGINT) AS b_sum
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   // ---------------- skew-salted join ----------------
 
@@ -2076,9 +2180,10 @@ object PipelineQueries {
       |SELECT w1, w2, c_pair,
       |       ln((CAST(c_pair AS DOUBLE) * n * n) /
       |          (CAST(m AS DOUBLE) * u1.c * u2.c)) AS pmi
-      |FROM bc, nt, nb
+      |FROM bc
       |JOIN uc u1 ON u1.w = bc.w1
       |JOIN uc u2 ON u2.w = bc.w2
+      |CROSS JOIN nt CROSS JOIN nb
       |WHERE c_pair >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
 
@@ -2183,6 +2288,60 @@ object PipelineQueries {
       |${pageRankIterCtes(5)}
       |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
 
+  // Dangling-mass redistribution: the DIRECTED customer→supplier
+  // graph (no reverse edges) leaves every supplier node dangling;
+  // redistributeDangling=true shares each round's damped dangling
+  // mass uniformly — the standard PageRank formulation. The oracle
+  // replays all 5 rounds including the per-round dangling sum on the
+  // same integer grid.
+  val gr2PageRankDangling: Q = (s, dir) => {
+    val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pipeline.Graph.pageRank(edges, iters = 5, redistributeDangling = true)
+      .orderBy("node")
+  }
+
+  private def pageRankDanglingIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+        |  SELECT COALESCE(SUM(r.rank), 0) AS dm
+        |  FROM r${k - 1} r JOIN dang ON dang.node = r.node),
+        |r$k AS MATERIALIZED (
+        |  SELECT nd.node AS node,
+        |         CAST((SELECT tp FROM t) + COALESCE(c.mass, 0)
+        |              + (85 * ((SELECT dm FROM d$k) // (SELECT cnt FROM n))) // 100
+        |           AS BIGINT) AS rank
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           SUM((85 * (r.rank // d.outdeg)) // 100) AS mass
+        |    FROM edges e
+        |    JOIN deg d ON e.src = d.src
+        |    JOIN r${k - 1} r ON r.node = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+
+  val gr2Sql: String =
+    s"""WITH edges AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |n AS (SELECT count(*) AS cnt FROM nodes),
+      |deg AS MATERIALIZED (
+      |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |dang AS MATERIALIZED (
+      |  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)),
+      |t AS MATERIALIZED (
+      |  SELECT ((1000000000000 * 15) // 100) // cnt AS tp FROM n),
+      |r0 AS MATERIALIZED (
+      |  SELECT node, 1000000000000 // cnt AS rank FROM nodes, n),
+      |${pageRankDanglingIterCtes(5)}
+      |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+
   // ---------------- snapshot diff ----------------
 
   // Corpus version regression: v2 is v1 with a deterministic delete
@@ -2223,7 +2382,8 @@ object PipelineQueries {
       |        md5(coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0))) AS fp
       |      FROM v2),
       |j AS (
-      |  SELECT coalesce(b.source, a.source) AS source,
+      |  SELECT CASE WHEN b.fp IS NOT NULL THEN b.source
+      |              ELSE a.source END AS source,
       |         CASE WHEN a.fp IS NULL THEN 'added'
       |              WHEN b.fp IS NULL THEN 'removed'
       |              WHEN a.fp = b.fp THEN 'unchanged'
@@ -2234,6 +2394,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "gr1_pagerank" -> gr1PageRank,
+    "gr2_pagerank_dangling" -> gr2PageRankDangling,
     "df1_snapshot_diff" -> df1SnapshotDiff,
     "tx12_token_entropy" -> tx12Entropy,
     "pr1_percentile_rank" -> pr1PercentileRank,
@@ -2279,6 +2440,7 @@ object PipelineQueries {
     "pk1_sequence_packing" -> pk1Pack,
     "qz1_embed_quantize" -> qz1Quantize,
     "mm2_resize_features" -> mm2ResizeFeatures,
+    "mm3_image_codec" -> mm3ImageCodec,
     "sj1_salted_join" -> sj1SaltedJoin,
     "hk1_hot_keys" -> hk1HotKeys,
     "pf4_z_outliers" -> pf4Outliers,
@@ -2287,6 +2449,7 @@ object PipelineQueries {
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
     "km1_cluster_profile" -> km1ClusterProfile,
     "pq1_pq_profile" -> pq1PqProfile,
+    "pq2_ivfadc_topk" -> pq2IvfAdcTopK,
     "tx1_text_quality" -> tx1Quality,
     "tx2_token_counts" -> tx2Tokens,
     "tx3_fingerprint" -> tx3Fingerprint,
@@ -2305,6 +2468,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "gr1_pagerank" -> gr1Sql,
+    "gr2_pagerank_dangling" -> gr2Sql,
     "df1_snapshot_diff" -> df1Sql,
     "tx12_token_entropy" -> tx12Sql,
     "pr1_percentile_rank" -> pr1Sql,
@@ -2366,11 +2530,13 @@ object PipelineQueries {
     "ss3_cosine_topk_ivf" -> ss3Sql,
     "km1_cluster_profile" -> km1Sql,
     "pq1_pq_profile" -> pq1Sql,
+    "pq2_ivfadc_topk" -> pq2Sql,
     "tx1_text_quality" -> tx1Sql,
     "tx2_token_counts" -> tx2Sql,
     "tx3_fingerprint" -> tx3Sql,
     "tx4_langid" -> tx4Sql,
     "tx5_pii_redact" -> tx5Sql,
     "mm1_media_features" -> mm1Sql,
+    "mm3_image_codec" -> mm3Sql,
   )
 }

@@ -38,9 +38,14 @@ object Graph {
     *   rank'(v) = teleport + Σ_{(u,v) ∈ E} (dampNum * (rank(u) DIV outdeg(u))) DIV dampDen
     *
     * with `teleport = (scale * (dampDen - dampNum) DIV dampDen) DIV n`.
-    * Mass at dangling nodes (no out-edges) leaks rather than being
-    * redistributed — the simple formulation; ranks remain a valid
-    * relative ordering, which is what a quality prior consumes.
+    * Mass at dangling nodes (no out-edges) leaks by default — the
+    * simple formulation; ranks remain a valid relative ordering,
+    * which is what a quality prior consumes. Pass
+    * `redistributeDangling = true` for the standard formulation:
+    * each round adds (dampNum·(D DIV n)) DIV dampDen to every node,
+    * D = the round's dangling mass, read through a one-row broadcast
+    * so the round stays one lazy plan (gr2 oracle-replays it; on a
+    * dangling-free graph the flag is a no-op, pinned in spec).
     * Floor-division remainders also leak (bounded by outdeg(u) per
     * node per round, i.e. ~E ulps of the 10^12 grid per round).
     *
@@ -64,10 +69,11 @@ object Graph {
       dampNum: Long = 85L, dampDen: Long = 100L,
       scale: Long = 1000000000000L,
       checkpointEvery: Int = 3,
-      reliableCheckpoints: Boolean = false): DataFrame = {
+      reliableCheckpoints: Boolean = false,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank needs >= 1 iteration, got $iters")
     val st = setup(edges, srcCol, dstCol, dampNum, dampDen, scale,
-      reliableCheckpoints)
+      reliableCheckpoints, redistributeDangling)
     var ranks = st.ranks0
     for (i <- 1 to iters) {
       ranks = st.round(ranks)
@@ -110,6 +116,26 @@ object Graph {
       scale: Long = 1000000000000L,
       reliableCheckpoints: Boolean = false,
       onRound: (Int, Long) => Unit = (_, _) => ()): (DataFrame, PrStats) = {
+    val (ranks, stats) = pageRankWithStats(edges, srcCol, dstCol, tolGrid,
+      maxIters, dampNum, dampDen, scale, reliableCheckpoints, onRound)
+    if (!stats.converged) throw new IllegalStateException(
+      s"pageRankUntilStable did not reach tolGrid=$tolGrid in " +
+        s"$maxIters rounds (last max delta ${stats.maxDelta}) — raise " +
+        "maxIters or tolGrid")
+    (ranks, stats)
+  }
+
+  /** As [[pageRankUntilStable]] but returns `converged = false` in
+    * [[PrStats]] instead of throwing when `maxIters` rounds don't
+    * reach the tolerance — the caller inspects the outcome, same
+    * contract as [[Cluster.connectedComponentsWithStats]].
+    */
+  def pageRankWithStats(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", tolGrid: Long = 1000000L, maxIters: Int = 100,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      reliableCheckpoints: Boolean = false,
+      onRound: (Int, Long) => Unit = (_, _) => ()): (DataFrame, PrStats) = {
     require(tolGrid >= 0, s"tolGrid must be >= 0, got $tolGrid")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val st = setup(edges, srcCol, dstCol, dampNum, dampDen, scale,
@@ -135,11 +161,7 @@ object Graph {
       round += 1
       onRound(round, delta)
     }
-    if (delta > tolGrid) throw new IllegalStateException(
-      s"pageRankUntilStable did not reach tolGrid=$tolGrid in " +
-        s"$maxIters rounds (last max delta $delta) — raise maxIters " +
-        "or tolGrid")
-    (ranks, PrStats(round, converged = true, maxDelta = delta))
+    (ranks, PrStats(round, converged = delta <= tolGrid, maxDelta = delta))
   }
 
   /** Shared setup: deduped long-typed edges joined with out-degrees,
@@ -154,7 +176,8 @@ object Graph {
 
   private def setup(edges: DataFrame, srcCol: String, dstCol: String,
       dampNum: Long, dampDen: Long, scale: Long,
-      reliableCheckpoints: Boolean): Setup = {
+      reliableCheckpoints: Boolean,
+      redistributeDangling: Boolean = false): Setup = {
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
     // scale * dampNum must stay in Long for the per-edge contribution
@@ -180,15 +203,35 @@ object Graph {
     require(n > 0, "pageRank on an empty edge list")
     val teleport = (scale * (dampDen - dampNum) / dampDen) / n
 
+    // Dangling redistribution (the standard formulation the base
+    // pageRank doc documents as a leak): the static dangling-node set
+    // is nodes minus edge sources; each round their damped mass is
+    // shared uniformly — (dampNum·(D DIV n)) DIV dampDen added to
+    // every node, D read through a ONE-ROW broadcast cross join so
+    // the round stays a single lazy plan (no extra driver action).
+    lazy val dangling = truncate(nodes.join(
+      edgesWithDeg.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti"))
+
     def round(ranks: DataFrame): DataFrame = {
       val inMass = edgesWithDeg
         .join(ranks, edgesWithDeg("src") === ranks("node"))
         .select(col("dst"),
           expr(s"($dampNum * (rank DIV outdeg)) DIV $dampDen").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("in_mass"))
-      nodes.join(inMass, nodes("node") === inMass("dst"), "left")
+      val base = nodes.join(inMass, nodes("node") === inMass("dst"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      if (!redistributeDangling) base
+      else {
+        val dm = ranks.join(dangling, Seq("node"))
+          .agg(coalesce(sum("rank"), lit(0L)).as("__dm"))
+        base.crossJoin(org.apache.spark.sql.functions.broadcast(dm))
+          .select(col("node"),
+            (col("rank") +
+              expr(s"($dampNum * (__dm DIV ${n}L)) DIV $dampDen"))
+              .as("rank"))
+      }
     }
     Setup(nodes.select(col("node"), lit(scale / n).as("rank")),
       round, truncate)

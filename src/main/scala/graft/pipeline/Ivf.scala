@@ -48,29 +48,54 @@ object Ivf {
   def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
     nearestCellStruct(vec, centroids).getField("j")
 
+  // ------------- exact ×10⁶-per-coordinate integer grid -------------
+  //
+  // Rounding the *final* double distance to a grid only fixes
+  // cross-partition fold order; it does not make the per-row value
+  // cross-engine stable (a d·10⁹ within an ulp of a rounding boundary
+  // flips between Spark's lambda fold and DuckDB's list_dot_product —
+  // the r9 km1/pq1 hash reds). The exact discipline (same as the
+  // integer PageRank in Graph.scala) quantizes each COORDINATE first:
+  // q = floor(x·10⁶ + 0.5) is one IEEE multiply + add + floor on the
+  // same double in every engine, bit-identical. Every downstream term
+  // of d = Σq² − 2Σ(q·qc) + Σqc² is then an integer-valued double:
+  // with 64-dim unit-ish data the largest intermediate is ~10¹⁴ ≪ 2⁵³,
+  // so every add/multiply is exact in ANY fold order and d is the
+  // same integer in Spark, on the driver, and in DuckDB.
+
+  /** floor(x·10⁶ + 0.5) per coordinate (floor+0.5, not round — no
+    * half-even ambiguity, mirroring Quantize's int8 scheme).
+    */
+  private[graft] def gridVec(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1e6d) + lit(0.5d)))
+
+  /** The same grid applied to a driver-held centroid. */
+  private[graft] def gridCentroid(c: Array[Double]): Array[Double] =
+    c.map(v => math.floor(v * 1e6 + 0.5))
+
   /** Per-cell cluster profile over a fixed quantizer: member count,
-    * representative (minimum) id, and the exact sum of squared-L2
-    * distances to the assigned centroid on a ×10⁹ integer grid —
-    * k-means diagnostics (cell balance, within-cluster scatter) as
-    * ONE map-side assignment plus ONE partial-aggregated groupBy.
+    * representative (minimum) id, and the EXACT sum of squared-L2
+    * distances to the assigned centroid on the ×10⁶-per-coordinate
+    * integer grid — k-means diagnostics (cell balance, within-cluster
+    * scatter) as ONE map-side assignment plus ONE partial-aggregated
+    * groupBy.
     *
-    * The distance sum is carried as DECIMAL(38,0) of round(d·10⁹):
-    * a double sum would be fold-order-dependent across partitions
-    * (unreproducible run to run, let alone by an oracle); the scaled
-    * integer grid is associative-exact, the same trick the
-    * correlation profile uses. Result size = centroid count —
+    * Both the argmin and the scatter sum run on the integer grid, so
+    * the whole result is associative-exact AND cross-engine exact
+    * (`sum_d12` = Σ d in units of 10⁻¹² of the squared distance,
+    * carried as DECIMAL(38,0)). Result size = centroid count —
     * driver-tiny at any corpus size.
     */
   def clusterProfile(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
-    val a = nearestCellStruct(col(vecCol), centroids)
-    corpus
+    val base = corpus.withColumn("__qv", gridVec(col(vecCol)))
+    val a = nearestCellStruct(col("__qv"), centroids.map(gridCentroid))
+    base
       .select(col(idCol), a.getField("j").as("cell"),
         a.getField("d").as("__d"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("min_id"),
-        sum(round(col("__d") * lit(1e9)).cast("decimal(38,0)"))
-          .as("sum_d9"))
+        sum(col("__d").cast("decimal(38,0)")).as("sum_d12"))
   }
 
   /** `nprobe` nearest centroid ids as an array column. */

@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * initialization per partition (the Scala analogue of `mapInPandas`
   * batches).
   *
-  * The decode step itself is STUBBED — this container has no
-  * image/audio codecs — with a deterministic fake that reads real
-  * bytes and emits a fixed-shape feature vector. The Spark-side
-  * plumbing (schema, partitioning, batch shape, typed Datasets) is
-  * real and tested; swap `decodeBatch` for a JNI/FFI codec in
-  * production.
+  * Two codec tiers:
+  *   - IMAGES are REAL: `syntheticPngBatch` / `decodeImageBatch` /
+  *     `stripMetadataBatch` run the JDK's own PNG/JPEG codecs
+  *     (javax.imageio — offline-safe, ships with the JVM) inside the
+  *     batch shape; the mm3 gate entry oracle-checks a full
+  *     encode→decode round trip at the pixel level.
+  *   - audio/video decode stays STUBBED (`decodeBatch` — no such
+  *     codecs in the JDK) with a deterministic fake that reads real
+  *     bytes and emits a fixed-shape feature vector; swap it for a
+  *     JNI/FFI codec in production. The Spark-side plumbing (schema,
+  *     partitioning, batch shape, typed Datasets) is real and tested
+  *     either way.
   */
 object Multimodal {
 
@@ -124,6 +130,110 @@ object Multimodal {
     import spark.implicits._
     media.repartition(partitions, col("media_id"))
       .mapPartitions(rows => decodeBatch(resizeBatch(width, height)(rows)))
+  }
+
+  // ---------------- real image codec (javax.imageio) ----------------
+  //
+  // The JDK ships PNG/JPEG codecs (javax.imageio), so the decode
+  // stage does NOT have to stay a stub: the functions below run a
+  // REAL encode→decode round trip inside the same mapPartitions batch
+  // shape. The synthetic test-card keeps the result value-level
+  // oracle-able: pixel (x,y) of image `id` is a closed-form function
+  // of (id, x, y), PNG is lossless, so the decoded channel sums are
+  // replayable by pure SQL arithmetic — proving a real codec ran, not
+  // trusting it.
+
+  final case class ImageRow(media_id: Long, payload: Array[Byte])
+
+  final case class ImageStats(media_id: Long, width: Int, height: Int,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Deterministic RGB test-card for image `id`:
+    * r=(id·31+x·7+y·13)%256, g=(id·17+x·11+y·3)%256,
+    * b=(id·29+x·5+y·19)%256 — PNG-encoded with the JDK codec, one
+    * batch per partition (codec instances amortize like a real
+    * model/codec handle would).
+    */
+  def syntheticPngBatch(width: Int, height: Int)(
+      ids: Iterator[Long]): Iterator[ImageRow] = {
+    ids.map { id =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+          val b = ((id * 29 + x * 5 + y * 19) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      ImageRow(id, bos.toByteArray)
+    }
+  }
+
+  /** REAL decode: `ImageIO.read` parses the payload bytes (PNG/JPEG/
+    * BMP/GIF — whatever the JDK registry handles) and the stats are
+    * computed from the decoded raster, not the bytes. Throws on an
+    * undecodable payload rather than emitting garbage rows.
+    */
+  def decodeImageBatch(rows: Iterator[ImageRow]): Iterator[ImageStats] = {
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"media ${r.media_id}: undecodable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          rs += (p >> 16) & 0xff
+          gs += (p >> 8) & 0xff
+          bs += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(r.media_id, w, h, rs, gs, bs)
+    }
+  }
+
+  /** Decode → re-encode through the codec: only the raster survives,
+    * so every ancillary metadata chunk / EXIF segment (GPS
+    * coordinates, device serials — the privacy risk in scraped
+    * images) is stripped. Pixels are unchanged (PNG in, PNG out,
+    * both lossless); MultimodalSpec pins both properties.
+    */
+  def stripMetadataBatch(rows: Iterator[ImageRow]): Iterator[ImageRow] =
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"media ${r.media_id}: undecodable image payload")
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      r.copy(payload = bos.toByteArray)
+    }
+
+  /** ids → PNG encode → decode → per-image raster stats, each stage a
+    * batch inside ONE mapPartitions pass (encode and decode amortize
+    * per partition; nothing but the id list and the fixed-size stats
+    * rows ever shuffle — payload bytes live only inside the pass).
+    */
+  def imagePixelStats(spark: SparkSession, ids: DataFrame, idCol: String,
+      width: Int, height: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(partitions)
+      .mapPartitions(it => decodeImageBatch(syntheticPngBatch(width, height)(it)))
+      .toDF()
   }
 
   /** Build a media Dataset from the documents table, treating the

@@ -62,17 +62,26 @@ object Quantize {
     * each subvector materialized ONCE per row (referencing a slice
     * from inside the k-centroid struct-min would re-slice per
     * centroid). Shared by encode and profile so they cannot drift.
+    *
+    * Assignment runs on the ×10⁶-per-coordinate integer grid (see
+    * Ivf.gridVec): the distance is an integer-valued double, so both
+    * the argmin (codes) and the profile's scatter sum are
+    * cross-engine exact — the oracle replays the same arithmetic
+    * bit-for-bit. PipelineSpec pins that the grid argmin picks the
+    * same codes as the double-distance argmin on the fixture.
     */
   private def withSubAssignments(df: DataFrame, vecCol: String,
       codebooks: Array[Array[Array[Double]]])(
       finish: (DataFrame, Seq[Column]) => DataFrame): DataFrame = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    val sliced = (0 until m).foldLeft(df) { (acc, j) =>
-      acc.withColumn(s"__sv$j", slice(col(vecCol), j * sub + 1, sub))
+    val based = df.withColumn("__qv", Ivf.gridVec(col(vecCol)))
+    val sliced = (0 until m).foldLeft(based) { (acc, j) =>
+      acc.withColumn(s"__sv$j", slice(col("__qv"), j * sub + 1, sub))
     }
     val assigns = (0 until m).map(j =>
-      Ivf.nearestCellStruct(col(s"__sv$j"), codebooks(j)))
+      Ivf.nearestCellStruct(col(s"__sv$j"),
+        codebooks(j).map(Ivf.gridCentroid)))
     finish(sliced, assigns)
   }
 
@@ -85,12 +94,13 @@ object Quantize {
     withSubAssignments(df, vecCol, codebooks) { (sliced, assigns) =>
       sliced.withColumn("codes",
           array(assigns.map(_.getField("j")): _*))
-        .drop(codebooks.indices.map(j => s"__sv$j"): _*)
+        .drop("__qv" +: codebooks.indices.map(j => s"__sv$j"): _*)
     }
 
   /** Per-(subspace, code) codebook profile: member count and the
-    * exact ×10⁹-grid scatter (same associative-exact trick as
-    * `Ivf.clusterProfile`) — the balance/distortion diagnostic run
+    * EXACT integer-grid scatter (same ×10⁶-per-coordinate discipline
+    * as `Ivf.clusterProfile`; `sum_d12` is in units of 10⁻¹² of the
+    * squared distance) — the balance/distortion diagnostic run
     * after building a codebook. Result size = m × k rows.
     */
   def pqProfile(df: DataFrame, idCol: String, vecCol: String,
@@ -103,8 +113,7 @@ object Quantize {
       sliced.select(explode(entries).as("e"))
         .groupBy(col("e.subspace").as("subspace"), col("e.code").as("code"))
         .agg(count(lit(1)).as("n_vecs"),
-          sum(round(col("e.d") * lit(1e9)).cast("decimal(38,0)"))
-            .as("sum_d9"))
+          sum(col("e.d").cast("decimal(38,0)")).as("sum_d12"))
     }
 
   /** ADC (asymmetric distance) top-k over PQ codes: every corpus row
@@ -141,6 +150,67 @@ object Quantize {
     Similarity.topKPerQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"),
         (-col("cosine")).as("adc_dist"), col("rank"))
+  }
+
+  /** IVFADC (Jégou et al., TPAMI 2011, §IV): the coarse quantizer
+    * prunes the corpus to `nprobe` probed cells per query, and ADC
+    * reranks INSIDE the probed cells from PQ codes alone. This is the
+    * composition [[pqAdcTopK]] deliberately skips: flat ADC pays a
+    * full-corpus code scan per query (a broadcast NLJ), the right
+    * baseline but not the billion-scale layout — here the scan
+    * becomes an EQUI-JOIN on cell id, so a query touches ~nprobe/nlist
+    * of the corpus and the join parallelizes by cell like any other
+    * key join. Corpus-side storage is (id, cell, codes): 4+4m bytes a
+    * row, never the vectors.
+    *
+    * Every distance (coarse assignment, probe order, ADC) runs on the
+    * ×10⁶-per-coordinate integer grid, so cells, codes, candidate
+    * sets AND ranks are cross-engine exact — the oracle replays the
+    * whole index from SQL. `adc_d12` is the integer squared ADC
+    * distance in 10⁻¹² units (long); ranks ascend by (adc_d12,
+    * neighbor_id). Per-query top-k is the same partial aggregation
+    * as the brute path (≤ k rows per query per partition shuffle).
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], k: Int,
+      nprobe: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val gcents = centroids.map(Ivf.gridCentroid)
+    val gcbs = codebooks.map(_.map(Ivf.gridCentroid))
+    // corpus index: one map pass assigns the coarse cell + m codes
+    val enc = pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol,
+      codebooks)
+    val cb = enc.withColumn("__gv", Ivf.gridVec(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"),
+        Ivf.nearestCellStruct(col("__gv"), gcents).getField("j").as("cell"),
+        col("codes"))
+    // queries: gridded subvectors ride along the broadcast; probed
+    // cells explode into (query, cell) rows for the equi-join
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("__gq", Ivf.gridVec(col("qvec")))
+    val qs = (0 until m).foldLeft(q0) { (acc, j) =>
+        acc.withColumn(s"__gq$j", slice(col("__gq"), j * sub + 1, sub))
+      }
+      .withColumn("cell", explode(Ivf.probeCells(col("__gq"), gcents, nprobe)))
+      .drop("qvec", "__gq")
+    val subDists = (0 until m).map { j =>
+      val cbLit = array(gcbs(j).toIndexedSeq.map(cvec =>
+        array(cvec.toIndexedSeq.map(lit): _*)): _*)
+      val picked = element_at(cbLit, element_at(col("codes"), j + 1) + 1)
+      aggregate(zip_with(col(s"__gq$j"), picked,
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
+    }
+    // each neighbor lives in exactly ONE cell and probed cells are
+    // distinct, so (query, neighbor) appears at most once — no dedup
+    val scored = broadcast(qs).join(cb, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-subDists.reduce(_ + _)).as("cosine"))
+    Similarity.topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cosine")).cast("long").as("adc_d12"), col("rank"))
   }
 
   /** Quantize→dequantize fidelity: cosine between the original and

@@ -74,8 +74,13 @@ object Snapshot {
         fingerprint(fpCols).as(s"fp_$suffix"): _*)
     slim(v1, "v1").join(slim(v2, "v2"), keyCols, "full_outer")
       .select(
+        // group side picked by row PRESENCE (fp_v2 is non-null iff
+        // the key exists in v2), not value-level coalesce — a
+        // surviving row whose v2 group is legitimately NULL must
+        // report NULL, not fall back to its v1 group
         groupCols.map(c =>
-          coalesce(col(s"${c}_v2"), col(s"${c}_v1")).as(c)) :+
+          when(col("fp_v2").isNotNull, col(s"${c}_v2"))
+            .otherwise(col(s"${c}_v1")).as(c)) :+
           when(col("fp_v1").isNull, lit("added"))
             .when(col("fp_v2").isNull, lit("removed"))
             .when(col("fp_v1") === col("fp_v2"), lit("unchanged"))

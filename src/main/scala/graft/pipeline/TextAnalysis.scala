@@ -339,30 +339,6 @@ object TextAnalysis {
       best.getField("score").cast("long").as("lang_score"))
   }
 
-  /** Token-distribution Shannon entropy per document (nats):
-    * H = ln(n) − (Σ c·ln c)/n over token counts c — the
-    * lexical-diversity quality signal (near-0 entropy = a document
-    * that repeats one token; boilerplate and keyword-stuffed spam
-    * score far below natural prose of the same length). Documents
-    * with no tokens are absent from the result (H is undefined).
-    *
-    * Determinism: the Σ c·ln c fold runs over the per-document counts
-    * SORTED BY TOKEN (sort_array of (token, count) structs, then a
-    * sequential `aggregate` fold) — double addition is
-    * order-sensitive in the last ulps, and collect_list order is
-    * partition-dependent, so folding unsorted would make the entropy
-    * differ between runs. Sorted-sequential makes it bit-identical on
-    * any cluster, and replayable by an oracle folding the same order
-    * up to the engines' ln implementations (measured ≤1 ulp apart
-    * between the JVM and DuckDB — inside the gate's 6-decimal
-    * rounding, and irrelevant to the within-Spark determinism).
-    *
-    * Scale shape: one (doc, token) partial aggregation (a hot
-    * token's occurrences collapse map-side), then one per-doc
-    * aggregation whose state is the document's DISTINCT token counts
-    * — bounded by vocabulary, not document length. Map-only before
-    * the first exchange; no window, no join.
-    */
   /** PMI collocations: corpus-level pointwise mutual information of
     * adjacent token pairs — ln(p(w1,w2) / (p(w1)·p(w2))) — the
     * phrase-detection signal (word2vec's word2phrase pass) and a
@@ -413,6 +389,30 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Token-distribution Shannon entropy per document (nats):
+    * H = ln(n) − (Σ c·ln c)/n over token counts c — the
+    * lexical-diversity quality signal (near-0 entropy = a document
+    * that repeats one token; boilerplate and keyword-stuffed spam
+    * score far below natural prose of the same length). Documents
+    * with no tokens are absent from the result (H is undefined).
+    *
+    * Determinism: the Σ c·ln c fold runs over the per-document counts
+    * SORTED BY TOKEN (sort_array of (token, count) structs, then a
+    * sequential `aggregate` fold) — double addition is
+    * order-sensitive in the last ulps, and collect_list order is
+    * partition-dependent, so folding unsorted would make the entropy
+    * differ between runs. Sorted-sequential makes it bit-identical on
+    * any cluster, and replayable by an oracle folding the same order
+    * up to the engines' ln implementations (measured ≤1 ulp apart
+    * between the JVM and DuckDB — inside the gate's 6-decimal
+    * rounding, and irrelevant to the within-Spark determinism).
+    *
+    * Scale shape: one (doc, token) partial aggregation (a hot
+    * token's occurrences collapse map-side), then one per-doc
+    * aggregation whose state is the document's DISTINCT token counts
+    * — bounded by vocabulary, not document length. Map-only before
+    * the first exchange; no window, no join.
+    */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val counts = Dedup.spread(df)

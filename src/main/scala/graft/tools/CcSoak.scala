@@ -57,7 +57,7 @@ object CcSoak {
       s"""{"rounds":${stats.rounds},"converged":${stats.converged},""" +
         s""""n_pairs":$nPairs,"n_labeled":$nLabeled,""" +
         s""""largest_cluster":$largest,"giant_members":$giantMembers,""" +
-        f""""wall_sec":$wall%.1f}""")
+        s""""wall_sec":${Fmt.fmt("%.1f", wall)}}""")
     spark.stop()
   }
 }

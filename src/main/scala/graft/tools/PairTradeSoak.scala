@@ -95,12 +95,12 @@ object PairTradeSoak {
 
     println(
       s"""{"n_vecs":$nVecs,"dims":$dims,""" +
-        f""""cosine_carry_sec":$cc%.2f,"cosine_joinback_sec":$cj%.2f,""" +
+        s""""cosine_carry_sec":${Fmt.fmt("%.2f", cc)},"cosine_joinback_sec":${Fmt.fmt("%.2f", cj)},""" +
         s""""cosine_pairs":$ccN,""" +
-        f""""minhash_carry_sec":$mc%.2f,"minhash_joinback_sec":$mj%.2f,""" +
+        s""""minhash_carry_sec":${Fmt.fmt("%.2f", mc)},"minhash_joinback_sec":${Fmt.fmt("%.2f", mj)},""" +
         s""""minhash_pairs":$mcN,""" +
         s""""derived_bits":$derivedBits,""" +
-        f""""cosine_derived_sec":$cd%.2f,"cosine_derived_pairs":$cdN}""")
+        s""""cosine_derived_sec":${Fmt.fmt("%.2f", cd)},"cosine_derived_pairs":$cdN}""")
     spark.stop()
   }
 }

@@ -49,7 +49,7 @@ object PrSoak {
       onRound = { (r, d) =>
         val now = System.nanoTime()
         System.err.println(
-          s"PRSOAK round=$r delta=$d wall=${"%.2f".format((now - last) / 1e9)}s")
+          s"PRSOAK round=$r delta=$d wall=${Fmt.fmt("%.2f", (now - last) / 1e9)}s")
         last = now
       })
     val nNodes = ranks.count()
@@ -57,7 +57,7 @@ object PrSoak {
     val wall = (System.nanoTime() - t0) / 1e9
     println(s"""{"n_nodes":$nNodes,"rounds":${stats.rounds},""" +
       s""""converged":${stats.converged},"max_delta":${stats.maxDelta},""" +
-      s""""top_rank":$topRank,"wall_sec":${"%.1f".format(wall)}}""")
+      s""""top_rank":$topRank,"wall_sec":${Fmt.fmt("%.1f", wall)}}""")
     spark.stop()
   }
 }

@@ -40,14 +40,14 @@ object Scratch {
           onRound = { (r, conv) =>
             val now = System.nanoTime()
             System.err.println(f"SCRATCH[cc] r=$r conv=$conv " +
-              f"wall=${(now - last) / 1e9}%.2fs")
+              "wall=" + Fmt.fmt("%.2f", (now - last) / 1e9) + "s")
             last = now
           })
       val nLab = labels.count()
       val nClusters = labels.select("cluster_id").distinct().count()
       System.err.println(f"SCRATCH[cc] n=$n rounds=${stats.rounds} " +
         f"converged=${stats.converged} labeled=$nLab clusters=$nClusters " +
-        f"total=${(System.nanoTime() - t0) / 1e9}%.1fs")
+        "total=" + Fmt.fmt("%.1f", (System.nanoTime() - t0) / 1e9) + "s")
       spark.stop()
       return
     }
@@ -108,7 +108,7 @@ object Scratch {
       val nCons = ranks.rdd.toDebugString.linesIterator.size
       val now = System.nanoTime()
       System.err.println(f"SCRATCH[$variant] r=$r delta=$d cons=$nCons " +
-        f"plan=$planLen wall=${(now - last) / 1e9}%.2fs")
+        f"plan=$planLen wall=" + Fmt.fmt("%.2f", (now - last) / 1e9) + "s")
       last = now
     }
     spark.stop()

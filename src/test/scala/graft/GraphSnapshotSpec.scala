@@ -63,6 +63,32 @@ class GraphSnapshotSpec extends SparkTestBase {
     assert(got.values.sum <= 1000000000000L) // floor + dangling leak only
   }
 
+  test("pageRank: dangling redistribution — hand-computed round, conservation, no-op without dangling") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], iters: Int, redist: Boolean) =
+      Graph.pageRank(edges.toDF("src", "dst"), iters = iters,
+          redistributeDangling = redist)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a→b, b dangling. n=2, tp=75e9, r0=5e11 each.
+    // round 1 leak-mode:    a=tp, b=tp+(85·5e11)//100=tp+4.25e11
+    // round 1 redistribute: D=r0(b)=5e11, share=(85·(D//2))//100=2.125e11
+    val leak = run(Seq((1L, 2L)), iters = 1, redist = false)
+    assert(leak == Map(1L -> 75000000000L, 2L -> 500000000000L))
+    val re = run(Seq((1L, 2L)), iters = 1, redist = true)
+    assert(re == Map(1L -> 287500000000L, 2L -> 712500000000L))
+    // exact conservation in this round (no floor loss at these values)
+    assert(re.values.sum == 1000000000000L)
+    // over 5 rounds the redistributed total stays within floor-loss
+    // of scale while leak-mode bleeds the dangling mass
+    val re5 = run(Seq((1L, 2L)), iters = 5, redist = true)
+    val leak5 = run(Seq((1L, 2L)), iters = 5, redist = false)
+    assert(re5.values.sum > leak5.values.sum)
+    assert(re5.values.sum <= 1000000000000L)
+    // on a dangling-free graph the flag is a no-op (D = 0 each round)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(run(cyc, 3, redist = true) == run(cyc, 3, redist = false))
+  }
+
   test("pageRank: multigraph edges collapse (duplicates don't change ranks)") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L))
     assert(runPageRank(e ++ e ++ e, iters = 3) == runPageRank(e, iters = 3))

@@ -1346,6 +1346,99 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("image codec: real PNG round trip, dims, metadata/EXIF strip") {
+    import graft.pipeline.Multimodal
+    val img = Multimodal.syntheticPngBatch(16, 16)(Iterator(7L)).next()
+    // the payload really is an encoded PNG (magic bytes), not a raster
+    assert((img.payload(1) & 0xff) == 'P'.toInt &&
+      (img.payload(2) & 0xff) == 'N'.toInt)
+    val st = Multimodal.decodeImageBatch(Iterator(img)).next()
+    assert(st.width == 16 && st.height == 16)
+    def sums(id: Long): (Long, Long, Long) = {
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        rs += (id * 31 + x * 7 + y * 13) % 256
+        gs += (id * 17 + x * 11 + y * 3) % 256
+        bs += (id * 29 + x * 5 + y * 19) % 256
+      }
+      (rs, gs, bs)
+    }
+    assert((st.r_sum, st.g_sum, st.b_sum) == sums(7L))
+    // inject a tEXt metadata chunk (PNG's EXIF analogue) after IHDR
+    // with a correct CRC — a valid PNG carrying a secret
+    val marker = "SecretGPS=51.5,-0.1".getBytes("US-ASCII")
+    val data = "Comment".getBytes("US-ASCII") ++ Array[Byte](0) ++ marker
+    val typ = "tEXt".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ); crc.update(data)
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ).put(data).putInt(crc.getValue.toInt)
+    val p = img.payload
+    val tainted = p.slice(0, 33) ++ bb.array() ++ p.slice(33, p.length)
+    def hasMarker(hay: Array[Byte]): Boolean =
+      hay.indices.exists(i => i + marker.length <= hay.length &&
+        marker.indices.forall(j => hay(i + j) == marker(j)))
+    assert(hasMarker(tainted))
+    // the tainted PNG still decodes to the same raster
+    val stT = Multimodal.decodeImageBatch(
+      Iterator(Multimodal.ImageRow(7L, tainted))).next()
+    assert(stT == st)
+    // strip = decode→re-encode: metadata gone, raster intact
+    val clean = Multimodal.stripMetadataBatch(
+      Iterator(Multimodal.ImageRow(7L, tainted))).next()
+    assert(!hasMarker(clean.payload))
+    assert(Multimodal.decodeImageBatch(Iterator(clean)).next() == st)
+    // distributed path matches the driver-side closed form
+    val ids = spark.range(0, 5).toDF("doc_id")
+    val rows = Multimodal.imagePixelStats(spark, ids, "doc_id", 16, 16, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    (0L until 5L).foreach { id =>
+      val (rs, gs, bs) = sums(id)
+      assert(rows(id) == ((16, 16, rs, gs, bs)), s"id $id")
+    }
+  }
+
+  test("IVFADC: cell equi-join (no NLJ), planted copies win, full probe covers the corpus") {
+    import graft.pipeline.{Ivf, Quantize}
+    val e = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val centroids = Ivf.staticCentroids(e, "vec_id", "embedding", nlist = 16)
+    val cbs = Quantize.pqCodebooks(e, "vec_id", "embedding", m = 4, k = 16)
+    val queries = e.filter(col("vec_id") < 5)
+    val top = Quantize.ivfAdcTopK(queries, e, "vec_id", "embedding",
+      centroids, cbs, k = 10, nprobe = 6)
+    // plan pin: candidate generation is an equi-join on cell id — no
+    // broadcast nested-loop (the flat-ADC per-query full scan this
+    // composition exists to kill)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(top.count() > 0)
+    // planted exact copies share the query's grid vector → same cell
+    // (the query's own first probe) and same codes → the rank-1 hit
+    // carries the copy's codes (ADC distance is a function of codes
+    // alone, so a code-sharing vector may legitimately tie)
+    val copies = queries
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val top1 = Quantize.ivfAdcTopK(queries, e.unionByName(copies),
+      "vec_id", "embedding", centroids, cbs, k = 3, nprobe = 6)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val enc = Quantize.pqEncode(e.unionByName(copies), "embedding", cbs)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0L until 5L).foreach { q =>
+      assert(enc(top1(q)) == enc(q + 1000000L),
+        s"query $q: top-1 ${top1(q)} codes ${enc(top1(q))}")
+    }
+    // probing ALL cells makes the candidate set the whole corpus —
+    // the IVF prune degrades gracefully to the flat scan's coverage
+    val full = Quantize.ivfAdcTopK(queries, e, "vec_id", "embedding",
+      centroids, cbs, k = 10, nprobe = 16)
+    assert(full.count() == 5 * 10)
+  }
+
   test("contaminatedTrainDocs flags the planted leak and honors minHits") {
     import spark.implicits._
     val evalSet = Seq(
@@ -1387,9 +1480,22 @@ class PipelineSpec extends SparkTestBase {
     val got = prof.select("cell", "n_vecs")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == raw)
+    // the argmin-tie pin for the r10 integer-grid distance: the
+    // ×10⁶-grid assignment the profile uses picks the SAME cell as
+    // the double-distance assignment for every vector (cells/codes
+    // unchanged by the exactness fix)
+    val gridCell = e.withColumn("__qv",
+        graft.pipeline.Ivf.gridVec(col("embedding")))
+      .select(col("vec_id"), graft.pipeline.Ivf.nearestCell(
+        col("__qv"), centroids.map(graft.pipeline.Ivf.gridCentroid))
+        .as("gcell"))
+    val dblCell = e.select(col("vec_id"), graft.pipeline.Ivf.nearestCell(
+      col("embedding"), centroids).as("dcell"))
+    assert(gridCell.join(dblCell, "vec_id")
+      .filter(col("gcell") =!= col("dcell")).count() == 0)
     // scatter is non-negative and zero only if a cell's sole member
     // IS its centroid
-    assert(prof.filter(col("sum_d9") < 0).count() == 0)
+    assert(prof.filter(col("sum_d12") < 0).count() == 0)
     prof.unpersist(false)
   }
 
