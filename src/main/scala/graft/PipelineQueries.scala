@@ -136,8 +136,23 @@ object PipelineQueries {
     * totals stay comparable), each documenting a production path
     * whose hash family the oracle cannot replay.
     */
+  // Production-path IVFADC twin: the coarse quantizer is Lloyd-trained
+  // (quality path) instead of the gate's oracle-replayable static
+  // pick — timed under `extras` so the training cost is visible
+  // without polluting gate-to-gate totals.
+  private val pq2xTrainedIvfAdc: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val centroids = pipeline.Ivf.trainCentroids(e, "vec_id", "embedding",
+      k = 16)
+    val cbs = pipeline.Quantize.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 16)
+    pipeline.Quantize.ivfAdcTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", centroids, cbs, k = 10, nprobe = 6)
+  }
+
   private[graft] val benchExtras: Map[String, Q] = Map(
     "dd2x_minhash_prod_hash" -> dd2xProdMinhash,
+    "pq2x_ivfadc_trained" -> pq2xTrainedIvfAdc,
   )
 
   /** Shared oracle-SQL fragment: portable MinHash signatures, LSH
