@@ -28,6 +28,36 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    if (variant == "gr2") {
+      // Dangling-redistribution double-reference probe: with
+      // redistributeDangling the round function reads `ranks` TWICE
+      // (in-mass join + dangling sum), so the lazy plan doubles per
+      // round between checkpoints (bounded 2^checkpointEvery). This
+      // measures whether truncation + exchange reuse contain it:
+      // wall and plan size must stay ~linear in iters for both modes.
+      val dir = if (args.length >= 2) args(1) else "/root/testdata/sf0.1"
+      val ord = graft.Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val li = graft.Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+      val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      for (re <- Seq(false, true); iters <- Seq(5, 10, 20)) {
+        val t0 = System.nanoTime()
+        val out = graft.pipeline.Graph.pageRank(edges, iters = iters,
+          redistributeDangling = re)
+        val planLen = out.queryExecution.optimizedPlan.toString.length
+        val n = out.count()
+        System.err.println(s"SCRATCH[gr2] redist=$re iters=$iters n=$n " +
+          s"plan=$planLen wall=" +
+          Fmt.fmt("%.2f", (System.nanoTime() - t0) / 1e9) + "s")
+      }
+      spark.stop()
+      return
+    }
+
     if (variant == "cc") {
       val log2n = if (args.length >= 2) args(1).toInt else 19
       val n = 1L << log2n
