@@ -2407,7 +2407,163 @@ object PipelineQueries {
       |SELECT source, status, count(*) AS n_rows
       |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
 
+  // ---------------- retrieval / corpus analysis ----------------
+
+  // BM25 ranked retrieval: five fixed term queries over the corpus,
+  // top-10 each. Per-term contributions land on a ×10⁶ integer grid
+  // before the per-doc sum, so scores and ranks are fold-order and
+  // cross-engine exact (the same discipline as km1/pq1's distances);
+  // the oracle replays tf/df/dl/avgdl and the identical IEEE
+  // expression tree.
+  private val rr1Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark join", 1L -> "hash table scan", 2L -> "window agg",
+    3L -> "customer query", 4L -> "fast filter")
+  val rr1Bm25: Q = (s, dir) =>
+    pipeline.Retrieval.bm25TopK(docs(s, dir).select("doc_id", "text"),
+      "doc_id", "text", rr1Queries, k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("query_id", "rank")
+  val rr1Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |  (0, 'spark'), (0, 'join'),
+      |  (1, 'hash'), (1, 'table'), (1, 'scan'),
+      |  (2, 'window'), (2, 'agg'),
+      |  (3, 'customer'), (3, 'query'),
+      |  (4, 'fast'), (4, 'filter')),
+      |w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      |      FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS dl FROM w),
+      |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+      |                / (CAST(dfreq.df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+      |      / (CAST(tf.tf AS DOUBLE)
+      |         + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |             / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+      |      * 1000000.0) AS BIGINT) AS c_micro
+      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN st),
+      |ag AS (
+      |  SELECT query_id, doc_id, sum(c_micro) AS score_micro,
+      |         count(*) AS n_terms
+      |  FROM sc GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, doc_id, score_micro, n_terms,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY score_micro DESC, doc_id) AS rank
+      |  FROM ag)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+      |       score_micro, n_terms
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // N-gram novelty of the src5..src9 half of the corpus against the
+  // src0..src4 half as the reference — exact integer counts and one
+  // IEEE division, fully replayed by the oracle.
+  val nv1Novelty: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "source", "text")
+    val ref = d.filter(col("source") < "src5")
+    val cand = d.filter(col("source") >= "src5")
+    TextAnalysis.ngramNovelty(cand.select("doc_id", "text"),
+      ref.select("doc_id", "text"), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+  val nv1Sql: String =
+    """WITH refw AS (
+      |  SELECT regexp_split_to_array(text, ' +') AS w FROM documents
+      |  WHERE source < 'src5'),
+      |refg AS (
+      |  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS shingle
+      |  FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      |        FROM refw) p),
+      |cw AS (
+      |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents
+      |  WHERE source >= 'src5'),
+      |cg AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      |        FROM cw) p)
+      |SELECT cg.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN refg.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(sum(CASE WHEN refg.shingle IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM cg LEFT JOIN refg USING (shingle)
+      |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+
+  // Per-source quality-percentile cut: keep the top stopword-ratio
+  // quartile of EACH source. percent_rank over a unique (score, id)
+  // ordering is a single exact division — deterministic both sides.
+  val qp1Percentile: Q = (s, dir) =>
+    pipeline.Curation.qualityPercentileFilter(
+      docs(s, dir).select("doc_id", "source", "text"),
+      "doc_id", "text", "source", minPercentile = 0.75)
+      .orderBy("doc_id")
+  val qp1Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE)
+      |      / (length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1)
+      |      AS q_score
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, q_score,
+      |         percent_rank() OVER (PARTITION BY source
+      |                              ORDER BY q_score, doc_id) AS pct_rank
+      |  FROM scored)
+      |SELECT doc_id, source, q_score, pct_rank FROM ranked
+      |WHERE pct_rank >= 0.75 ORDER BY doc_id""".stripMargin
+
+  // Chi-square keyness: top-5 over-represented terms per source. The
+  // 2x2 margins are exact longs; chi2 is one fixed expression tree.
+  val ca1Keyness: Q = (s, dir) =>
+    TextAnalysis.sourceKeyness(docs(s, dir).select("source", "text"),
+      "source", "text", topKPerSource = 5)
+      .orderBy("source", "rank")
+  val ca1Sql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(regexp_split_to_array(text, ' +')) AS term
+      |  FROM documents),
+      |st AS (SELECT source, term, count(*) AS a FROM t GROUP BY 1, 2),
+      |tt AS (SELECT term, sum(a) AS t_tot FROM st GROUP BY term),
+      |srct AS (SELECT source, sum(a) AS s_tot FROM st GROUP BY source),
+      |n AS (SELECT sum(a) AS n_tot FROM st),
+      |m AS (
+      |  SELECT st.source, st.term, st.a,
+      |         tt.t_tot - st.a AS b, srct.s_tot - st.a AS c,
+      |         n.n_tot - tt.t_tot - srct.s_tot + st.a AS d, n.n_tot
+      |  FROM st JOIN tt USING (term) JOIN srct USING (source) CROSS JOIN n),
+      |x AS (
+      |  SELECT source, term, a,
+      |    CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |      - CAST(b AS DOUBLE) * CAST(c AS DOUBLE) AS delta,
+      |    CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+      |    CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+      |    CAST(n_tot AS DOUBLE) AS nd
+      |  FROM m WHERE a * d - b * c > 0),
+      |sc AS (
+      |  SELECT source, term, a,
+      |    (nd * (delta * delta))
+      |      / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)) AS chi2
+      |  FROM x),
+      |r AS (
+      |  SELECT source, term, a, chi2,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY chi2 DESC, term) AS rank
+      |  FROM sc)
+      |SELECT source, rank, term, CAST(a AS BIGINT) AS term_count, chi2
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "rr1_bm25_topk" -> rr1Bm25,
+    "nv1_ngram_novelty" -> nv1Novelty,
+    "qp1_quality_percentile" -> qp1Percentile,
+    "ca1_source_keyness" -> ca1Keyness,
     "gr1_pagerank" -> gr1PageRank,
     "gr2_pagerank_dangling" -> gr2PageRankDangling,
     "df1_snapshot_diff" -> df1SnapshotDiff,
@@ -2482,6 +2638,10 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rr1_bm25_topk" -> rr1Sql,
+    "nv1_ngram_novelty" -> nv1Sql,
+    "qp1_quality_percentile" -> qp1Sql,
+    "ca1_source_keyness" -> ca1Sql,
     "gr1_pagerank" -> gr1Sql,
     "gr2_pagerank_dangling" -> gr2Sql,
     "df1_snapshot_diff" -> df1Sql,

@@ -146,4 +146,44 @@ object Curation {
         sum(col("n_words")).as("total_words"),
         min(col("doc_id")).as("min_doc_id"))
       .orderBy(col("source"))
+
+  /** Per-source quality-percentile filtering (the FineWeb-style
+    * "keep the best slice of EACH source" cut, Penedo et al.,
+    * arXiv:2406.17557): score every document, rank it WITHIN its
+    * source, and keep documents at or above `minPercentile` of their
+    * source's distribution. Filtering per source rather than globally
+    * stops one high-scoring source from squeezing every other domain
+    * out of the mixture. The score here is the stopword ratio
+    * (`TextAnalysis.qualityExprs` — higher reads as more natural
+    * prose on this fixture family); any scoring column works the
+    * same way.
+    *
+    * percent_rank = (rank − 1)/(n − 1) with rank over
+    * (score, id) — the id tiebreak makes ranks unique, so the
+    * percentile of every row is deterministic in any engine. The
+    * keep decision compares that single exact division against the
+    * threshold.
+    *
+    * Scale shape: scoring is map-only; the window shuffles once on
+    * the source key with per-row state (rank counters), memory-flat
+    * per partition. Source keys are few and can be huge — if one
+    * source dominates, swap the window for the two-pass variant:
+    * an approx-quantile threshold per source (tiny frame),
+    * broadcast-joined back as a plain filter, which never
+    * materializes a per-source ordering at all.
+    */
+  def qualityPercentileFilter(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String,
+      minPercentile: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minPercentile >= 0.0 && minPercentile <= 1.0,
+      s"minPercentile must be in [0, 1], got $minPercentile")
+    val score = TextAnalysis.qualityExprs(textCol)
+      .toMap.apply("stopword_ratio")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("q_score"), col(idCol))
+    docs.select(col(idCol), col(srcCol), score.as("q_score"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("pct_rank") >= lit(minPercentile))
+  }
 }

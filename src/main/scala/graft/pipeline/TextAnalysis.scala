@@ -431,4 +431,100 @@ object TextAnalysis {
           acc + x.getField("__c").cast("double") *
             log(x.getField("__c").cast("double"))) / n).as("entropy"))
   }
+
+  /** Per-document n-gram novelty against a reference corpus: the
+    * fraction of a candidate document's distinct word n-grams that do
+    * NOT occur anywhere in the reference — the "how much of this is
+    * new text" signal used to score fresh crawl snapshots against an
+    * already-ingested corpus, to pick documents that add information
+    * rather than re-paste it, and (inverted) as a soft contamination
+    * measure. Returns (id, n_grams, n_new, novelty) with novelty =
+    * n_new / n_grams, a single IEEE division of exact longs.
+    *
+    * Scale shape: both sides shingle map-only (`Dedup.wordShingles`);
+    * the reference collapses to DISTINCT grams with one partial
+    * aggregation (hot boilerplate grams combine map-side), and
+    * membership is a gram-keyed LEFT equi-join — linear in candidate
+    * grams, never candidate × reference. The per-doc rollup is a
+    * second partial aggregation. At 100 TB the reference gram set is
+    * itself a table to precompute once and reuse across snapshots;
+    * a Bloom sketch of it (the `Contamination.bloomContaminated`
+    * pattern) prefilters the join when the reference outweighs the
+    * candidates.
+    */
+  def ngramNovelty(candidates: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"ngramNovelty needs n >= 1, got $n")
+    val refGrams = Dedup.wordShingles(reference, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__in_ref", lit(1))
+    Dedup.wordShingles(candidates, idCol, textCol, n)
+      .join(refGrams, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__in_ref").isNull, 1L).otherwise(0L)).as("n_new"))
+      .withColumn("novelty",
+        col("n_new").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Chi-square keyness per source: for every (source, term) the 2×2
+    * contingency test of "is this term over-represented in this
+    * source vs the rest of the corpus", keeping the top-k
+    * over-represented terms per source — the corpus-linguistics
+    * "keyness" profile (Dunning-style association on counts) a
+    * pipeline runs to characterize what each ingest source actually
+    * contains before setting mixture weights.
+    *
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) with a = term count
+    * in source, b = term count elsewhere, c = other tokens in source,
+    * d = other tokens elsewhere. Over-representation (ad − bc > 0) is
+    * tested on exact longs; χ² itself is a fixed double expression
+    * tree on exact-integer-valued inputs, so engines agree, and the
+    * per-source top-k orders by (χ² DESC, term) — deterministic under
+    * ties.
+    *
+    * Scale shape: one (source, term) partial aggregation over the
+    * exploded token stream, then a term-keyed equi-join to term
+    * totals, a broadcast join to the |sources|-row source totals and
+    * a broadcast one-row N — no window until the per-source top-k,
+    * which shuffles only the (source, term) count frame. Never a
+    * per-source corpus scan.
+    */
+  def sourceKeyness(df: DataFrame, srcCol: String, textCol: String,
+      topKPerSource: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topKPerSource >= 1,
+      s"sourceKeyness needs topKPerSource >= 1, got $topKPerSource")
+    val toks = Dedup.spread(df)
+      .withColumn("__words", split(col(textCol), " +"))
+      .select(col(srcCol), explode(col("__words")).as("term"))
+    val st = toks.groupBy(col(srcCol), col("term"))
+      .agg(count(lit(1)).as("a"))
+    val termTot = st.groupBy(col("term")).agg(sum(col("a")).as("t_tot"))
+    val srcTot = st.groupBy(col(srcCol)).agg(sum(col("a")).as("s_tot"))
+    val nTot = st.agg(sum(col("a")).as("n_tot"))
+    val joined = st
+      .join(termTot, "term")
+      .join(broadcast(srcTot), srcCol)
+      .crossJoin(broadcast(nTot))
+      .withColumn("b", col("t_tot") - col("a"))
+      .withColumn("c", col("s_tot") - col("a"))
+      .withColumn("d",
+        col("n_tot") - col("t_tot") - col("s_tot") + col("a"))
+    val aD = col("a").cast("double"); val bD = col("b").cast("double")
+    val cD = col("c").cast("double"); val dD = col("d").cast("double")
+    val delta = aD * dD - bD * cD
+    val chi2 = (col("n_tot").cast("double") * (delta * delta)) /
+      ((aD + bD) * (cD + dD) * (aD + cD) * (bD + dD))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("chi2").desc, col("term"))
+    joined
+      // over-represented only, decided on exact integer arithmetic
+      .filter(col("a") * col("d") - col("b") * col("c") > 0L)
+      .withColumn("chi2", chi2)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topKPerSource)
+      .select(col(srcCol), col("rank"), col("term"),
+        col("a").as("term_count"), col("chi2"))
+  }
 }

@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Verify, but for a named subset of gate entries — the fast local
+  * loop while authoring a new entry (`Verify` replays all of them,
+  * minutes at sf0.01). Usage:
+  *   runMain graft.tools.VerifySubset <sfDir> <outDir> <e1,e2,...>
+  * then `python3 tools/check.py <sfDir> <outDir>` compares just the
+  * dumped subset (check.py iterates the dumped oracle_sql.json).
+  */
+object VerifySubset {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names) = args
+    val wanted = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = wanted -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach {
+      case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify-subset] $name failed: ${e.getMessage}")
+        }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

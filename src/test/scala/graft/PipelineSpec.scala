@@ -1806,4 +1806,105 @@ class PipelineSpec extends SparkTestBase {
     assert(got.length == 1 &&
       (got(0).getString(0), got(0).getString(1)) == (("p", "q")))
   }
+
+  test("bm25TopK: hand-computed score, ranking, and query-term dedup") {
+    import spark.implicits._
+    // corpus of 3 docs, query "x y" (with a duplicated term to check
+    // the set-of-terms reading): d1 has both terms, d2 one, d3 none
+    val docs = Seq(
+      (1L, "x y z z"), (2L, "x w w w"), (3L, "u v w z")).toDF("id", "text")
+    val got = graft.pipeline.Retrieval.bm25TopK(
+      docs, "id", "text", Seq(0L -> "x y x"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // d1 matches both terms, d2 one, d3 zero (absent)
+    assert(got.map(_._3).toSeq == Seq(1L, 2L))
+    assert(got.map(_._2).toSeq == Seq(1L, 2L)) // ranks
+    assert(got(0)._5 == 2L && got(1)._5 == 1L) // n_terms
+    // hand-computed: N=3, dl=4 for every doc so avgdl=4, dl/avgdl=1
+    // => denom = tf + k1; idf(x) = ln(1 + (3-2+0.5)/(2+0.5)),
+    // idf(y) = ln(1 + (3-1+0.5)/(1+0.5))
+    def c(tfv: Double, dfv: Double): Long =
+      math.floor(math.log(1.0 + (3.0 - dfv + 0.5) / (dfv + 0.5)) *
+        (tfv * 2.2) / (tfv + 1.2) * 1e6).toLong
+    assert(got(0)._4 == c(1, 2) + c(1, 1))
+    assert(got(1)._4 == c(1, 2))
+  }
+
+  test("bm25 micro-grid margin: no fixture contribution near a floor boundary") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val qs = Seq(0L -> "spark join", 1L -> "hash table scan",
+      2L -> "window agg", 3L -> "customer query", 4L -> "fast filter")
+    val margins = graft.pipeline.Retrieval
+      .bm25TermContribs(d, "doc_id", "text", qs)
+      .select(col("contrib") * lit(1e6)).collect().map { r =>
+        val x = r.getDouble(0); math.min(x - math.floor(x), math.ceil(x) - x)
+      }
+    assert(margins.nonEmpty)
+    val worst = margins.min
+    info(f"worst distance to a floor boundary: $worst%.6f (of 1.0)")
+    // an engine disagreeing by a few ulps (~1e-10 at this magnitude)
+    // cannot flip any floor on this fixture; 1e-6 leaves four orders
+    // of magnitude of headroom over that
+    assert(worst > 1e-6, f"contribution within $worst of a boundary")
+  }
+
+  test("ngramNovelty: verbatim copy scores 0, fresh text scores 1") {
+    import spark.implicits._
+    val ref = Seq((10L, "a b c d e f"), (11L, "g h i j k l")).toDF("id", "text")
+    val cand = Seq(
+      (1L, "a b c d e f"),       // verbatim from ref
+      (2L, "q r s t u v"),       // fully novel
+      (3L, "a b c d q r s")).toDF("id", "text") // grams: 2 old, 3 new
+    val got = graft.pipeline.TextAnalysis
+      .ngramNovelty(cand, ref, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 0L, 0.0)))
+    assert(got(2L) == ((4L, 4L, 1.0)))
+    assert(got(3L) == ((5L, 3L, 0.6)))
+  }
+
+  test("qualityPercentileFilter keeps the per-source top quartile") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val kept = graft.pipeline.Curation.qualityPercentileFilter(
+      d, "doc_id", "text", "source", minPercentile = 0.75)
+    val bySrc = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // percent_rank >= 0.75 over n unique ranks keeps floor((n-1)/4)+1
+    keptBySrc.foreach { case (src, k) =>
+      val n = bySrc(src)
+      assert(k == (n - 1) / 4 + 1, s"$src: kept $k of $n")
+    }
+    // every kept score >= every dropped score within the source
+    // (ties can straddle the cut only via the doc_id tiebreak)
+    val scored = graft.pipeline.Curation.qualityPercentileFilter(
+      d, "doc_id", "text", "source", minPercentile = 0.0)
+    val minKept = kept.groupBy("source").agg(min("q_score").as("mk"))
+    val j = scored.join(kept.select(col("doc_id").as("kid")),
+        col("doc_id") === col("kid"), "left_anti")
+      .groupBy("source").agg(max("q_score").as("md"))
+      .join(minKept, "source")
+      .filter(col("md") > col("mk")).count()
+    assert(j == 0L, "a dropped doc outscored a kept doc in its source")
+  }
+
+  test("sourceKeyness: a planted dominant term tops its source") {
+    import spark.implicits._
+    val docs = (
+      (1 to 20).map(i => (s"zzglyph common filler word", "srcA")) ++
+      (1 to 20).map(i => ("common filler word extra", "srcB"))
+    ).toDF("text", "source")
+    val got = graft.pipeline.TextAnalysis.sourceKeyness(
+      docs, "source", "text", topKPerSource = 3).collect()
+    val srcATop = got.filter(r => r.getString(0) == "srcA" && r.getLong(1) == 1L)
+    assert(srcATop.length == 1 && srcATop(0).getString(2) == "zzglyph")
+    // over-representation filter: "extra" (srcB-only) must never rank
+    // for srcA and vice versa
+    assert(!got.exists(r => r.getString(0) == "srcA" && r.getString(2) == "extra"))
+    assert(!got.exists(r => r.getString(0) == "srcB" && r.getString(2) == "zzglyph"))
+  }
 }
