@@ -2559,7 +2559,212 @@ object PipelineQueries {
       |SELECT source, rank, term, CAST(a AS BIGINT) AS term_count, chi2
       |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  // Gopher-style quality rules over the corpus with deterministically
+  // planted defects so every rule fires: docs ≡0 (mod 7) get a '#'
+  // symbol tail (symbol-ratio rule), docs ≡0 (mod 11) get a digit-word
+  // tail (alpha-word-ratio rule); word-count and mean-word-length
+  // bounds split the natural fixture. All counts exact longs, ratios
+  // single IEEE divisions — the oracle replays everything.
+  val gq1Gopher: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val planted = d.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        expr("repeat(' #', CAST(floor((size(split(text, ' +')) + 7) / 8) AS INT))"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        expr("repeat(' 123', CAST(floor((size(split(text, ' +')) + 2) / 3) AS INT))"))
+        .otherwise(lit(""))).as("text"))
+    pipeline.Curation.gopherRules(planted, "doc_id", "text",
+      minWords = 40, maxWords = 100000,
+      minAvgWordLen = 4.2, maxAvgWordLen = 10.0,
+      maxSymbolRatio = 0.1, minAlphaWordRatio = 0.8,
+      minStopwordHits = 2)
+      .orderBy("doc_id")
+  }
+
+  val gq1Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, len(regexp_split_to_array(text, ' +')) AS nw0, text
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN repeat(' #', (nw0 + 7) // 8) ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN repeat(' 123', (nw0 + 2) // 3) ELSE '' END AS text
+      |  FROM base),
+      |w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w, text FROM p),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+      |      / CAST(len(w) AS DOUBLE) AS avg_word_len,
+      |    CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+      |      / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+      |      / CAST(len(w) AS DOUBLE) AS alpha_word_ratio,
+      |    (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(text, '\ba\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END)
+      |      AS stop_hits
+      |  FROM w),
+      |f AS (
+      |  SELECT doc_id, n_words, avg_word_len, symbol_ratio,
+      |    alpha_word_ratio, CAST(stop_hits AS BIGINT) AS stop_hits,
+      |    CASE WHEN n_words >= 40 AND n_words <= 100000 THEN 1 ELSE 0 END AS pass_words,
+      |    CASE WHEN avg_word_len >= 4.2 AND avg_word_len <= 10.0 THEN 1 ELSE 0 END AS pass_word_len,
+      |    CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS pass_symbols,
+      |    CASE WHEN alpha_word_ratio >= 0.8 THEN 1 ELSE 0 END AS pass_alpha,
+      |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS pass_stopwords
+      |  FROM m)
+      |SELECT doc_id, n_words, avg_word_len, symbol_ratio,
+      |  alpha_word_ratio, stop_hits,
+      |  CAST(pass_words AS BIGINT) AS pass_words,
+      |  CAST(pass_word_len AS BIGINT) AS pass_word_len,
+      |  CAST(pass_symbols AS BIGINT) AS pass_symbols,
+      |  CAST(pass_alpha AS BIGINT) AS pass_alpha,
+      |  CAST(pass_stopwords AS BIGINT) AS pass_stopwords,
+      |  CAST(pass_words * pass_word_len * pass_symbols * pass_alpha
+      |       * pass_stopwords AS BIGINT) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // C4-style line cleaning over the dd11 synthetic lining (3-token
+  // lines) with deterministically planted structure so every rule
+  // fires: even-position lines get a terminal '.', docs ≡0 (mod 13)
+  // get a '{' on line 0 (the whole-page code rule), and the trailing
+  // short chunk of most docs fails the min-word rule.
+  val cl1C4Clean: Q = (s, dir) => {
+    val t = docs(s, dir).select(col("doc_id"),
+      split(col("text"), " +").as("tk"))
+    val lined = t.select(col("doc_id"),
+      array_join(transform(
+          sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(3)),
+          i => concat(
+            array_join(slice(col("tk"), i, lit(3)), " "),
+            when((((i - lit(1)) / lit(3)).cast("long") % 2) === 0,
+              lit(".")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0 && i === 1, lit(" {"))
+              .otherwise(lit("")))),
+        "\n").as("text"))
+    TextAnalysis.c4LineClean(lined, "doc_id", "text",
+      delim = "\n", minLineWords = 3)
+      .orderBy("doc_id")
+  }
+
+  val cl1Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      |           FROM documents),
+      |lines AS (
+      |  SELECT doc_id, (i - 1) // 3 AS pos,
+      |    array_to_string(w[i:i+2], ' ')
+      |      || CASE WHEN ((i - 1) // 3) % 2 = 0 THEN '.' ELSE '' END
+      |      || CASE WHEN doc_id % 13 = 0 AND i = 1 THEN ' {' ELSE '' END
+      |      AS line
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, greatest(len(w), 1), 3)) AS i
+      |        FROM t) p),
+      |k AS (
+      |  SELECT doc_id, pos, line,
+      |    (len(regexp_split_to_array(line, ' +')) >= 3
+      |     AND regexp_matches(line, '[.!?"'']$')
+      |     AND position('lorem ipsum' IN lower(line)) = 0
+      |     AND position('javascript' IN lower(line)) = 0) AS keep,
+      |    CASE WHEN position('{' IN line) > 0
+      |           OR position('}' IN line) > 0 THEN 1 ELSE 0 END AS brace
+      |  FROM lines)
+      |SELECT doc_id, count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(1 - max(brace) AS BIGINT) AS doc_keep,
+      |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+      |                      ORDER BY pos), '') AS clean_text
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // DSIR importance weights: target = the src0 slice, raw = the rest.
+  // Hashed-bucket counts are exact; each per-bucket contribution lands
+  // on the ×10⁶ grid before the per-doc sum (the rr1 discipline).
+  val ir1DsirWeights: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "source", "text")
+    pipeline.Curation.dsirWeights(
+      d.filter(col("source") =!= "src0").select("doc_id", "text"),
+      d.filter(col("source") === "src0").select("doc_id", "text"),
+      "doc_id", "text", dim = 64)
+      .orderBy("doc_id")
+  }
+
+  val ir1Sql: String =
+    """WITH rt AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+      |    FROM documents WHERE source <> 'src0') WHERE tok <> ''),
+      |db AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS bucket,
+      |         count(*) AS c
+      |  FROM rt GROUP BY 1, 2),
+      |cr AS (SELECT bucket, sum(c) AS cr FROM db GROUP BY bucket),
+      |tr AS (SELECT sum(cr) AS tr FROM cr),
+      |tt0 AS (
+      |  SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS bucket,
+      |         count(*) AS ct
+      |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok
+      |        FROM documents WHERE source = 'src0') WHERE tok <> ''
+      |  GROUP BY 1),
+      |tt AS (SELECT sum(ct) AS tt FROM tt0),
+      |lam AS (
+      |  SELECT cr.bucket,
+      |    ln(CAST(coalesce(tt0.ct, 0) + 1 AS DOUBLE)
+      |       / CAST(tt.tt + 64 AS DOUBLE))
+      |    - ln(CAST(cr.cr + 1 AS DOUBLE) / CAST(tr.tr + 64 AS DOUBLE))
+      |      AS lam
+      |  FROM cr LEFT JOIN tt0 USING (bucket) CROSS JOIN tr CROSS JOIN tt)
+      |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CAST(floor((CAST(db.c AS DOUBLE) * lam.lam) * 1000000.0)
+      |           AS BIGINT)) AS BIGINT) AS weight_micro
+      |FROM db JOIN lam USING (bucket)
+      |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
+
+  // Positional phrase search: four fixed phrases (two with a repeated
+  // word / longer span) over the corpus via the offset-normalized
+  // postings join.
+  private val rr2Phrases: Seq[(Long, String)] = Seq(
+    0L -> "table table", 1L -> "customer query",
+    2L -> "fast table value", 3L -> "the line sort")
+  val rr2PhraseSearch: Q = (s, dir) =>
+    pipeline.Retrieval.phraseSearch(docs(s, dir).select("doc_id", "text"),
+      "doc_id", "text", rr2Phrases)
+      .orderBy("phrase_id", "doc_id")
+
+  val rr2Sql: String =
+    """WITH p(phrase_id, off, term, plen) AS (VALUES
+      |  (0, 0, 'table', 2), (0, 1, 'table', 2),
+      |  (1, 0, 'customer', 2), (1, 1, 'query', 2),
+      |  (2, 0, 'fast', 3), (2, 1, 'table', 3), (2, 2, 'value', 3),
+      |  (3, 0, 'the', 3), (3, 1, 'line', 3), (3, 2, 'sort', 3)),
+      |t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      |      FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i - 1 AS pos, w[i] AS term
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+      |        FROM t) q),
+      |j AS (
+      |  SELECT p.phrase_id, pos.doc_id, pos.pos - p.off AS start, p.plen
+      |  FROM pos JOIN p USING (term) WHERE pos.pos - p.off >= 0),
+      |cov AS (
+      |  SELECT phrase_id, doc_id, start, count(*) AS n_cov,
+      |         max(plen) AS len
+      |  FROM j GROUP BY 1, 2, 3),
+      |m AS (SELECT phrase_id, doc_id, start FROM cov WHERE n_cov = len)
+      |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+      |       count(*) AS n_matches, CAST(min(start) AS BIGINT) AS first_pos
+      |FROM m GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "gq1_gopher_rules" -> gq1Gopher,
+    "cl1_c4_line_clean" -> cl1C4Clean,
+    "ir1_dsir_weights" -> ir1DsirWeights,
+    "rr2_phrase_search" -> rr2PhraseSearch,
     "rr1_bm25_topk" -> rr1Bm25,
     "nv1_ngram_novelty" -> nv1Novelty,
     "qp1_quality_percentile" -> qp1Percentile,
@@ -2638,6 +2843,10 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "gq1_gopher_rules" -> gq1Sql,
+    "cl1_c4_line_clean" -> cl1Sql,
+    "ir1_dsir_weights" -> ir1Sql,
+    "rr2_phrase_search" -> rr2Sql,
     "rr1_bm25_topk" -> rr1Sql,
     "nv1_ngram_novelty" -> nv1Sql,
     "qp1_quality_percentile" -> qp1Sql,

@@ -186,4 +186,124 @@ object Curation {
       .withColumn("pct_rank", percent_rank().over(w))
       .filter(col("pct_rank") >= lit(minPercentile))
   }
+
+  /** Gopher-style repetition-free quality rules (Rae et al.,
+    * "Scaling Language Models: … Gopher", arXiv:2112.11446 §A1.1):
+    * the document-level heuristic gate most pretraining pipelines run
+    * FIRST, before any model-based scoring — word-count bounds, mean
+    * word length bounds, symbol-to-word ratio, fraction of words
+    * containing an alphabetic character, and a minimum number of
+    * distinct stopwords present. Returns every rule's measured value
+    * AND its pass flag (0/1 longs) plus the conjunctive `keep`, so a
+    * pipeline can audit WHICH rule rejected a document, not just that
+    * one did.
+    *
+    * Exactness: every count is an exact long; the three ratios are
+    * each a single IEEE division of exact longs, bit-identical in any
+    * engine; pass flags compare those against literal thresholds.
+    *
+    * Scale shape: map-only — one split + a handful of codegen'd
+    * regexp/aggregate expressions per row, no shuffle at all. At
+    * 100 TB this is the cheapest stage of the pass and the one that
+    * should run first (it prunes before anything that shuffles).
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Long = 2): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " +")
+    val nWords = size(words).cast("long")
+    val charSum = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w).cast("long"))
+    val nSymbols = size(regexp_extract_all(t, lit("[#…]"), lit(0)))
+      .cast("long")
+    val nAlphaWords = size(filter(words,
+      w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stopHits = Seq("the", "a", "of", "and", "to")
+      .map(s => when(t.rlike("\\b" + s + "\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val avgLen = charSum.cast("double") / nWords.cast("double")
+    val symRatio = nSymbols.cast("double") / nWords.cast("double")
+    val alphaRatio = nAlphaWords.cast("double") / nWords.cast("double")
+    def flag(c: org.apache.spark.sql.Column) =
+      when(c, 1L).otherwise(0L)
+    val pWords = flag(nWords >= minWords && nWords <= maxWords)
+    val pLen = flag(avgLen >= minAvgWordLen && avgLen <= maxAvgWordLen)
+    val pSym = flag(symRatio <= maxSymbolRatio)
+    val pAlpha = flag(alphaRatio >= minAlphaWordRatio)
+    val pStop = flag(stopHits >= minStopwordHits)
+    Dedup.spread(docs).select(col(idCol),
+      nWords.as("n_words"), avgLen.as("avg_word_len"),
+      symRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
+      stopHits.as("stop_hits"),
+      pWords.as("pass_words"), pLen.as("pass_word_len"),
+      pSym.as("pass_symbols"), pAlpha.as("pass_alpha"),
+      pStop.as("pass_stopwords"),
+      (pWords * pLen * pSym * pAlpha * pStop).as("keep"))
+  }
+
+  /** Per-(doc, bucket) DSIR contributions feeding [[dsirWeights]]:
+    * `contrib` is the raw IEEE double c·(ln p_target − ln p_raw),
+    * `c_micro` its ×10⁶ floor. Exposed so specs can attest the grid
+    * margin on real fixtures (the [[graft.pipeline.Retrieval]] BM25
+    * discipline).
+    */
+  def dsirBucketContribs(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"dsirWeights needs dim >= 2, got $dim")
+    val db = Features.hashingTrick(raw, idCol, textCol, dim)
+    val rawTot = db.groupBy(col("bucket"))
+      .agg(sum(col("n_hits")).as("cr"))
+    val tgtTot = Features.hashingTrick(target, idCol, textCol, dim)
+      .groupBy(col("bucket")).agg(sum(col("n_hits")).as("ct"))
+    // ≤ dim rows each side: the whole model broadcasts
+    val lam = rawTot
+      .join(tgtTot, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot.agg(sum(col("cr")).as("tr"))))
+      .crossJoin(broadcast(tgtTot.agg(sum(col("ct")).as("tt"))))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+             (col("tt") + dim.toLong).cast("double")) -
+         log((col("cr") + 1L).cast("double") /
+             (col("tr") + dim.toLong).cast("double"))).as("lam"))
+    db.join(broadcast(lam), Seq("bucket"))
+      .withColumn("contrib", col("n_hits").cast("double") * col("lam"))
+      .withColumn("c_micro",
+        floor(col("contrib") * lit(1e6)).cast("long"))
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023):
+    * score every raw document by how much more likely its hashed
+    * bag-of-tokens is under the TARGET distribution than under the
+    * raw-corpus distribution — log w(d) = Σ_b c_d[b]·(ln p̂_t[b] −
+    * ln p̂_r[b]) with add-one smoothing over `dim` hashed buckets.
+    * Sampling raw docs proportionally to w (or taking the top slice
+    * by it) tilts a giant crawl toward a small high-quality target
+    * set without training a classifier.
+    *
+    * Exactness: bucket counts are exact longs; each p̂ is ln of a
+    * single IEEE division of exact longs (engine-identical up to the
+    * ≤1-ulp cross-engine ln); each per-bucket contribution lands on a
+    * ×10⁶ integer grid BEFORE the per-doc sum, so `weight_micro` is
+    * fold-order and cross-engine exact. PipelineSpec attests the grid
+    * margin on the fixture.
+    *
+    * Scale shape: the "model" is two `dim`-row count vectors — one
+    * partial agg over each corpus's hashed tokens (no vocabulary
+    * pass, the [[Features.hashingTrick]] property) — broadcast back
+    * onto the per-doc bucket frame; scoring is an equi-join against
+    * a ≤`dim`-row broadcast plus ONE per-doc partial agg. At 100 TB
+    * the target set is tiny by construction and the raw pass is
+    * linear, embarrassing-parallel, shuffle-bounded by docs ×
+    * min(distinct tokens, dim).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, dim: Int = 64): DataFrame =
+    dsirBucketContribs(raw, target, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_hits")).as("n_tokens"),
+        sum(col("c_micro")).as("weight_micro"))
 }

@@ -109,4 +109,64 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col(idCol),
         col("score_micro"), col("n_terms"))
   }
+
+  /** Exact phrase search via a positional inverted index: for each
+    * (phrase_id, phrase), every document containing the phrase's
+    * words consecutively, with the occurrence count and first match
+    * position (0-based word offset) — the positional-postings half of
+    * a lexical retrieval stack (BM25 ranks bags; phrase queries need
+    * positions), and the primitive behind "find every document
+    * quoting this exact sentence".
+    *
+    * Algorithm: postings are (doc, term, pos); a phrase of length L
+    * becomes L broadcast (phrase, offset, term) rows; joining
+    * postings to phrase terms term-keyed and normalizing each hit to
+    * its implied start (pos − offset) turns "consecutive terms" into
+    * "L distinct offsets at one (phrase, doc, start)" — a count-
+    * distinct equality, no per-length join chain, any phrase length
+    * in ONE plan. Duplicate words inside a phrase are handled by the
+    * offset-distinctness (a posting matching two offsets yields two
+    * candidate starts, each still needing full coverage).
+    *
+    * Scale shape: positions come from the same map-only Generate the
+    * tf build uses; the phrase list broadcasts, so only postings of
+    * words that appear in SOME phrase survive the join (an inverted
+    * index lookup, never a corpus scan per phrase); the coverage
+    * check and per-doc rollup are two partial aggregations on
+    * (phrase, doc, start) / (phrase, doc). Work is linear in the
+    * matched postings — exactly an inverted index's cost.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(Long, String)]): DataFrame = {
+    require(phrases.nonEmpty, "phraseSearch needs at least one phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val postings = Dedup.spread(docs)
+      .select(col(idCol), posexplode(split(col(textCol), " +")))
+      .toDF(idCol, "pos", "term")
+    val phraseTerms = phrases.flatMap { case (pid, p) =>
+      val ws = p.split(" ").filter(_.nonEmpty)
+      require(ws.nonEmpty, s"phrase $pid is empty")
+      ws.zipWithIndex.map { case (t, off) =>
+        (pid, off.toLong, t, ws.length.toLong)
+      }
+    }.toDF("phrase_id", "off", "term", "phrase_len")
+
+    postings.join(broadcast(phraseTerms), "term")
+      .select(col("phrase_id"), col(idCol),
+        (col("pos") - col("off")).as("start"),
+        col("off"), col("phrase_len"))
+      .filter(col("start") >= 0)
+      .groupBy(col("phrase_id"), col(idCol), col("start"))
+      // offsets are distinct within a group by construction: postings
+      // are unique on (doc, pos) and pos = start + off, so a plain
+      // count IS the coverage count (no countDistinct Expand needed)
+      .agg(count(lit(1)).as("n_cov"),
+        max(col("phrase_len")).as("len"))
+      .filter(col("n_cov") === col("len"))
+      .groupBy(col("phrase_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
 }

@@ -467,6 +467,58 @@ object TextAnalysis {
         col("n_new").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al., "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", JMLR 2020 §2.2 — the C4 heuristics): keep only
+    * lines that (a) have at least `minLineWords` words, (b) end in a
+    * terminal punctuation mark, and (c) contain none of the
+    * `badSubstrings` (lowercased containment — the "lorem ipsum" /
+    * boilerplate screen); additionally flag the WHOLE document for
+    * drop when any line contains a curly brace (C4's "probably code"
+    * page rule). Returns per document: line counts, the kept-line
+    * reassembly in original order, and the page-level `doc_keep`
+    * flag — the flag is reported rather than applied so a pipeline
+    * can audit the rule before enforcing it.
+    *
+    * Scale shape: split + posexplode is a map-only Generate; every
+    * per-line predicate is a codegen'd expression; the reassembly is
+    * ONE per-doc partial aggregation whose collect_list is bounded by
+    * the document's own line count (same bound as [[Dedup.lineDedup]]).
+    * No joins, no second shuffle.
+    */
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", minLineWords: Int = 3,
+      badSubstrings: Seq[String] =
+        Seq("lorem ipsum", "javascript")): DataFrame = {
+    require(minLineWords >= 1,
+      s"c4LineClean needs minLineWords >= 1, got $minLineWords")
+    val delimRe = java.util.regex.Pattern.quote(delim)
+    val lines = Dedup.spread(df)
+      .select(col(idCol), posexplode(split(col(textCol), delimRe)))
+      .toDF(idCol, "__pos", "__line")
+    val line = col("__line")
+    val nLineWords = size(split(line, " +"))
+    val hasBad =
+      if (badSubstrings.isEmpty) lit(false)
+      else badSubstrings
+        .map(b => instr(lower(line), b.toLowerCase) > 0)
+        .reduce(_ || _)
+    val keepLine = nLineWords >= minLineWords &&
+      line.rlike("[.!?\"']$") && !hasBad
+    val hasBrace = instr(line, "{") > 0 || instr(line, "}") > 0
+    lines
+      .withColumn("__keep", keepLine)
+      .withColumn("__brace", when(hasBrace, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        (lit(1L) - max(col("__brace"))).as("doc_keep"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line")), delim).as("clean_text"))
+  }
+
   /** Chi-square keyness per source: for every (source, term) the 2×2
     * contingency test of "is this term over-represented in this
     * source vs the rest of the corpus", keeping the top-k

@@ -1907,4 +1907,149 @@ class PipelineSpec extends SparkTestBase {
     assert(!got.exists(r => r.getString(0) == "srcA" && r.getString(2) == "extra"))
     assert(!got.exists(r => r.getString(0) == "srcB" && r.getString(2) == "zzglyph"))
   }
+
+  test("gopherRules: each rule rejects its planted violation") {
+    import spark.implicits._
+    val good = "the quick brown vixen jumps over a lazy canine " +
+      "while the other animals watch quietly from their warm dens"
+    val docs = Seq(
+      (1L, good),                                    // passes all
+      (2L, "the a short doc"),                       // too few words
+      (3L, good + " ## ## ## ##"),                   // symbol ratio
+      (4L, good + " 11 22 33 44 55 66"),             // alpha-word ratio
+      (5L, ("zz " * 19).trim)                        // no stopwords, short words
+    ).toDF("id", "text")
+    val got = graft.pipeline.Curation.gopherRules(docs, "id", "text",
+      minWords = 10, maxWords = 100, minAvgWordLen = 3.0,
+      maxAvgWordLen = 10.0, maxSymbolRatio = 0.1,
+      minAlphaWordRatio = 0.8, minStopwordHits = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (got(id).getLong(6), got(id).getLong(7),
+      got(id).getLong(8), got(id).getLong(9), got(id).getLong(10),
+      got(id).getLong(11))
+    assert(flags(1L) == ((1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(flags(2L)._1 == 0L && flags(2L)._6 == 0L)   // word count
+    assert(flags(3L)._3 == 0L && flags(3L)._6 == 0L)   // symbols
+    assert(flags(4L)._4 == 0L && flags(4L)._6 == 0L)   // alpha words
+    assert(flags(5L)._5 == 0L && flags(5L)._2 == 0L)   // stopwords + len
+    // measured values: doc 1 has 19 words, both 'the' and 'a'
+    assert(got(1L).getLong(1) == 19L && got(1L).getLong(5) >= 2L)
+  }
+
+  test("c4LineClean: punctuation/min-words/bad-substring/brace rules") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good line stays here.\nshort one.\nno terminal punct at all\n" +
+        "lorem ipsum filler text.\nvar x = {code}.\nfinal good line!"),
+      (2L, "only line no punct")
+    ).toDF("id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .c4LineClean(docs, "id", "text", minLineWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: 6 lines; kept = line 1 (4 words, '.') and line 6 ('!');
+    // dropped: 2 (2 words), 3 (no punct), 4 (lorem ipsum), 5 (brace —
+    // ends in '.' and has 4 words, but contains '{')... the line rule
+    // doesn't screen braces, so line 5 IS kept; the brace instead
+    // flags the whole doc via doc_keep=0
+    assert(got(1L)._1 == 6L)
+    assert(got(1L)._2 == 3L)
+    assert(got(1L)._3 == 0L) // brace => page flagged
+    assert(got(1L)._4 ==
+      "good line stays here.\nvar x = {code}.\nfinal good line!")
+    assert(got(2L) == ((1L, 0L, 1L, "")))
+  }
+
+  test("dsirWeights: hand-computed on a 2-token vocabulary") {
+    import spark.implicits._
+    // raw corpus: doc 1 = 3x tokA, doc 2 = 3x tokB; target = all tokA
+    val raw = Seq((1L, "tokA tokA tokA"), (2L, "tokB tokB tokB"))
+      .toDF("id", "text")
+    val target = Seq((10L, "tokA tokA")).toDF("id", "text")
+    // tokA, tokB land in distinct buckets mod 8 (md5 lanes 1, 5), so
+    // the smoothed models are: p_t(A) = (2+1)/(2+8), p_r(A) = (3+1)/(6+8),
+    // p_t(B) = (0+1)/(2+8), p_r(B) = (3+1)/(6+8)
+    val got = graft.pipeline.Curation
+      .dsirWeights(raw, target, "id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val lamA = math.log(3.0 / 10.0) - math.log(4.0 / 14.0)
+    val lamB = math.log(1.0 / 10.0) - math.log(4.0 / 14.0)
+    assert(got(1L) == ((3L, math.floor(3.0 * lamA * 1e6).toLong)))
+    assert(got(2L) == ((3L, math.floor(3.0 * lamB * 1e6).toLong)))
+    // the target-like doc weighs strictly more
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("dsir micro-grid margin: no fixture contribution near a floor boundary") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val margins = graft.pipeline.Curation.dsirBucketContribs(
+      d.filter(col("source") =!= "src0").select("doc_id", "text"),
+      d.filter(col("source") === "src0").select("doc_id", "text"),
+      "doc_id", "text", dim = 64)
+      .select(col("contrib") * lit(1e6)).collect().map { r =>
+        val x = r.getDouble(0); math.min(x - math.floor(x), math.ceil(x) - x)
+      }
+    assert(margins.nonEmpty)
+    val worst = margins.min
+    info(f"worst distance to a floor boundary: $worst%.6f (of 1.0)")
+    assert(worst > 1e-6, f"contribution within $worst of a boundary")
+  }
+
+  test("phraseSearch: adjacency, repeated terms, overlap, counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),      // "a b" twice, at 0 and 3
+      (2L, "x x x"),          // "x x" overlapping at 0 and 1
+      (3L, "b a c"),          // has both words, never adjacent
+      (4L, "a c b")           // has both words, wrong order
+    ).toDF("id", "text")
+    val got = graft.pipeline.Retrieval.phraseSearch(docs, "id", "text",
+      Seq(0L -> "a b", 1L -> "x x", 2L -> "c a b", 3L -> "q z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got((0L, 1L)) == ((2L, 0L)))  // two matches, first at 0
+    assert(got((1L, 2L)) == ((2L, 0L)))  // overlapping occurrences both count
+    assert(got((2L, 1L)) == ((1L, 2L)))  // 3-word phrase spanning the middle
+    assert(!got.contains((0L, 3L)) && !got.contains((0L, 4L)))
+    assert(!got.keys.exists(_._1 == 3L)) // absent phrase matches nothing
+  }
+
+  test("new-operator plan pins: map-only gates, broadcast lookups, no Expand") {
+    val d = Tables.load(spark, sf, "documents")
+    // gopherRules: a pure projection — no key-hashed shuffle (the one
+    // allowed Exchange is spread()'s round-robin input parallelizer)
+    val gq = graft.pipeline.Curation.gopherRules(
+      d.select("doc_id", "text"), "doc_id", "text")
+    val gqPlan = gq.queryExecution.executedPlan.toString
+    assert(!gqPlan.contains("hashpartitioning"),
+      "gopherRules shuffled on a key:\n" + gqPlan.take(600))
+    assert(!gqPlan.contains("Aggregate"), "gopherRules aggregated")
+    // c4LineClean: exactly one aggregation exchange (the per-doc rollup)
+    val cl = graft.pipeline.TextAnalysis.c4LineClean(
+      d.select("doc_id", "text"), "doc_id", "text")
+    val clPlan = cl.queryExecution.executedPlan.toString
+    assert(!clPlan.contains("SortMergeJoin") && !clPlan.contains("Join"),
+      "c4LineClean joined:\n" + clPlan.take(600))
+    // dsir: the lambda model reaches the postings as a broadcast, and
+    // the per-doc grid sum has no countDistinct Expand
+    val ds = graft.pipeline.Curation.dsirWeights(
+      d.filter(col("source") =!= "src0").select("doc_id", "text"),
+      d.filter(col("source") === "src0").select("doc_id", "text"),
+      "doc_id", "text", dim = 64)
+    val dsPlan = ds.queryExecution.executedPlan.toString
+    assert(dsPlan.contains("BroadcastHashJoin"), dsPlan.take(800))
+    assert(!dsPlan.contains("Expand"), "Expand in dsir plan")
+    // phraseSearch: phrase terms broadcast onto postings — an inverted
+    // index lookup, never a nested loop; coverage is a plain count
+    val ps = graft.pipeline.Retrieval.phraseSearch(
+      d.select("doc_id", "text"), "doc_id", "text",
+      Seq(0L -> "table table", 1L -> "customer query"))
+    val psPlan = ps.queryExecution.executedPlan.toString
+    assert(psPlan.contains("BroadcastHashJoin"), psPlan.take(800))
+    assert(!psPlan.contains("BroadcastNestedLoopJoin"), psPlan.take(800))
+    assert(!psPlan.contains("Expand"), "countDistinct Expand in phrase plan")
+  }
 }
