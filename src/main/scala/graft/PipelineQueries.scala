@@ -2760,7 +2760,110 @@ object PipelineQueries {
       |       count(*) AS n_matches, CAST(min(start) AS BIGINT) AS first_pos
       |FROM m GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin
 
+  // Winnowing fingerprints (k=4 word grams, window w=8) over the
+  // corpus: the windowed min runs over hash·2²⁰+pos packed longs, so
+  // the selection (including equal-hash ties) replays exactly.
+  val wn1Winnow: Q = (s, dir) =>
+    Dedup.winnowFingerprints(docs(s, dir).select("doc_id", "text"),
+      "doc_id", "text", k = 4, w = 8)
+      .orderBy("doc_id", "fp_pos")
+
+  val wn1Sql: String =
+    s"""WITH ${winnowCteSql("documents", "a")}
+      |SELECT doc_id, CAST(fp % 1048576 AS BIGINT) AS fp_pos,
+      |       CAST(fp // 1048576 AS BIGINT) AS fp_hash
+      |FROM asel ORDER BY doc_id, fp_pos""".stripMargin
+
+  // Winnowing-fingerprint contamination: eval = 30-word truncations of
+  // every tenth document (re-keyed), so each eval doc shares a long
+  // run with exactly one train doc plus whatever short-gram noise the
+  // tiny fixture vocabulary produces; minShared=2 screens the noise.
+  val ct4WinnowContamination: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val ev = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " +"), 1, 30), " ").as("text"))
+    pipeline.Contamination.winnowContamination(d, ev,
+      "doc_id", "text", k = 4, w = 8, minShared = 2L)
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** The wn1 winnowing pipeline as oracle CTE text over an input CTE
+    * `src(doc_id, text)`, prefixed so two instances compose in one
+    * query. Emits `<p>sel(doc_id, fp)`.
+    */
+  private def winnowCteSql(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      |          FROM $src),
+      |${p}g AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+3], ' ') AS gram
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, greatest(len(w) - 3, 1))) AS i
+      |        FROM ${p}t) q),
+      |${p}keyed AS (
+      |  SELECT doc_id, pos,
+      |    CAST('0x' || substr(md5(gram), 1, 10) AS BIGINT) * 1048576 + pos
+      |      AS key
+      |  FROM ${p}g),
+      |${p}win AS (
+      |  SELECT doc_id,
+      |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS cnt
+      |  FROM ${p}keyed),
+      |${p}sel AS (SELECT DISTINCT doc_id, fp FROM ${p}win
+      |            WHERE rn >= 8 OR rn = cnt)""".stripMargin
+
+  val ct4Sql: String =
+    s"""WITH ev0 AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string((regexp_split_to_array(text, ' +'))[1:30], ' ')
+      |           AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |${winnowCteSql("documents", "a")},
+      |${winnowCteSql("ev0", "b")},
+      |tfp AS (SELECT DISTINCT doc_id AS train_id,
+      |               CAST(fp // 1048576 AS BIGINT) AS fp_hash FROM asel),
+      |efp AS (SELECT DISTINCT doc_id AS eval_id,
+      |               CAST(fp // 1048576 AS BIGINT) AS fp_hash FROM bsel),
+      |es AS (SELECT eval_id, count(*) AS n_eval_fps FROM efp GROUP BY 1),
+      |j AS (SELECT train_id, eval_id, count(*) AS n_shared
+      |      FROM tfp JOIN efp USING (fp_hash) GROUP BY 1, 2)
+      |SELECT train_id, eval_id, n_shared, n_eval_fps,
+      |       CAST(n_shared AS DOUBLE) / CAST(n_eval_fps AS DOUBLE)
+      |         AS eval_coverage
+      |FROM j JOIN es USING (eval_id) WHERE n_shared >= 2
+      |ORDER BY train_id, eval_id""".stripMargin
+
+  // BPE merge-candidate statistics: top-50 adjacent char pairs by
+  // corpus-weighted count — everything after the word-frequency agg
+  // is vocabulary-bounded.
+  val bp1BpePairs: Q = (s, dir) =>
+    TextAnalysis.bpePairCounts(docs(s, dir), "text", topK = 50)
+
+  val bp1Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(text, ' +')) AS word
+      |  FROM documents),
+      |v AS (SELECT word, count(*) AS freq FROM toks
+      |      WHERE length(word) >= 2 GROUP BY word),
+      |wp AS (
+      |  SELECT word, max(freq) AS freq, pair, count(*) AS occ
+      |  FROM (SELECT word, freq, substr(word, i, 2) AS pair
+      |        FROM (SELECT word, freq,
+      |                     unnest(generate_series(1, length(word) - 1)) AS i
+      |              FROM v) q)
+      |  GROUP BY word, pair)
+      |SELECT pair, count(*) AS n_words,
+      |       CAST(sum(occ * freq) AS BIGINT) AS total_count
+      |FROM wp GROUP BY pair
+      |ORDER BY total_count DESC, pair LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "wn1_winnow_fingerprints" -> wn1Winnow,
+    "bp1_bpe_pairs" -> bp1BpePairs,
+    "ct4_winnow_contamination" -> ct4WinnowContamination,
     "gq1_gopher_rules" -> gq1Gopher,
     "cl1_c4_line_clean" -> cl1C4Clean,
     "ir1_dsir_weights" -> ir1DsirWeights,
@@ -2843,6 +2946,9 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "wn1_winnow_fingerprints" -> wn1Sql,
+    "bp1_bpe_pairs" -> bp1Sql,
+    "ct4_winnow_contamination" -> ct4Sql,
     "gq1_gopher_rules" -> gq1Sql,
     "cl1_c4_line_clean" -> cl1Sql,
     "ir1_dsir_weights" -> ir1Sql,

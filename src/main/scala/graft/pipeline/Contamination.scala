@@ -127,4 +127,50 @@ object Contamination {
           (col("n_a") + col("n_b") - col("overlap")).cast("double"))
           .as("jaccard"))
   }
+
+  /** Winnowing-fingerprint contamination: for every (train, eval)
+    * document pair sharing at least `minShared` winnowing fingerprint
+    * hashes ([[Dedup.winnowFingerprints]]), the shared count and the
+    * fraction of the eval document's fingerprints found in that train
+    * document. This is the MOSS overlap report applied to leakage
+    * auditing: unlike the exact w-gram audit ([[ngramContamination]],
+    * which tells you THAT an eval set leaks), the fingerprint pair
+    * report tells you WHICH train document carries the overlap and
+    * how much of the eval doc it covers — robust to position shifts
+    * and partial quoting, at 2/(w+1) of the gram volume.
+    *
+    * Guarantee inherited from winnowing: any shared run of at least
+    * k+w−1 words between a train and an eval document produces at
+    * least one shared fingerprint, so minShared=1 cannot miss a
+    * shared passage of that length; higher thresholds trade recall
+    * on short quotes for noise suppression.
+    *
+    * Scale shape: each side winnows independently (one doc-keyed
+    * shuffle each, train never re-read per eval doc); the distinct
+    * (doc, hash) sets meet through a hash-keyed equi-join — the eval
+    * side is benchmark-sized, so its fingerprint set broadcasts and
+    * the train side is filtered MAP-SIDE to matching hashes only.
+    * The pair aggregation is bounded by actually-shared fingerprints,
+    * never train × eval.
+    */
+  def winnowContamination(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, k: Int = 4, w: Int = 8,
+      minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    val trainFp = Dedup.winnowFingerprints(train, idCol, textCol, k, w)
+      .select(col(idCol).as("train_id"), col("fp_hash")).distinct()
+    val evalFp = Dedup.winnowFingerprints(eval_, idCol, textCol, k, w)
+      .select(col(idCol).as("eval_id"), col("fp_hash")).distinct()
+    val evalSizes = evalFp.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval_fps"))
+    trainFp.join(broadcast(evalFp), "fp_hash")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(broadcast(evalSizes), "eval_id")
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        col("n_eval_fps"),
+        (col("n_shared").cast("double") /
+          col("n_eval_fps").cast("double")).as("eval_coverage"))
+  }
 }

@@ -209,6 +209,67 @@ object Dedup {
         s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))"
       ))).as("shingle"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): hash every word k-gram, slide a window of `w`
+    * consecutive gram hashes over the document, and select each
+    * window's minimum — deduplicated, that's the fingerprint set. The
+    * guarantee: any shared substring of at least k+w−1 words between
+    * two documents yields at least one SHARED fingerprint, at an
+    * expected density of 2/(w+1) — position-robust partial-overlap
+    * detection (quote mining, contamination, plagiarism) at a fixed
+    * fraction of the gram volume.
+    *
+    * Determinism: the windowed min runs over `hash·2²⁰ + pos` packed
+    * longs, so ties between equal gram hashes inside one window break
+    * to the EARLIEST position — exactly reproducible in any engine
+    * (the hash is the portable 40-bit md5 lane; positions are bounded
+    * by 2²⁰ ≈ 1M grams per document, plenty for training documents —
+    * chunk longer inputs first, [[TextAnalysis.chunkDocuments]]).
+    * Documents with fewer than `w` grams contribute their single
+    * global minimum (one full window of whatever exists).
+    *
+    * Scale shape: gram hashing is a map-only Generate; BOTH windows
+    * (running min + row counter) share one partition spec, so the
+    * whole operator costs ONE shuffle on the doc key, per-partition
+    * state is the w-row frame, and the output is the deduplicated
+    * 2/(w+1) fraction. Never a doc×doc comparison — fingerprints are
+    * the join key a downstream overlap pass buckets on.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, s"winnowing needs k,w >= 1, got k=$k w=$w")
+    val words = col("__words")
+    val grams = spread(df)
+      .withColumn("__words", split(col(textCol), " +"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), greatest(size(words) - k, lit(0))),
+        i => array_join(slice(words, i + lit(1), lit(k)), " "))))
+      .toDF(idCol, "__pos", "__gram")
+    // 40-bit portable hash packed with the 20-bit position: the
+    // windowed min then IS the (hash, earliest-pos) argmin
+    val key = (conv(substring(md5(col("__gram").cast("binary")), 1, 10),
+      16, 10).cast("long") * lit(1048576L)) + col("__pos")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val winMin = min(col("__key")).over(byPos.rowsBetween(-(w - 1), 0))
+    val rn = row_number().over(byPos)
+    val cnt = count(lit(1)).over(Window.partitionBy(col(idCol)))
+    val keyed = grams.withColumn("__key", key)
+      .select(col(idCol), winMin.as("__fp"), rn.as("__rn"),
+        cnt.as("__cnt"))
+    keyed
+      // full windows; short docs keep their single global min (the
+      // last row's running min spans the whole doc)
+      .filter(col("__rn") >= w || col("__rn") === col("__cnt"))
+      .select(col(idCol), col("__fp")).distinct()
+      // integer DIV, not '/': the packed key is up to 2^60 and a
+      // double-typed divide would round the 53-bit mantissa
+      .select(col(idCol),
+        (col("__fp") % 1048576L).as("fp_pos"),
+        expr("__fp DIV 1048576").as("fp_hash"))
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** MinHash signatures: `numHashes` permutations approximated by

@@ -467,6 +467,44 @@ object TextAnalysis {
         col("n_new").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** BPE merge-candidate pair counts (Sennrich, Haddow & Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016 — the byte-pair-encoding tokenizer trainer's inner
+    * statistic): the corpus-weighted frequency of every adjacent
+    * character pair, ranked — the top pair is the first BPE merge,
+    * and iterating this statistic IS tokenizer training. Returns the
+    * top `topK` pairs with the number of distinct words containing
+    * the pair and the total corpus-weighted occurrence count
+    * (ties break on the pair string).
+    *
+    * Scale shape: the ONLY corpus-linear work is the word-frequency
+    * aggregation (one partial agg, map-side combine collapses every
+    * repeated token before the shuffle); pair extraction and both
+    * downstream aggregations run over DISTINCT words — vocabulary-
+    * bounded, millions of rows regardless of corpus token volume.
+    * This is exactly why production BPE trainers operate on word
+    * count tables, and the top-k is a TakeOrdered heap, not a sort.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"bpePairCounts needs topK >= 1, got $topK")
+    val vocab = Dedup.spread(df)
+      .select(explode(split(col(textCol), " +")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val wordPairs = vocab
+      .select(col("word"), col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+      )).as("pair"))
+      .groupBy(col("word"), col("pair"))
+      .agg(max(col("freq")).as("freq"), count(lit(1)).as("occ"))
+    wordPairs.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("occ") * col("freq")).as("total_count"))
+      .orderBy(col("total_count").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** C4-style line-level cleaning (Raffel et al., "Exploring the
     * Limits of Transfer Learning with a Unified Text-to-Text
     * Transformer", JMLR 2020 §2.2 — the C4 heuristics): keep only

@@ -2017,6 +2017,91 @@ class PipelineSpec extends SparkTestBase {
     assert(!got.keys.exists(_._1 == 3L)) // absent phrase matches nothing
   }
 
+  test("winnowFingerprints: coverage guarantee, shared substring, short docs") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "one two three " + shared + " four five six"),
+      (2L, shared + " completely different tail words here"),
+      (3L, "tiny doc")).toDF("id", "text")
+    val fps = graft.pipeline.Dedup
+      .winnowFingerprints(docs, "id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // coverage: every full window of w gram positions holds >= 1 fp
+    for (d <- Seq(1L, 2L)) {
+      val nGrams = docs.filter(col("id") === d)
+        .select(size(split(col("text"), " ")) - (k - 1))
+        .collect()(0).getInt(0)
+      val pos = fps.filter(_._1 == d).map(_._2).toSet
+      for (s <- 0 to nGrams - w)
+        assert((s until s + w).exists(p => pos.contains(p)),
+          s"doc $d window [$s, ${s + w}) has no fingerprint")
+    }
+    // shared run of len(shared)=8 words >= k+w-1=6: the two docs must
+    // share at least one fingerprint HASH (positions differ)
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared substring yielded no shared fp")
+    // a doc with fewer than w grams -> exactly its one global min
+    assert(fps.count(_._1 == 3L) == 1)
+  }
+
+  test("winnowFingerprints density is ~2/(w+1) on the fixture") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val nGrams = d.select(sum(greatest(
+      size(split(col("text"), " +")) - 3, lit(1)))).collect()(0).getLong(0)
+    val nFps = graft.pipeline.Dedup
+      .winnowFingerprints(d, "doc_id", "text", k = 4, w = 8).count()
+    val density = nFps.toDouble / nGrams
+    info(f"fingerprint density: $density%.3f (theory 2/(w+1) = ${2.0 / 9}%.3f)")
+    assert(density > 0.1 && density < 0.4, f"density $density%.3f")
+  }
+
+  test("winnowContamination: planted quote found, fresh eval stays clean") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val train = Seq(
+      (1L, "intro words here " + passage + " trailing words end"),
+      (2L, "unrelated corpus text about completely other things entirely")
+    ).toDF("id", "text")
+    val ev = Seq(
+      (10L, passage),                                   // quoted from doc 1
+      (11L, "fresh evaluation text never seen anywhere before now")
+    ).toDF("id", "text")
+    val got = graft.pipeline.Contamination.winnowContamination(
+      train, ev, "id", "text", k = 3, w = 4, minShared = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(4))))
+      .toMap
+    // the 10-word shared run >= k+w-1=6 guarantees a shared fingerprint
+    assert(got.contains((1L, 10L)), s"planted quote missed: $got")
+    val (shared, cov) = got((1L, 10L))
+    assert(shared >= 1L && cov > 0.0 && cov <= 1.0)
+    // the fresh eval doc matches nothing
+    assert(!got.keys.exists(_._2 == 11L), s"false positive: $got")
+    assert(!got.contains((2L, 10L)), "unrelated train doc matched")
+  }
+
+  test("bpePairCounts: hand-computed weighted pair statistics") {
+    import spark.implicits._
+    // vocab: 'aaab' freq 2, 'ab' freq 3, 'x' dropped (length 1)
+    val docs = Seq("aaab ab x", "aaab ab ab x").toDF("text")
+    val got = graft.pipeline.TextAnalysis.bpePairCounts(docs, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'aa': only in aaab (occ 2) -> total 2*2=4, n_words 1
+    // 'ab': in aaab (occ 1, freq 2) and ab (occ 1, freq 3) -> 5, n_words 2
+    assert(got.toSeq == Seq(("ab", 2L, 5L), ("aa", 1L, 4L)))
+  }
+
+  test("bpePairCounts plan: pair work is vocab-bounded, top-k is a heap") {
+    val d = Tables.load(spark, sf, "documents")
+    val df = graft.pipeline.TextAnalysis.bpePairCounts(d, "text", 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(!plan.contains("Join"), "bpe plan joined:\n" + plan.take(600))
+  }
+
   test("new-operator plan pins: map-only gates, broadcast lookups, no Expand") {
     val d = Tables.load(spark, sf, "documents")
     // gopherRules: a pure projection — no key-hashed shuffle (the one
