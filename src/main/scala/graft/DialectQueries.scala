@@ -281,14 +281,24 @@ object DialectQueries {
   // the parquet originals: the entry proves the operational-DB
   // round trip is value-exact, not just spec-plumbed. Pushdown and
   // stride-completeness pins live in JdbcSpec.
+  // One embedded Derby per (session, sfDir), reused across
+  // invocations: bench runs the entry 4+ times, and every
+  // `;create=true` boot keeps its database open in the JVM until
+  // shutdown — without the cache a soak loop accumulates open DBs
+  // and temp dirs across exactly the runs it is measuring.
+  private val jd1Conns =
+    new java.util.concurrent.ConcurrentHashMap[String, sources.Jdbc.Conn]()
   val jd1: Q = (s, _dir) => {
-    val dbDir = java.nio.file.Files
-      .createTempDirectory("graft_jd1_derby").toString
-    val conn = sources.Jdbc.Conn(s"jdbc:derby:$dbDir/db;create=true")
-    sources.Jdbc.write(Tables.load(s, _dir, "nation"), conn, "nation",
-      org.apache.spark.sql.SaveMode.Overwrite)
-    sources.Jdbc.write(Tables.load(s, _dir, "region"), conn, "region",
-      org.apache.spark.sql.SaveMode.Overwrite)
+    val conn = jd1Conns.computeIfAbsent(_dir, { dir =>
+      val dbDir = java.nio.file.Files
+        .createTempDirectory("graft_jd1_derby").toString
+      val c = sources.Jdbc.Conn(s"jdbc:derby:$dbDir/db;create=true")
+      sources.Jdbc.write(Tables.load(s, dir, "nation"), c, "nation",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      sources.Jdbc.write(Tables.load(s, dir, "region"), c, "region",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      c
+    })
     val eng = sources.Jdbc.engine(s, Catalog.env(), conn,
       partitions = Map("nation" -> (("n_nationkey", 0L, 24L, 4))))
     eng.sql(

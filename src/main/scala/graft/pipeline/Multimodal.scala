@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default behavior backs every read/write with a disk
+  // cache file even for in-memory streams — per-row temp-file churn
+  // inside the mapPartitions hot loop (and a hard failure if the
+  // executor's java.io.tmpdir is unwritable). All payloads here are
+  // byte arrays; cache purely in memory. Runs once per executor JVM
+  // at class load (object init), exactly where the decode happens.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRow(
       media_id: Long,

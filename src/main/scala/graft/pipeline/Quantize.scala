@@ -91,10 +91,37 @@ object Quantize {
     */
   def pqEncode(df: DataFrame, vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame =
+    pqEncodeWithGrid(df, vecCol, codebooks).drop("__grid")
+
+  /** [[pqEncode]], retaining the ×10⁶ grid vector as `__grid`: a
+    * caller that also needs a coarse-cell assignment on the SAME grid
+    * (IVFADC) reuses it instead of re-gridding the corpus — the
+    * per-coordinate floor transform is the scan's dominant per-row
+    * cost, and Catalyst cannot share it across the projection
+    * boundary once dropped.
+    */
+  def pqEncodeWithGrid(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
     withSubAssignments(df, vecCol, codebooks) { (sliced, assigns) =>
       sliced.withColumn("codes",
           array(assigns.map(_.getField("j")): _*))
-        .drop("__qv" +: codebooks.indices.map(j => s"__sv$j"): _*)
+        .withColumnRenamed("__qv", "__grid")
+        .drop(codebooks.indices.map(j => s"__sv$j"): _*)
+    }
+
+  /** The m per-subspace ADC distance columns shared by flat ADC and
+    * IVFADC: query subvector columns `<qPrefix>j` against the
+    * code-picked row of `codebooks(j)` — one place, so a distance fix
+    * cannot apply to one search path and silently skip the other.
+    */
+  private def adcSubDists(qPrefix: String,
+      codebooks: Array[Array[Array[Double]]]): Seq[Column] =
+    codebooks.indices.map { j =>
+      val cb = array(codebooks(j).toIndexedSeq.map(cvec =>
+        array(cvec.toIndexedSeq.map(lit): _*)): _*)
+      val picked = element_at(cb, element_at(col("codes"), j + 1) + 1)
+      aggregate(zip_with(col(s"$qPrefix$j"), picked,
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
     }
 
   /** Per-(subspace, code) codebook profile: member count and the
@@ -136,13 +163,7 @@ object Quantize {
         slice(col("qvec"), j * sub + 1, sub), x => x.cast("double")))
     }
     val c = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
-    val subDists = (0 until m).map { j =>
-      val cb = array(codebooks(j).toIndexedSeq.map(cvec =>
-        array(cvec.toIndexedSeq.map(lit): _*)): _*)
-      val picked = element_at(cb, element_at(col("codes"), j + 1) + 1)
-      aggregate(zip_with(col(s"__qv$j"), picked,
-        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
-    }
+    val subDists = adcSubDists("__qv", codebooks)
     val scored = broadcast(qs).join(c,
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -179,13 +200,14 @@ object Quantize {
     val sub = codebooks(0)(0).length
     val gcents = centroids.map(Ivf.gridCentroid)
     val gcbs = codebooks.map(_.map(Ivf.gridCentroid))
-    // corpus index: one map pass assigns the coarse cell + m codes
-    val enc = pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol,
-      codebooks)
-    val cb = enc.withColumn("__gv", Ivf.gridVec(col(vecCol)))
-      .select(col(idCol).as("neighbor_id"),
-        Ivf.nearestCellStruct(col("__gv"), gcents).getField("j").as("cell"),
-        col("codes"))
+    // corpus index: one map pass assigns the coarse cell + m codes —
+    // the cell assignment reuses the encoder's own grid vector
+    // instead of re-gridding the corpus (the dominant per-row cost)
+    val enc = pqEncodeWithGrid(corpus.select(col(idCol), col(vecCol)),
+      vecCol, codebooks)
+    val cb = enc.select(col(idCol).as("neighbor_id"),
+      Ivf.nearestCellStruct(col("__grid"), gcents).getField("j").as("cell"),
+      col("codes"))
     // queries: gridded subvectors ride along the broadcast; probed
     // cells explode into (query, cell) rows for the equi-join
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -195,13 +217,7 @@ object Quantize {
       }
       .withColumn("cell", explode(Ivf.probeCells(col("__gq"), gcents, nprobe)))
       .drop("qvec", "__gq")
-    val subDists = (0 until m).map { j =>
-      val cbLit = array(gcbs(j).toIndexedSeq.map(cvec =>
-        array(cvec.toIndexedSeq.map(lit): _*)): _*)
-      val picked = element_at(cbLit, element_at(col("codes"), j + 1) + 1)
-      aggregate(zip_with(col(s"__gq$j"), picked,
-        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
-    }
+    val subDists = adcSubDists("__gq", gcbs)
     // each neighbor lives in exactly ONE cell and probed cells are
     // distinct, so (query, neighbor) appears at most once — no dedup
     val scored = broadcast(qs).join(cb, Seq("cell"))

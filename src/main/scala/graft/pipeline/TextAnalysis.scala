@@ -609,8 +609,12 @@ object TextAnalysis {
     val w = Window.partitionBy(col(srcCol))
       .orderBy(col("chi2").desc, col("term"))
     joined
-      // over-represented only, decided on exact integer arithmetic
-      .filter(col("a") * col("d") - col("b") * col("c") > 0L)
+      // over-represented only, decided on exact integer arithmetic —
+      // on DECIMAL(38,0): a·d with d ≈ total corpus tokens overflows
+      // a long at real corpus scale (ANSI would crash the job; the
+      // oracle's HUGEINT would not), decimal keeps both engines exact
+      .filter(col("a").cast("decimal(38,0)") * col("d").cast("decimal(38,0)") -
+        col("b").cast("decimal(38,0)") * col("c").cast("decimal(38,0)") > 0L)
       .withColumn("chi2", chi2)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topKPerSource)

@@ -26,12 +26,23 @@ object VerifySubset {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach {
       case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify-subset] $name failed: ${e.getMessage}")
+          failed ::= name
+          // remove any STALE dump from an earlier run: leaving it
+          // would let check.py report a false PASS for code that no
+          // longer even executes
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toList.reverse
+              .foreach(Files.deleteIfExists(_))
+          }
         }
     }
     def q(s: String): String = "\"" + s.flatMap {
@@ -43,9 +54,15 @@ object VerifySubset {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+    val json = SparkEntry.oracleSql
+      .filter(kv => wanted(kv._1) && !failed.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify-subset] FAILED entries: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
