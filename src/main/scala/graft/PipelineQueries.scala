@@ -2760,6 +2760,30 @@ object PipelineQueries {
       |       count(*) AS n_matches, CAST(min(start) AS BIGINT) AS first_pos
       |FROM m GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin
 
+  // Window-free per-source percentile cut: must keep the IDENTICAL
+  // document set as qp1's percent_rank window — the oracle IS the
+  // window form, so a hash match proves the equivalence on the gate.
+  val qp2PercentileScalable: Q = (s, dir) =>
+    pipeline.Curation.qualityPercentileFilterScalable(
+      docs(s, dir).select("doc_id", "source", "text"),
+      "doc_id", "text", "source", minPercentile = 0.75)
+      .orderBy("doc_id")
+
+  val qp2Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE)
+      |      / (length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1)
+      |      AS q_score
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, q_score,
+      |         percent_rank() OVER (PARTITION BY source
+      |                              ORDER BY q_score, doc_id) AS pct_rank
+      |  FROM scored)
+      |SELECT doc_id, source, q_score FROM ranked
+      |WHERE pct_rank >= 0.75 ORDER BY doc_id""".stripMargin
+
   // Winnowing fingerprints (k=4 word grams, window w=8) over the
   // corpus: the windowed min runs over hash·2²⁰+pos packed longs, so
   // the selection (including equal-hash ties) replays exactly.
@@ -2863,6 +2887,7 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "wn1_winnow_fingerprints" -> wn1Winnow,
     "bp1_bpe_pairs" -> bp1BpePairs,
+    "qp2_percentile_scalable" -> qp2PercentileScalable,
     "ct4_winnow_contamination" -> ct4WinnowContamination,
     "gq1_gopher_rules" -> gq1Gopher,
     "cl1_c4_line_clean" -> cl1C4Clean,
@@ -2948,6 +2973,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "wn1_winnow_fingerprints" -> wn1Sql,
     "bp1_bpe_pairs" -> bp1Sql,
+    "qp2_percentile_scalable" -> qp2Sql,
     "ct4_winnow_contamination" -> ct4Sql,
     "gq1_gopher_rules" -> gq1Sql,
     "cl1_c4_line_clean" -> cl1Sql,

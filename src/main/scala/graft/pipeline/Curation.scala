@@ -187,6 +187,85 @@ object Curation {
       .filter(col("pct_rank") >= lit(minPercentile))
   }
 
+  /** [[qualityPercentileFilter]] without the per-source row window —
+    * the giant-source path its scaladoc promises, made EXACT: keeps
+    * the identical document set (same (score ASC, id ASC) percent_rank
+    * ≥ p semantics) while never materializing a per-source ordering
+    * of document rows.
+    *
+    * How: the keep count per source is n − ⌈p·(n−1)⌉ (the number of
+    * unique ranks with (rank−1)/(n−1) ≥ p; for p an exact binary
+    * fraction like 0.75 the ⌈⌉ form and the division form cannot
+    * disagree — the nearest ratio to p other than equality is
+    * ≥ 1/(4(n−1)) away, astronomically above ulp). Documents collapse
+    * to (source, score) counts FIRST; a suffix sum over score DESC on
+    * that collapsed frame (≤ distinct scores per source, not rows)
+    * finds the threshold score T where the keep count lands; docs
+    * with score > T are kept by a broadcast-join filter (map-only
+    * over the corpus), and the exact remainder at score = T is a
+    * row_number over (source, value) tie groups of the ≥ T slice — a
+    * partition bounded by the tie count at one value, not the source
+    * size. Worst case (every doc in a source sharing one score)
+    * degenerates to the window it replaces; any real score
+    * distribution keeps partitions tiny.
+    *
+    * The measured trade (SOAK_r10, sf100 ≈ 5 M docs): this form costs
+    * TWO scoring scans (collapse pass + keep pass) vs the window
+    * form's one, and the regex scoring dominates at fixture scale —
+    * 28.9 s vs 10.1 s. Use [[qualityPercentileFilter]] until a single
+    * source outgrows what one window partition can sort (the
+    * multi-billion-doc-source regime, where the global per-source
+    * sort spills and this form's bounded partitions win); the exact
+    * same keep set comes out of both (the qp2 gate entry hash-matches
+    * the window oracle, and the equivalence spec sweeps p).
+    */
+  def qualityPercentileFilterScalable(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String,
+      minPercentile: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minPercentile >= 0.0 && minPercentile <= 1.0,
+      s"minPercentile must be in [0, 1], got $minPercentile")
+    val score = TextAnalysis.qualityExprs(textCol)
+      .toMap.apply("stopword_ratio")
+    val scored = docs.select(col(idCol), col(srcCol), score.as("q_score"))
+    // PASS 1 (the only corpus-wide aggregation): collapse to
+    // (source, score) counts; per-source totals and keep counts
+    // derive from the collapsed frame — no second scoring scan.
+    // Keep count per source: |{r : (r-1)/(n-1) >= p}|; n = 1 has
+    // percent_rank defined as 0.0, kept only at p = 0.
+    val vc = scored.groupBy(col(srcCol), col("q_score"))
+      .agg(count(lit(1)).as("__c"))
+    val nSrc = vc.groupBy(col(srcCol)).agg(sum(col("__c")).as("__n"))
+      .withColumn("__keep",
+        when(col("__n") === 1L,
+          when(lit(minPercentile) <= 0.0, 1L).otherwise(0L))
+        .otherwise(col("__n") - ceil(lit(minPercentile) *
+          (col("__n") - 1L).cast("double")).cast("long")))
+      .select(col(srcCol), col("__keep"))
+    val wDesc = Window.partitionBy(col(srcCol))
+      .orderBy(col("q_score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vc.withColumn("__cum", sum(col("__c")).over(wDesc))
+      .withColumn("__above", col("__cum") - col("__c"))
+    // exactly one threshold row per source (cum is strictly increasing)
+    val th = cum.join(broadcast(nSrc), srcCol)
+      .filter(col("__above") < col("__keep") &&
+        col("__cum") >= col("__keep"))
+      .select(col(srcCol), col("q_score").as("__t"),
+        (col("__keep") - col("__above")).as("__bk"))
+    // PASS 2 (one scan, map-only + a tie-bounded window): keep docs
+    // above the threshold outright; rank ONLY within (source, value)
+    // groups of the >= T slice — partitions are tie groups, never the
+    // source — and qp-window semantics keep the LARGEST ids at T.
+    val wTies = Window.partitionBy(col(srcCol), col("q_score"))
+      .orderBy(col(idCol).desc)
+    scored.join(broadcast(th), Seq(srcCol))
+      .filter(col("q_score") >= col("__t"))
+      .withColumn("__r", row_number().over(wTies))
+      .filter(col("q_score") > col("__t") || col("__r") <= col("__bk"))
+      .select(col(idCol), col(srcCol), col("q_score"))
+  }
+
   /** Gopher-style repetition-free quality rules (Rae et al.,
     * "Scaling Language Models: … Gopher", arXiv:2112.11446 §A1.1):
     * the document-level heuristic gate most pretraining pipelines run

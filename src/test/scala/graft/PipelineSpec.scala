@@ -2058,6 +2058,53 @@ class PipelineSpec extends SparkTestBase {
     assert(density > 0.1 && density < 0.4, f"density $density%.3f")
   }
 
+  test("qualityPercentileFilterScalable: identical keep set to the window form") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    for (p <- Seq(0.0, 0.25, 0.75, 0.9)) {
+      val windowed = graft.pipeline.Curation.qualityPercentileFilter(
+        d, "doc_id", "text", "source", p)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val scalable = graft.pipeline.Curation.qualityPercentileFilterScalable(
+        d, "doc_id", "text", "source", p)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(scalable == windowed,
+        s"p=$p: only-scalable=${(scalable -- windowed).take(5)} " +
+          s"only-window=${(windowed -- scalable).take(5)}")
+    }
+  }
+
+  test("qualityPercentileFilterScalable: all-tied source resolved by id") {
+    import spark.implicits._
+    // every doc in srcT has the same score; srcU is a normal spread
+    val docs = ((1L to 8L).map(i => (i, "srcT", "the a x y z")) ++
+      Seq((20L, "srcU", "the the the a a of to and"),
+        (21L, "srcU", "zz yy xx ww vv"),
+        (22L, "srcU", "the a of"),
+        (23L, "srcU", "qq rr the")))
+      .toDF("doc_id", "source", "text")
+    val windowed = graft.pipeline.Curation.qualityPercentileFilter(
+      docs, "doc_id", "text", "source", 0.75)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scalable = graft.pipeline.Curation.qualityPercentileFilterScalable(
+      docs, "doc_id", "text", "source", 0.75)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scalable == windowed, s"$scalable vs $windowed")
+    // srcT: 8 tied docs, keep 8 - ceil(0.75*7) = 2 -> largest ids
+    assert(scalable.intersect((1L to 8L).toSet) == Set(7L, 8L))
+  }
+
+  test("qualityPercentileFilterScalable plan: no per-source row window") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val plan = graft.pipeline.Curation.qualityPercentileFilterScalable(
+      d, "doc_id", "text", "source", 0.75)
+      .queryExecution.executedPlan.toString
+    // the windows that remain run over the value-collapsed frame and
+    // the boundary docs; the percent_rank full-source sort is gone
+    assert(!plan.contains("percent_rank"), plan.take(600))
+  }
+
   test("winnowContamination: planted quote found, fresh eval stays clean") {
     import spark.implicits._
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
