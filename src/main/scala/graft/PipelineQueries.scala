@@ -2884,7 +2884,91 @@ object PipelineQueries {
       |FROM wp GROUP BY pair
       |ORDER BY total_count DESC, pair LIMIT 50""".stripMargin
 
+  // Iterative BPE merge learning: the oracle replays every round —
+  // pair stats over the vocabulary, the (count DESC, pair ASC)
+  // winner, and the boundary-guarded merge application — as a chain
+  // of MATERIALIZED CTEs (DuckDB inlines single-reference CTEs, and
+  // each round references its predecessor twice → exponential text
+  // without MATERIALIZED, the gr1 lesson).
+  private val bpeRounds = 8
+
+  /** Shared CTE chain: toks → v → s0 → (p_k, b_k, s_k) per round.
+    * s`rounds` is the fully merged vocabulary; b_k the round-k merge.
+    */
+  private def bpeCteSql(rounds: Int): String = {
+    val head =
+      """toks AS MATERIALIZED (
+        |  SELECT unnest(string_split_regex(text, ' +')) AS word
+        |  FROM documents),
+        |v AS MATERIALIZED (
+        |  SELECT word, count(*) AS freq FROM toks
+        |  WHERE length(word) >= 1 GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |         regexp_replace(word, '(.)', '\1 ', 'g') || '</w>' AS seq
+        |  FROM v)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+        |  SELECT sy[i] || ' ' || sy[i + 1] AS pair,
+        |         sum(freq) AS pair_count
+        |  FROM (SELECT freq, sy,
+        |               unnest(generate_series(1, len(sy) - 1)) AS i
+        |        FROM (SELECT freq, string_split(seq, ' ') AS sy
+        |              FROM s${k - 1}) q0
+        |        WHERE len(sy) >= 2) q1
+        |  GROUP BY 1),
+        |b$k AS MATERIALIZED (
+        |  SELECT pair, pair_count FROM p$k
+        |  ORDER BY pair_count DESC, pair LIMIT 1),
+        |s$k AS MATERIALIZED (
+        |  SELECT word, freq, trim(replace(' ' || seq || ' ',
+        |    (SELECT ' ' || pair || ' ' FROM b$k),
+        |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$k)))
+        |    AS seq
+        |  FROM s${k - 1})""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  val bp2BpeLearn: Q = (s, dir) =>
+    TextAnalysis.bpeLearn(docs(s, dir), "text", rounds = bpeRounds)
+
+  val bp2Sql: String = {
+    val rows = (1 to bpeRounds).map { k =>
+      s"""SELECT $k AS round, split_part(pair, ' ', 1) AS lhs,
+        |       split_part(pair, ' ', 2) AS rhs,
+        |       replace(pair, ' ', '') AS merged, pair_count
+        |FROM b$k""".stripMargin
+    }
+    s"""WITH ${bpeCteSql(bpeRounds)}
+      |${rows.mkString("\nUNION ALL\n")}
+      |ORDER BY round""".stripMargin
+  }
+
+  val bp3BpeEncode: Q = (s, dir) =>
+    TextAnalysis.bpeEncode(docs(s, dir), "source", "text",
+      rounds = bpeRounds)
+
+  val bp3Sql: String =
+    s"""WITH ${bpeCteSql(bpeRounds)},
+      |sw AS MATERIALIZED (
+      |  SELECT source, word, count(*) AS n_occ
+      |  FROM (SELECT source,
+      |               unnest(string_split_regex(text, ' +')) AS word
+      |        FROM documents) q
+      |  WHERE length(word) >= 1 GROUP BY 1, 2),
+      |tk AS MATERIALIZED (
+      |  SELECT word, len(string_split(seq, ' ')) AS n_toks
+      |  FROM s$bpeRounds)
+      |SELECT source, sum(n_occ) AS n_words,
+      |       sum(n_occ * n_toks) AS n_tokens,
+      |       (sum(n_occ * n_toks) * 1000000) // sum(n_occ) AS fert_ppm
+      |FROM sw JOIN tk USING (word)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "bp2_bpe_learn" -> bp2BpeLearn,
+    "bp3_bpe_encode" -> bp3BpeEncode,
     "wn1_winnow_fingerprints" -> wn1Winnow,
     "bp1_bpe_pairs" -> bp1BpePairs,
     "qp2_percentile_scalable" -> qp2PercentileScalable,
@@ -2971,6 +3055,8 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "bp2_bpe_learn" -> bp2Sql,
+    "bp3_bpe_encode" -> bp3Sql,
     "wn1_winnow_fingerprints" -> wn1Sql,
     "bp1_bpe_pairs" -> bp1Sql,
     "qp2_percentile_scalable" -> qp2Sql,

@@ -557,6 +557,186 @@ object TextAnalysis {
           s => s.getField("__line")), delim).as("clean_text"))
   }
 
+  /** The word-frequency table BPE training operates on: one
+    * corpus-linear partial aggregation (map-side combine collapses
+    * repeated tokens before the shuffle); everything downstream of
+    * this frame is vocabulary-bounded.
+    */
+  private def bpeVocab(df: DataFrame, textCol: String): DataFrame =
+    Dedup.spread(df)
+      .select(explode(split(col(textCol), " +")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Initial BPE symbol sequence of a word: space-joined characters
+    * plus the Sennrich end-of-word marker ("low" → "l o w </w>").
+    * The marker string never collides with a single character, and
+    * merged symbols are concatenations of space-free symbols, so a
+    * symbol never contains a space — token boundaries in the
+    * space-joined representation are unambiguous.
+    */
+  private def bpeSeq0(word: Column): Column =
+    concat(regexp_replace(word, "(.)", "$1 "), lit("</w>"))
+
+  /** One BPE merge applied to a space-joined symbol sequence:
+    * boundary-space-guarded literal replace (" l r " → " lr "),
+    * left-to-right non-overlapping — the scan resumes after each
+    * replacement, so in a same-pair run ("a a a a") the shared
+    * boundary space is consumed and alternate occurrences merge
+    * (" aa a a "), exactly the semantics DuckDB's `replace` and
+    * Spark's `replace` share (pinned by BpeSpec's planted-run case).
+    */
+  private def bpeApplyMerge(seq: Column, pair: Column): Column =
+    trim(call_function("replace",
+      concat(lit(" "), seq, lit(" ")),
+      concat(lit(" "), pair, lit(" ")),
+      concat(lit(" "), call_function("replace", pair, lit(" "), lit("")),
+        lit(" "))))
+
+  /** Learned merges plus the final per-word symbol sequences —
+    * shared by [[bpeLearn]] (which returns the merge table) and
+    * [[bpeEncode]] (which tokenizes the corpus with the final
+    * sequences, never re-deriving them).
+    */
+  private[pipeline] case class BpeState(merges: DataFrame,
+      vocab: DataFrame)
+
+  private[pipeline] def bpeState(df: DataFrame, textCol: String,
+      rounds: Int, reliableCheckpoints: Boolean): BpeState = {
+    require(rounds >= 1 && rounds <= 64,
+      s"bpe needs 1 <= rounds <= 64, got $rounds")
+    val vocab0 = bpeVocab(df, textCol)
+      .withColumn("seq", bpeSeq0(col("word")))
+    // The merge loop is vocabulary-bounded: `cur` is one row per
+    // DISTINCT word however large the corpus. Each round reads `cur`
+    // twice (pair stats AND merge application), the double-reference
+    // shape that doubles the lazy plan per round (the pageRank
+    // fixpoint lesson, Graph.scala) — truncate lineage every round.
+    var cur = Lineage.truncate(vocab0, reliableCheckpoints)
+    var merges = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = cur
+        .select(col("freq"), split(col("seq"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"
+        )).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      // Deterministic argmax (count DESC, pair ASC) as a TakeOrdered
+      // over the vocabulary-bounded pair frame; materialized so the
+      // 1-row winner is computed once, not once per downstream use.
+      val best = Lineage.truncate(
+        pairs.orderBy(col("pair_count").desc, col("pair")).limit(1),
+        reliableCheckpoints)
+      merges = merges :+ best.select(lit(r).as("round"),
+        split(col("pair"), " ").getItem(0).as("lhs"),
+        split(col("pair"), " ").getItem(1).as("rhs"),
+        call_function("replace", col("pair"), lit(" "), lit(""))
+          .as("merged"),
+        col("pair_count"))
+      cur = Lineage.truncate(
+        cur.crossJoin(broadcast(best.select(col("pair").as("__mp"))))
+          .withColumn("seq", bpeApplyMerge(col("seq"), col("__mp")))
+          .drop("__mp"),
+        reliableCheckpoints)
+    }
+    BpeState(merges.reduce(_ unionByName _).orderBy("round"), cur)
+  }
+
+  /** Iterative BPE merge learning (Sennrich, Haddow & Birch, ACL
+    * 2016): `rounds` merge rules learned by repeatedly taking the
+    * corpus-weighted most frequent adjacent symbol pair (ties on the
+    * pair string) and fusing it across the vocabulary. Returns one
+    * row per round: (round, lhs, rhs, merged, pair_count).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * partial agg); every merge round runs over the distinct-word
+    * frame — vocabulary-bounded work per round regardless of corpus
+    * token volume, with lineage truncated per round so the plan stays
+    * flat. This distributed loop is the engine-replayable form (the
+    * oracle replays every round in SQL); production trainers learning
+    * tens of thousands of merges run the same loop driver-local on
+    * the collected word-count table — [[bpeLearnLocal]] — because
+    * after the corpus-linear agg the problem fits one machine.
+    */
+  def bpeLearn(df: DataFrame, textCol: String, rounds: Int = 8,
+      reliableCheckpoints: Boolean = false): DataFrame =
+    bpeState(df, textCol, rounds, reliableCheckpoints).merges
+
+  /** Driver-local BPE merge loop over the collected word-count table
+    * — the production-shaped trainer: ONE corpus-linear aggregation,
+    * then the entire merge iteration on a single machine (the word
+    * table is vocabulary-bounded; Sennrich's reference trainer is
+    * exactly this loop). Semantics identical to [[bpeLearn]]
+    * (same pair counting, same (count DESC, pair ASC) tie-break,
+    * same boundary-consuming left-to-right merge application) —
+    * BpeSpec pins the two learners merge-for-merge.
+    */
+  def bpeLearnLocal(df: DataFrame, textCol: String,
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    require(rounds >= 1, s"bpeLearnLocal needs rounds >= 1, got $rounds")
+    val words = bpeVocab(df, textCol)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var seqs: Array[(String, Long)] =
+      words.map { case (w, f) => (w.map(c => s"$c ").mkString + "</w>", f) }
+    val out = Vector.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      seqs.foreach { case (seq, f) =>
+        val sy = seq.split(" ")
+        var i = 0
+        while (i < sy.length - 1) {
+          val p = sy(i) + " " + sy(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
+        val Array(l, rr) = pair.split(" ")
+        out += ((r, l, rr, l + rr, cnt))
+        seqs = seqs.map { case (seq, f) =>
+          ((" " + seq + " ").replace(" " + pair + " ",
+            " " + l + rr + " ").trim, f)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** BPE corpus tokenization stats with merges learned in the same
+    * pass: per `srcCol` the word count, the token count under the
+    * learned `rounds`-merge vocabulary, and tokens-per-word fertility
+    * on an exact parts-per-million integer grid (the tokenizer-QA
+    * number a pipeline tracks per ingest source — a source whose
+    * fertility spikes is one the tokenizer serves badly).
+    *
+    * Scale shape: TWO corpus-linear partial aggs (global word freqs
+    * for training, (source, word) occurrence counts for scoring) —
+    * both collapse map-side; tokenization itself happens once per
+    * DISTINCT word on the vocabulary-bounded frame and joins back to
+    * the (source, word) counts, so no document text is ever
+    * re-scanned per merge round.
+    */
+  def bpeEncode(df: DataFrame, srcCol: String, textCol: String,
+      rounds: Int = 8, reliableCheckpoints: Boolean = false): DataFrame = {
+    val st = bpeState(df, textCol, rounds, reliableCheckpoints)
+    val srcWords = Dedup.spread(df)
+      .select(col(srcCol), explode(split(col(textCol), " +")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col(srcCol), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+    val tokens = st.vocab.select(col("word"),
+      size(split(col("seq"), " ")).cast("long").as("n_toks"))
+    srcWords.join(tokens, "word")
+      .groupBy(col(srcCol))
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("n_toks")).as("n_tokens"))
+      .withColumn("fert_ppm", expr("n_tokens * 1000000 div n_words"))
+      .orderBy(col(srcCol))
+  }
+
   /** Chi-square keyness per source: for every (source, term) the 2×2
     * contingency test of "is this term over-represented in this
     * source vs the rest of the corpus", keeping the top-k
