@@ -2966,7 +2966,34 @@ object PipelineQueries {
       |FROM sw JOIN tk USING (word)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // One-pass PCA moment sums: the corpus is touched once by the Gram
+  // Aggregator; the oracle recomputes every (i ≤ j) product sum from
+  // the same ×10⁶ coordinate grid, so the sums are exact integers in
+  // both engines (the km1/pq1 discipline applied to second moments).
+  val pc1GramSums: Q = (s, dir) =>
+    graft.pipeline.Pca.gramSums(embs(s, dir), "vec_id", "embedding",
+      dim = 64, shards = 8)
+
+  val pc1Sql: String =
+    """WITH eq AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |                        x -> CAST(floor(x * 1000000.0 + 0.5)
+      |                                  AS BIGINT)) AS q
+      |  FROM embeddings WHERE len(embedding) = 64),
+      |ex AS MATERIALIZED (
+      |  SELECT vec_id, i - 1 AS i, q[i] AS qi
+      |  FROM (SELECT vec_id, q,
+      |               unnest(generate_series(1, len(q))) AS i
+      |        FROM eq) t)
+      |SELECT a.i AS i, b.i AS j, count(*) AS n,
+      |       sum(a.qi) AS s_i, sum(b.qi) AS s_j,
+      |       sum(a.qi * b.qi) AS s_ij
+      |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pc1_gram_sums" -> pc1GramSums,
     "bp2_bpe_learn" -> bp2BpeLearn,
     "bp3_bpe_encode" -> bp3BpeEncode,
     "wn1_winnow_fingerprints" -> wn1Winnow,
@@ -3055,6 +3082,7 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pc1_gram_sums" -> pc1Sql,
     "bp2_bpe_learn" -> bp2Sql,
     "bp3_bpe_encode" -> bp3Sql,
     "wn1_winnow_fingerprints" -> wn1Sql,

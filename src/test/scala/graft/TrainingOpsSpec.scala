@@ -67,6 +67,67 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(t8 < t1)
   }
 
+  test("gramSums matches hand-computed moments and is shard-invariant") {
+    import spark.implicits._
+    val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    def rows(shards: Int) =
+      pipeline.Pca.gramSums(df, "vec_id", "embedding", dim = 2,
+        shards = shards)
+        .collect().map(r => (r.getInt(0), r.getInt(1),
+          r.getDecimal(2).longValueExact(), r.getDecimal(3).longValueExact(),
+          r.getDecimal(4).longValueExact(), r.getDecimal(5).longValueExact()))
+        .toSeq
+    val expected = Seq(
+      (0, 0, 2L, 4000000L, 4000000L, 10000000000000L),
+      (0, 1, 2L, 4000000L, 6000000L, 14000000000000L),
+      (1, 1, 2L, 6000000L, 6000000L, 20000000000000L))
+    assert(rows(1) === expected)
+    assert(rows(7) === expected)
+  }
+
+  test("gramSums drops malformed-length vectors instead of crashing") {
+    import spark.implicits._
+    val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(9.0f)))
+      .toDF("vec_id", "embedding")
+    val out = pipeline.Pca.gramSums(df, "vec_id", "embedding", dim = 2)
+      .collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getDecimal(2).longValueExact() == 1L))
+  }
+
+  test("power iteration on the fixture covariance: eigenpair + projection variance") {
+    val dim = 64
+    val embs = Tables.load(spark, sf, "embeddings")
+    val gram = pipeline.Pca.gramSums(embs, "vec_id", "embedding", dim)
+      .localCheckpoint(true)
+    val cov = pipeline.Pca.covarianceMatrix(gram, dim)
+    // symmetric by construction; dominant eigenpair via power iteration
+    val (lambda, v) = pipeline.Pca.powerIteration(cov)
+    val maxDiag = (0 until dim).map(i => cov(i)(i)).max
+    assert(lambda >= maxDiag - 1e-12,
+      s"top eigenvalue $lambda below max diagonal $maxDiag")
+    val residual = (0 until dim).map { i =>
+      val cvi = (0 until dim).map(j => cov(i)(j) * v(j)).sum
+      math.abs(cvi - lambda * v(i))
+    }.max
+    assert(residual <= 1e-6 * math.max(lambda, 1e-12),
+      s"Rayleigh residual $residual too large for lambda $lambda")
+    // projecting the corpus onto the component reproduces the
+    // eigenvalue as the population variance of the scores
+    val n = gram.select(max(col("n").cast("long"))).collect().head.getLong(0)
+    val mean = new Array[Double](dim)
+    gram.filter(col("i") === col("j")).collect().foreach { r =>
+      mean(r.getInt(0)) = r.getDecimal(3).doubleValue() / n / 1e6
+    }
+    val scores = pipeline.Pca.project(embs, "vec_id", "embedding", v, mean)
+      .select(col("score")).collect().map(_.getDouble(0))
+    val m0 = scores.sum / scores.length
+    val varProj = scores.map(x => (x - m0) * (x - m0)).sum / scores.length
+    assert(math.abs(varProj - lambda) <= 1e-3 * lambda,
+      s"projection variance $varProj != eigenvalue $lambda")
+  }
+
   test("bpeLearn validates rounds") {
     val df = docsOf("a")
     intercept[IllegalArgumentException] {
