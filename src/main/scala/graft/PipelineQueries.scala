@@ -2992,7 +2992,49 @@ object PipelineQueries {
       |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin
 
+  // Count-min heavy hitters over the event stream's user key: the
+  // sketch (depth 4 × width 32 — 150 distinct users at sf0.01, so
+  // collisions are real and overcount > 0 rows attest the estimator,
+  // not a degenerate exact copy) is rebuilt by the oracle from the
+  // same md5 lane family, so the ESTIMATES hash-match, not just the
+  // exact side.
+  val hh1CmsHeavyHitters: Q = (s, dir) =>
+    graft.pipeline.Sketch.cmsHeavyHitters(
+      Tables.load(s, dir, "events"), "user_id",
+      depth = 4, width = 32, topK = 20)
+
+  val hh1Sql: String =
+    """WITH l AS (
+      |  SELECT user_id,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7)
+      |              AS BIGINT) AS a,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8, 7)
+      |              AS BIGINT) AS b
+      |  FROM events),
+      |lb AS (
+      |  SELECT user_id, i AS lane,
+      |         ((a + (i + 1) * b) % 1000000007) % 32 AS bucket
+      |  FROM l, (SELECT unnest(generate_series(0, 3)) AS i) lanes),
+      |sk AS (SELECT lane, bucket, count(*) AS cnt
+      |       FROM lb GROUP BY 1, 2),
+      |ex AS (SELECT user_id, count(*) AS exact_cnt FROM events
+      |       GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 20),
+      |pr AS (
+      |  SELECT e.user_id, e.exact_cnt, i AS lane,
+      |         ((CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 7)
+      |                AS BIGINT)
+      |           + (i + 1) *
+      |           CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 8, 7)
+      |                AS BIGINT)) % 1000000007) % 32 AS bucket
+      |  FROM ex e, (SELECT unnest(generate_series(0, 3)) AS i) lanes)
+      |SELECT pr.user_id, pr.exact_cnt, min(sk.cnt) AS cms_est,
+      |       min(sk.cnt) - pr.exact_cnt AS overcount
+      |FROM pr JOIN sk USING (lane, bucket)
+      |GROUP BY pr.user_id, pr.exact_cnt
+      |ORDER BY exact_cnt DESC, user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "hh1_cms_heavy_hitters" -> hh1CmsHeavyHitters,
     "pc1_gram_sums" -> pc1GramSums,
     "bp2_bpe_learn" -> bp2BpeLearn,
     "bp3_bpe_encode" -> bp3BpeEncode,
@@ -3082,6 +3124,7 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "hh1_cms_heavy_hitters" -> hh1Sql,
     "pc1_gram_sums" -> pc1Sql,
     "bp2_bpe_learn" -> bp2Sql,
     "bp3_bpe_encode" -> bp3Sql,

@@ -128,6 +128,35 @@ class TrainingOpsSpec extends SparkTestBase {
       s"projection variance $varProj != eigenvalue $lambda")
   }
 
+  test("cms sketch lane totals equal the stream size") {
+    val events = Tables.load(spark, sf, "events")
+    val n = events.count()
+    val laneTotals = pipeline.Sketch.cmsSketch(events, "user_id",
+      depth = 4, width = 32)
+      .groupBy("lane").agg(sum("cnt").as("total"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(laneTotals.keySet === Set(0, 1, 2, 3))
+    assert(laneTotals.values.forall(_ == n),
+      s"every lane must hold the full stream count $n: $laneTotals")
+  }
+
+  test("cms estimates dominate exact counts; narrow sketches overcount more") {
+    val events = Tables.load(spark, sf, "events")
+    def report(width: Int) =
+      pipeline.Sketch.cmsHeavyHitters(events, "user_id",
+        depth = 4, width = width, topK = 10)
+        .collect().map(r => (r.getAs[Long]("exact_cnt"),
+          r.getAs[Long]("cms_est"), r.getAs[Long]("overcount")))
+    val narrow = report(8)
+    val wide = report(4096)
+    assert(narrow.forall { case (ex, est, over) =>
+      est >= ex && over == est - ex })
+    assert(wide.forall { case (ex, est, over) => est >= ex })
+    // 150 keys into 8×4 counters must collide; into 4096×4 they
+    // mostly don't — aggregate overcount is ordered accordingly
+    assert(narrow.map(_._3).sum > wide.map(_._3).sum)
+  }
+
   test("bpeLearn validates rounds") {
     val df = docsOf("a")
     intercept[IllegalArgumentException] {
