@@ -493,4 +493,43 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("gramSums is one scan: the corpus feeds the Gram Aggregator once") {
+    val df = graft.pipeline.Pca.gramSums(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      dim = 64, shards = 8)
+    val p = plan(df)
+    // ONE parquet scan — the whole second-moment matrix rides a single
+    // pass; a per-(i,j) self-join would scan per pair (2080x)
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(2000))
+    // typed Aggregator runs partial+final (map-side combine per shard)
+    assert(p.contains("partial_gramagg") || p.contains("partial_"),
+      p.take(2000))
+  }
+
+  test("cms heavy hitters: sketch probe is a broadcast, no cartesian") {
+    val p = plan(graft.pipeline.Sketch.cmsHeavyHitters(
+      Tables.load(spark, sf, "events"), "user_id",
+      depth = 4, width = 32, topK = 10))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the bounded sketch (depth x width rows) broadcasts to the probe
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // exact top-k side is a TakeOrdered heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("bpe merge rounds keep the plan flat via per-round truncation") {
+    // without per-round lineage truncation the pair-stats + merge
+    // double reference doubles the lazy plan per round (the pageRank
+    // fixpoint failure family); with it, the final plan reads the
+    // checkpointed vocab, not a 2^rounds tree
+    val merges = graft.pipeline.TextAnalysis.bpeLearn(
+      Tables.load(spark, sf, "documents"), "text", rounds = 6)
+    val p = plan(merges)
+    assert(p.linesIterator.length < 200, s"plan blew up: ${p.take(2000)}")
+    assert(!p.contains("FileScan parquet"),
+      "final merge frame must read truncated lineage, not re-scan the corpus")
+  }
 }
