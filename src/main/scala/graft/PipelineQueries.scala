@@ -3033,7 +3033,242 @@ object PipelineQueries {
       |GROUP BY pr.user_id, pr.exact_cnt
       |ORDER BY exact_cnt DESC, user_id""".stripMargin
 
+  // Label-propagation communities over the same customer<->supplier
+  // purchase graph gr1 ranks: integer labels, deterministic
+  // (count DESC, label ASC) votes with a self-vote, so all 4
+  // synchronous rounds replay as chained materialized CTEs.
+  val lp1LabelProp: Q = (s, dir) => {
+    val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val cs = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pipeline.Communities.labelPropagation(cs, "src", "dst", iters = 4)
+      .orderBy("node")
+  }
+
+  private def lpaIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""v$k AS MATERIALIZED (
+        |  SELECT node, lbl, count(*) AS c FROM (
+        |    SELECT e.dst AS node, l.lbl
+        |    FROM edges e JOIN l${k - 1} l ON l.node = e.src
+        |    UNION ALL
+        |    SELECT node, lbl FROM l${k - 1}) q
+        |  GROUP BY node, lbl),
+        |l$k AS MATERIALIZED (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl,
+        |           row_number() OVER (PARTITION BY node
+        |                              ORDER BY c DESC, lbl) AS rn
+        |    FROM v$k) q WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  val lp1Sql: String =
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |l0 AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      |${lpaIterCtes(4)}
+      |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
+
+  // Per-node triangle counts / clustering coefficients over the
+  // supplier co-purchase graph, sparsified to above-mean-weight edges
+  // (exact integer cross-multiply w·|pairs| > Σw, so the threshold
+  // adapts to SF without a float cutoff). Orientation, wedge pairing
+  // and the ppm coefficient are all integer arithmetic — the oracle
+  // replays the full compact-forward computation.
+  val tr1TriangleStats: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val wp = li.join(l2, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") < col("s2"))
+      .select(col("l_suppkey").as("a"), col("s2").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val tot = wp.agg(count(lit(1)).as("np"), sum("w").as("sw"))
+    val e = wp.crossJoin(broadcast(tot))
+      .filter(col("w") * col("np") > col("sw"))
+      .select("a", "b")
+    pipeline.Communities.triangleStats(e, "a", "b").orderBy("node")
+  }
+
+  val tr1Sql: String =
+    """WITH wp AS MATERIALIZED (
+      |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, count(*) AS w
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT count(*) AS np, sum(w) AS sw FROM wp),
+      |e0 AS MATERIALIZED (
+      |  SELECT a, b FROM wp, tot WHERE w * np > sw),
+      |deg AS MATERIALIZED (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) q
+      |  GROUP BY node),
+      |oe AS MATERIALIZED (
+      |  SELECT CASE WHEN da.deg < db.deg
+      |                OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
+      |         CASE WHEN da.deg < db.deg
+      |                OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS v
+      |  FROM e0
+      |  JOIN deg da ON da.node = a
+      |  JOIN deg db ON db.node = b),
+      |tri AS MATERIALIZED (
+      |  SELECT o1.u AS x, o1.v AS y, o2.v AS z
+      |  FROM oe o1
+      |  JOIN oe o2 ON o1.u = o2.u
+      |  JOIN deg dv ON dv.node = o1.v
+      |  JOIN deg dw ON dw.node = o2.v
+      |  JOIN oe o3 ON o3.u = o1.v AND o3.v = o2.v
+      |  WHERE dv.deg < dw.deg OR (dv.deg = dw.deg AND o1.v < o2.v)),
+      |pn AS (
+      |  SELECT node, count(*) AS tri FROM (
+      |    SELECT x AS node FROM tri UNION ALL
+      |    SELECT y FROM tri UNION ALL
+      |    SELECT z FROM tri) q
+      |  GROUP BY node)
+      |SELECT d.node, d.deg, COALESCE(pn.tri, 0) AS tri,
+      |       d.deg * (d.deg - 1) // 2 AS wedges,
+      |       CASE WHEN d.deg >= 2
+      |            THEN (1000000 * COALESCE(pn.tri, 0))
+      |                 // (d.deg * (d.deg - 1) // 2)
+      |            ELSE 0 END AS lcc_ppm
+      |FROM deg d LEFT JOIN pn ON pn.node = d.node
+      |ORDER BY d.node""".stripMargin
+
+  // HyperLogLog distinct users per event type: registers and the
+  // scaled harmonic sum are exact integers rebuilt by the oracle from
+  // the same md5 hash bits (the hh1 pattern applied to cardinality);
+  // the estimate is a fixed chain of IEEE ops on those integers. At
+  // m = 64 and ~150 distinct users the small-range (linear counting)
+  // branch is exercised with real zero buckets.
+  val hl1HllDistinct: Q = (s, dir) =>
+    graft.pipeline.Sketch.hllDistinctReport(
+      Tables.load(s, dir, "events"), "user_id", "event_type")
+      .orderBy("event_type")
+
+  private def hllRhoCaseSql(w: Int): String = {
+    val arms = (1 to w).map { k =>
+      s"WHEN s % ${1L << k} = ${1L << (k - 1)} THEN $k"
+    }
+    (s"CASE WHEN s = 0 THEN ${w + 1}" +: arms).mkString(" ") + " END"
+  }
+
+  val hl1Sql: String =
+    s"""WITH h AS (
+      |  SELECT event_type,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+      |              AS BIGINT) AS h
+      |  FROM events),
+      |r0 AS (
+      |  SELECT event_type, h % 64 AS bucket, (h // 64) % 65536 AS s
+      |  FROM h),
+      |reg AS MATERIALIZED (
+      |  SELECT event_type, bucket, max(${hllRhoCaseSql(16)}) AS mj
+      |  FROM r0 GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, g.bucket
+      |  FROM (SELECT DISTINCT event_type FROM events) t,
+      |       (SELECT unnest(generate_series(0, 63)) AS bucket) g),
+      |fr AS (
+      |  SELECT grid.event_type, grid.bucket, COALESCE(reg.mj, 0) AS mj
+      |  FROM grid LEFT JOIN reg
+      |    ON reg.event_type = grid.event_type
+      |   AND reg.bucket = grid.bucket),
+      |sums AS (
+      |  SELECT event_type,
+      |         sum(CAST(1 AS BIGINT) << (17 - mj)) AS harmonic_scaled,
+      |         sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS zeros
+      |  FROM fr GROUP BY 1),
+      |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_cnt
+      |       FROM events GROUP BY 1)
+      |SELECT s.event_type, ex.exact_cnt, s.zeros, s.harmonic_scaled,
+      |       CASE WHEN (0.709 * 4096.0 * 131072.0 / harmonic_scaled)
+      |                 <= 160.0 AND zeros > 0
+      |            THEN 64.0 * ln(64.0 / zeros)
+      |            ELSE 0.709 * 4096.0 * 131072.0 / harmonic_scaled
+      |       END AS hll_est
+      |FROM sums s JOIN ex USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // Fractional epoch up-sampling: src0 x2.5, src1 x0.25, src2 x3.0,
+  // everything else x1.0 — the per-document extra-copy decision is a
+  // ppm hash threshold the oracle replays, and the copies themselves
+  // are a generate_series join.
+  val up1EpochUpsample: Q = (s, dir) =>
+    pipeline.Sampling.epochUpsample(docs(s, dir), "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 3.0), seed = 7L)
+      .orderBy("doc_id", "epoch_copy")
+
+  val up1Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+      |                     WHEN 'src2' THEN 3 ELSE 1 END
+      |         + CASE WHEN (CAST('0x' ||
+      |               substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |               AS BIGINT) % 1000000)
+      |             < CASE source WHEN 'src0' THEN 500000
+      |                           WHEN 'src1' THEN 250000
+      |                           ELSE 0 END
+      |            THEN 1 ELSE 0 END AS reps
+      |  FROM documents)
+      |SELECT doc_id, source, u.epoch_copy
+      |FROM r, UNNEST(generate_series(1, r.reps)) u(epoch_copy)
+      |ORDER BY doc_id, epoch_copy""".stripMargin
+
+  // The full training-order materialization: the up1 mixture (epochs
+  // per source) fed through the deterministic global shuffle — every
+  // copy lands in a hash shard with a stable within-shard ordinal.
+  // The oracle replays the whole composition: repeats, copies, hash,
+  // shard, and the (hash, key) row_number.
+  val sh1ShuffleShards: Q = (s, dir) => {
+    val mixed = pipeline.Sampling.epochUpsample(docs(s, dir), "doc_id",
+      "source", Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 3.0),
+      seed = 7L)
+    pipeline.Sampling.shuffleShards(mixed,
+      Seq("doc_id", "epoch_copy"), nShards = 8, seed = 11L)
+      .orderBy("shard", "pos")
+  }
+
+  val sh1Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+      |                     WHEN 'src2' THEN 3 ELSE 1 END
+      |         + CASE WHEN (CAST('0x' ||
+      |               substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |               AS BIGINT) % 1000000)
+      |             < CASE source WHEN 'src0' THEN 500000
+      |                           WHEN 'src1' THEN 250000
+      |                           ELSE 0 END
+      |            THEN 1 ELSE 0 END AS reps
+      |  FROM documents),
+      |mixed AS (
+      |  SELECT doc_id, source, u.epoch_copy
+      |  FROM r, UNNEST(generate_series(1, r.reps)) u(epoch_copy)),
+      |hashed AS (
+      |  SELECT doc_id, source, epoch_copy,
+      |         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)
+      |               || ':' || CAST(epoch_copy AS VARCHAR)), 1, 15)
+      |              AS BIGINT) AS h
+      |  FROM mixed)
+      |SELECT doc_id, source, epoch_copy, h % 8 AS shard,
+      |       CAST(row_number() OVER (PARTITION BY h % 8
+      |                               ORDER BY h, doc_id, epoch_copy)
+      |            AS INT) AS pos
+      |FROM hashed ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sh1_shuffle_shards" -> sh1ShuffleShards,
+    "lp1_label_propagation" -> lp1LabelProp,
+    "tr1_triangle_stats" -> tr1TriangleStats,
+    "hl1_hll_distinct" -> hl1HllDistinct,
+    "up1_epoch_upsample" -> up1EpochUpsample,
     "hh1_cms_heavy_hitters" -> hh1CmsHeavyHitters,
     "pc1_gram_sums" -> pc1GramSums,
     "bp2_bpe_learn" -> bp2BpeLearn,
@@ -3124,6 +3359,11 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sh1_shuffle_shards" -> sh1Sql,
+    "lp1_label_propagation" -> lp1Sql,
+    "tr1_triangle_stats" -> tr1Sql,
+    "hl1_hll_distinct" -> hl1Sql,
+    "up1_epoch_upsample" -> up1Sql,
     "hh1_cms_heavy_hitters" -> hh1Sql,
     "pc1_gram_sums" -> pc1Sql,
     "bp2_bpe_learn" -> bp2Sql,

@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community structure over an edge list — the two classic local /
+  * mesoscale graph signals corpus curation consumes alongside
+  * [[Graph]]'s global importance: label-propagation communities
+  * (which topical/site neighborhood is this page in — LPA, Raghavan
+  * et al., Phys. Rev. E 2007) and per-node triangle counts /
+  * clustering coefficients (how clique-like is this node's
+  * neighborhood — spam farms and boilerplate rings are near-cliques,
+  * organic link neighborhoods are not).
+  *
+  * Both are exact integer computations: labels are node ids,
+  * triangle counts are counts, and the clustering coefficient is
+  * emitted on a ppm integer grid — every value replays bit-for-bit
+  * in any engine, the same discipline as Graph.pageRank's integer
+  * rank grid.
+  */
+object Communities {
+
+  /** Synchronous label propagation with a self-vote, deterministic
+    * ties. Every node starts labeled with itself; each round every
+    * node adopts the label with the highest vote count among its
+    * neighbors' current labels plus ONE self-vote for its own current
+    * label, ties broken toward the SMALLEST label. The self-vote
+    * damps the 2-cycle oscillation plain synchronous LPA exhibits on
+    * bipartite graphs (Raghavan et al. §III discuss the
+    * label-oscillation failure mode); the (count DESC, label ASC)
+    * rule makes every round a pure function of the previous one — no
+    * random visit order, so the result is reproducible across runs,
+    * partitionings, and engines, unlike the paper's asynchronous
+    * formulation.
+    *
+    * Scale shape: the edge list is symmetrized, deduped,
+    * hash-partitioned on `src` ONCE and lineage-truncated; each round
+    * is one equi-join of edges against the |V|-row label frame, one
+    * partial (map-side combined) count keyed on (node, label), and
+    * one struct-max partial agg keyed on node — the (count, -label)
+    * pair folds associatively, so the argmax needs no window and no
+    * sort. Per-round shuffle volume is O(|E|) vote rows collapsing to
+    * O(|V|) — never all-pairs, no driver-side loop over rows.
+    * Lineage is truncated every `checkpointEvery` rounds (pass
+    * `reliableCheckpoints = true` on a real cluster, see [[Lineage]]).
+    *
+    * Runs a FIXED `iters` rounds (LPA has no monotone convergence
+    * guarantee; production runs use a small fixed budget — labels
+    * stabilize in a handful of rounds on real graphs). Returns
+    * (node, community) with community = the surviving label.
+    */
+  def labelPropagation(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", iters: Int = 4,
+      checkpointEvery: Int = 3,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    require(iters >= 1, s"labelPropagation needs >= 1 round, got $iters")
+    def truncate(df: DataFrame): DataFrame =
+      Lineage.truncate(df, reliableCheckpoints)
+    val spark = pairs.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = truncate(pairs
+      .select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
+      .unionByName(pairs.select(col(id2).cast("long").as("src"),
+        col(id1).cast("long").as("dst")))
+      .distinct()
+      .repartition(shufflePartitions, col("src")))
+    var labels = truncate(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    for (i <- 1 to iters) {
+      val neighborVotes = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+      val votes = neighborVotes.unionByName(labels)
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      // argmax by (count DESC, label ASC) as ONE associative
+      // struct-max: maximize (c, -lbl), then recover lbl. No window.
+      labels = votes
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("w"))
+        .select(col("node"), (-col("w.nl")).as("lbl"))
+      if (i % checkpointEvery == 0 && i < iters) labels = truncate(labels)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected simple graph, by degree-ordered orientation
+    * ("compact-forward", Latapy, TCS 2008; Schank & Wagner, WEA 2005)
+    * — the shape that survives scale: orienting every edge from its
+    * lower-(degree, id) endpoint to the higher one bounds every
+    * out-degree by O(√|E|), so the wedge self-join emits at most
+    * O(|E|^1.5) candidate rows on ANY graph, including power-law ones
+    * where the naive neighbor self-join explodes on hub nodes.
+    * Everything is an equi-join keyed on a node id (wedges on their
+    * apex, closure on the far endpoint pair) — no broadcast NLJ, no
+    * all-pairs.
+    *
+    * Output: one row per node — (node, deg, tri, wedges, lcc_ppm)
+    * with wedges = deg·(deg−1)/2 (exact: the product of consecutive
+    * integers is even) and lcc_ppm = ⌊10⁶·tri / wedges⌋ (0 when
+    * deg < 2) — the clustering coefficient on an exact ppm integer
+    * grid, fold-order-independent and engine-replayable.
+    *
+    * `pairs` rows are treated as undirected edges; duplicates and
+    * both orientations collapse; self-loops are dropped.
+    */
+  def triangleStats(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2"): DataFrame = {
+    // canonical undirected edge set: (a < b), deduped, no self-loops
+    val e = pairs
+      .select(least(col(id1).cast("long"), col(id2).cast("long")).as("a"),
+        greatest(col(id1).cast("long"), col(id2).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the lower (deg, node) endpoint to the
+    // higher: out-degrees are then <= O(sqrt(|E|)) on any graph
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("v"),
+      when(lowFirst, col("da")).otherwise(col("db")).as("du"),
+      when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
+    // wedges at apex u: out-neighbor pairs (v, w) with rank(v) <
+    // rank(w) in the same (deg, id) order — each unordered pair once
+    val o1 = oriented.select(col("u"), col("v"), col("dv"))
+    val o2 = oriented.select(col("u"), col("v").as("w"),
+      col("dv").as("dw"))
+    val wedges = o1.join(o2, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    // closure: the (v, w) edge is oriented v->w because rank(v) <
+    // rank(w) — one equi-join against the oriented edge set
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+      .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
+    val perNode = tris.select(col("x").as("node"))
+      .unionByName(tris.select(col("y").as("node")))
+      .unionByName(tris.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        expr("deg * (deg - 1) DIV 2").as("wedges"),
+        when(col("deg") >= 2,
+          expr("(1000000 * coalesce(tri, 0)) DIV (deg * (deg - 1) DIV 2)"))
+          .otherwise(lit(0L)).as("lcc_ppm"))
+  }
+}

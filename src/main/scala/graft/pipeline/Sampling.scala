@@ -28,6 +28,93 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Fractional per-source epoch up-sampling: materialize a training
+    * mixture where source s is seen `epochs(s)` times per pass — the
+    * standard mixture knob published as per-dataset epoch factors
+    * (e.g. "books ×2.3/epoch"). Non-integer factors are realized
+    * exactly in expectation AND deterministically per document:
+    * every row yields ⌊e⌋ copies plus one more iff the portable
+    * (seed, id) hash lands below frac(e) — so reruns, engines, and
+    * partitionings materialize the IDENTICAL multiset, and a
+    * document's extra copy is a stable property of its id, not of
+    * visit order. The fractional threshold is snapped to a ppm
+    * integer grid driver-side, so the comparison is integer-exact.
+    *
+    * Scale shape: purely map-side — one md5 per row, a when-chain
+    * over the (small, literal) source map, one `sequence` explode.
+    * No shuffle, no state, no driver loop; output volume is
+    * Σ_s e_s·n_s by construction. Downstream shuffling/packing is
+    * the consumer's business ([[packSequences]], [[assignSplits]]).
+    *
+    * Returns the id/stratum columns plus `epoch_copy` (1-based copy
+    * index). Sources missing from `epochs` get `defaultEpochs`;
+    * factors must be >= 0 (0 drops the source).
+    */
+  def epochUpsample(df: DataFrame, idCol: String, strataCol: String,
+      epochs: Map[String, Double], seed: Long = 42L,
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0.0),
+      "epoch factors must be >= 0")
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ <= 1000.0),
+      "epoch factors above 1000 are almost certainly a unit mistake")
+    def basePart(e: Double): Long = math.floor(e).toLong
+    def fracPpm(e: Double): Long = math.round((e - math.floor(e)) * 1e6)
+    val sorted = epochs.toSeq.sortBy(_._1)
+    val base = sorted.foldLeft(lit(basePart(defaultEpochs))) {
+      case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(basePart(v))).otherwise(acc)
+    }
+    val frac = sorted.foldLeft(lit(fracPpm(defaultEpochs))) {
+      case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(fracPpm(v))).otherwise(acc)
+    }
+    val uPpm = PortableHash.hash60(
+      concat_ws(":", lit(seed), col(idCol))) % 1000000L
+    df.select(col(idCol), col(strataCol))
+      .withColumn("__reps",
+        (base + when(uPpm < frac, 1L).otherwise(0L)).cast("int"))
+      .filter(col("__reps") > 0)
+      .select(col(idCol), col(strataCol),
+        explode(sequence(lit(1), col("__reps"))).as("epoch_copy"))
+  }
+
+  /** Deterministic global shuffle materialized as (shard, pos): the
+    * step between a mixed corpus ([[epochUpsample]]) and a training
+    * run's data loader — every row lands in a pseudo-random shard
+    * (low bits of the portable (seed, key) hash) and gets a stable
+    * ordinal within it (hash order, key tie-break), so shard files
+    * can be written sorted and an epoch's read order is reproducible
+    * bit-for-bit across reruns and engines. Changing `seed` reshuffles
+    * everything; changing nothing re-materializes the identical order
+    * — the property random `repartition` + file order can't promise.
+    *
+    * Scale shape: the shard assignment is map-only; the within-shard
+    * ordinal is one window PARTITIONED BY shard — bounded by
+    * construction, because `nShards` is chosen to make a shard a
+    * file-sized unit (corpus/nShards rows; hash-uniform, so skew is
+    * ±O(√(n/nShards)) — there is no hot shard by design, unlike
+    * windows over natural keys). At 100 TB you run this with
+    * O(100k) shards and each window group is a few hundred MB — the
+    * same contract as writing the shard files themselves.
+    *
+    * `keyCols` must uniquely identify a row (e.g. doc_id, or
+    * (doc_id, epoch_copy) over an up-sampled mixture); the ordinal is
+    * total because the tie-break closes over them.
+    */
+  def shuffleShards(df: DataFrame, keyCols: Seq[String], nShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(keyCols.nonEmpty, "shuffleShards needs at least one key column")
+    require(nShards >= 1, s"shuffleShards needs nShards >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = PortableHash.hash60(concat_ws(":",
+      lit(seed) +: keyCols.map(c => col(c).cast("string")): _*))
+    val keyed = df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("__h") +: keyCols.map(col): _*)
+    keyed.withColumn("pos", row_number().over(w)).drop("__h")
+  }
+
   /** Per-source cap (source balancing): keep at most `cap` rows per
     * stratum, chosen deterministically by portable hash of (seed, id)
     * — "no source may contribute more than M documents", the standard

@@ -520,6 +520,51 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("label propagation argmax is a struct-max partial agg, no window") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("id1"), col("l_suppkey").as("id2"))
+    val p = plan(graft.pipeline.Communities.labelPropagation(li, iters = 2))
+    // (count DESC, label ASC) folds associatively as max(struct(c,-lbl))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(p.contains("partial_max") || p.contains("partial_"), p.take(2000))
+  }
+
+  test("triangle stats: oriented wedge join stays equi, no NLJ") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("a"), col("l_suppkey").as("b"))
+    val p = plan(graft.pipeline.Communities.triangleStats(li, "a", "b"))
+    // wedge pairing keys on the apex, closure keys on (v, w): every
+    // join is hash/merge — the degree orientation exists precisely so
+    // no step needs an all-pairs comparison
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("hll register build is one scan, one partial agg, no Expand") {
+    val p = plan(graft.pipeline.Sketch.hllRegisters(
+      Tables.load(spark, sf, "events"), "user_id", "event_type"))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p.take(2000))
+    // the sketch replaces countDistinct's Expand: its own build must
+    // not reintroduce one
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(p.contains("partial_max"), p.take(2000))
+  }
+
+  test("epoch upsample is map-only: no exchange, no join, no window") {
+    val p = plan(graft.pipeline.Sampling.epochUpsample(
+      Tables.load(spark, sf, "documents"), "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25)))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000)) // the sequence explode
+  }
+
   test("bpe merge rounds keep the plan flat via per-round truncation") {
     // without per-round lineage truncation the pair-stats + merge
     // double reference doubles the lazy plan per round (the pageRank
