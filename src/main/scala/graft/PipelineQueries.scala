@@ -3077,34 +3077,70 @@ object PipelineQueries {
       |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
 
   // Per-node triangle counts / clustering coefficients over the
-  // supplier co-purchase graph, sparsified to above-mean-weight edges
-  // (exact integer cross-multiply w·|pairs| > Σw, so the threshold
-  // adapts to SF without a float cutoff). Orientation, wedge pairing
-  // and the ppm coefficient are all integer arithmetic — the oracle
-  // replays the full compact-forward computation.
+  // supplier co-purchase kNN graph: each supplier keeps its 10
+  // strongest co-purchase partners ((weight DESC, partner ASC) ties),
+  // union-symmetrized — the standard similarity-graph construction,
+  // and the one that survives SF growth: the raw co-purchase graph
+  // DENSIFIES with scale (complete at sf0.01 already), while the
+  // kNN graph is ≤ 2k·|V| edges at any SF, so the wedge join's input
+  // is degree-bounded by construction. The pair build itself carries
+  // a basket guard: the per-order self-join is QUADRATIC in basket
+  // size, so baskets above 64 lines are dropped before pairing — a
+  // degenerate giant basket (the skew fixture routes 30% of all
+  // lineitems to ONE order) is boilerplate, not co-purchase signal,
+  // and would otherwise cost |basket|² rows. Same discipline as
+  // Dedup's stop-shingle / hot-bucket guards. Orientation, wedge
+  // pairing and the ppm coefficient are all integer arithmetic — the
+  // oracle replays the guard, the selection and the compact-forward
+  // computation.
   val tr1TriangleStats: Q = (s, dir) => {
-    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    import org.apache.spark.sql.expressions.Window
+    val li0 = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    // the bad-basket list is tiny (usually empty); broadcast-anti on
+    // the LEFT side only — the equi-join on l_orderkey then excludes
+    // the whole basket, and the guard agg is computed once, not once
+    // per self-join side
+    val bad = li0.groupBy("l_orderkey").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 64).select("l_orderkey")
+    val li = li0.join(broadcast(bad), Seq("l_orderkey"), "left_anti")
+    val l2 = li0.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
     val wp = li.join(l2, col("l_orderkey") === col("o2") &&
         col("l_suppkey") < col("s2"))
       .select(col("l_suppkey").as("a"), col("s2").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
-    val tot = wp.agg(count(lit(1)).as("np"), sum("w").as("sw"))
-    val e = wp.crossJoin(broadcast(tot))
-      .filter(col("w") * col("np") > col("sw"))
-      .select("a", "b")
-    pipeline.Communities.triangleStats(e, "a", "b").orderBy("node")
+    val partners = wp.select(col("a").as("node"), col("b").as("p"), col("w"))
+      .unionByName(wp.select(col("b").as("node"), col("a").as("p"), col("w")))
+    val topk = partners.withColumn("__rn", row_number().over(
+        Window.partitionBy("node").orderBy(col("w").desc, col("p"))))
+      .filter(col("__rn") <= 10)
+    pipeline.Communities.triangleStats(topk, "node", "p").orderBy("node")
   }
 
   val tr1Sql: String =
-    """WITH wp AS MATERIALIZED (
+    """WITH ok AS MATERIALIZED (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING count(*) <= 64),
+      |li AS MATERIALIZED (
+      |  SELECT l_orderkey, l_suppkey FROM lineitem
+      |  WHERE l_orderkey IN (SELECT l_orderkey FROM ok)),
+      |wp AS MATERIALIZED (
       |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, count(*) AS w
-      |  FROM lineitem l1 JOIN lineitem l2
+      |  FROM li l1 JOIN li l2
       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
       |  GROUP BY 1, 2),
-      |tot AS (SELECT count(*) AS np, sum(w) AS sw FROM wp),
+      |pt AS MATERIALIZED (
+      |  SELECT a AS node, b AS p, w FROM wp
+      |  UNION ALL
+      |  SELECT b AS node, a AS p, w FROM wp),
+      |tk AS MATERIALIZED (
+      |  SELECT node, p FROM (
+      |    SELECT node, p,
+      |           row_number() OVER (PARTITION BY node
+      |                              ORDER BY w DESC, p) AS rn
+      |    FROM pt) q WHERE rn <= 10),
       |e0 AS MATERIALIZED (
-      |  SELECT a, b FROM wp, tot WHERE w * np > sw),
+      |  SELECT DISTINCT least(node, p) AS a, greatest(node, p) AS b
+      |  FROM tk),
       |deg AS MATERIALIZED (
       |  SELECT node, count(*) AS deg FROM (
       |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) q
@@ -3263,7 +3299,72 @@ object PipelineQueries {
       |            AS INT) AS pos
       |FROM hashed ORDER BY shard, pos""".stripMargin
 
+  // Term-distribution drift between the df1 snapshot pair: v2 is v1
+  // with the same deterministic delete/edit/insert. The edit plants a
+  // literal "v2" token (new_terms > 0 guaranteed), the delete drops
+  // mass. Exact token/vocab/new/dropped integers; the KL sum is
+  // grid-floored per term before summing, so both engines fold
+  // integers.
+  val dr1TermDrift: Q = (s, dir) => {
+    val v1 = docs(s, dir).select("doc_id", "text", "source")
+    val v2 = v1.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"),
+        col("source"))
+      .unionByName(
+        v1.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            col("text"), col("source")))
+    pipeline.TextAnalysis.termDrift(v1, v2, "source", "text")
+      .orderBy("source")
+  }
+
+  val dr1Sql: String =
+    """WITH v1 AS (SELECT doc_id, text, source FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+      |           AS text,
+      |         source
+      |  FROM v1 WHERE doc_id % 19 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, source
+      |  FROM v1 WHERE doc_id % 31 = 0),
+      |cnt AS MATERIALIZED (
+      |  SELECT source, term,
+      |         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS c1,
+      |         sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS c2
+      |  FROM (
+      |    SELECT source, unnest(string_split_regex(text, ' +')) AS term,
+      |           1 AS v FROM v1
+      |    UNION ALL
+      |    SELECT source, unnest(string_split_regex(text, ' +')) AS term,
+      |           2 AS v FROM v2) q
+      |  WHERE length(term) >= 1
+      |  GROUP BY source, term),
+      |tot AS MATERIALIZED (
+      |  SELECT source, sum(c1) AS tokens_v1, sum(c2) AS tokens_v2,
+      |         count(*) AS vocab_union,
+      |         sum(CASE WHEN c1 = 0 THEN 1 ELSE 0 END) AS new_terms,
+      |         sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS dropped_terms
+      |  FROM cnt GROUP BY source),
+      |con AS (
+      |  SELECT cnt.source,
+      |         CAST(floor(((c2 + 1.0) / (tokens_v2 + vocab_union)) *
+      |              ln(((c2 + 1.0) / (tokens_v2 + vocab_union)) /
+      |                 ((c1 + 1.0) / (tokens_v1 + vocab_union))) *
+      |              1000000000.0) AS BIGINT) AS contrib
+      |  FROM cnt JOIN tot ON tot.source = cnt.source)
+      |SELECT t.source, t.tokens_v1, t.tokens_v2, t.vocab_union,
+      |       t.new_terms, t.dropped_terms, c.kl_nnats
+      |FROM tot t JOIN (
+      |  SELECT source, sum(contrib) AS kl_nnats FROM con GROUP BY source) c
+      |  ON c.source = t.source
+      |ORDER BY t.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dr1_term_drift" -> dr1TermDrift,
     "sh1_shuffle_shards" -> sh1ShuffleShards,
     "lp1_label_propagation" -> lp1LabelProp,
     "tr1_triangle_stats" -> tr1TriangleStats,
@@ -3359,6 +3460,7 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dr1_term_drift" -> dr1Sql,
     "sh1_shuffle_shards" -> sh1Sql,
     "lp1_label_propagation" -> lp1Sql,
     "tr1_triangle_stats" -> tr1Sql,

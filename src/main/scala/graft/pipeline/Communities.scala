@@ -59,20 +59,27 @@ object Communities {
     val spark = pairs.sparkSession
     val shufflePartitions =
       spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val edges = truncate(pairs
+    val sym = pairs
       .select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
       .unionByName(pairs.select(col(id2).cast("long").as("src"),
         col(id1).cast("long").as("dst")))
       .distinct()
+    // the self-vote is baked in as a self-loop edge: each round then
+    // reads the label frame ONCE (edges ⋈ labels), instead of the
+    // obvious neighbor-votes ∪ self-votes shape whose double reference
+    // doubles the lazy plan per round between checkpoints — the same
+    // failure family Graph.pageRank's fixpoint probe works around
+    val edges = truncate(sym
+      .unionByName(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
       .repartition(shufflePartitions, col("src")))
     var labels = truncate(
-      edges.select(col("src").as("node")).distinct()
+      sym.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
     for (i <- 1 to iters) {
-      val neighborVotes = edges
+      val votes = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("lbl"))
-      val votes = neighborVotes.unionByName(labels)
         .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
       // argmax by (count DESC, label ASC) as ONE associative
       // struct-max: maximize (c, -lbl), then recover lbl. No window.

@@ -801,4 +801,64 @@ object TextAnalysis {
       .select(col(srcCol), col("rank"), col("term"),
         col("a").as("term_count"), col("chi2"))
   }
+
+  /** Per-source term-distribution drift between two corpus snapshots
+    * — the crawl-refresh QA report: when snapshot v2 replaces v1, did
+    * a source's CONTENT distribution move, beyond what row-level diff
+    * counts ([[Snapshot.snapshotDiffSummary]]) can see? Reports per
+    * source: exact token totals, union vocabulary size, terms new in
+    * v2 / dropped from v2 (exact integers), and the smoothed KL
+    * divergence KL(q‖p) of v2's unigram distribution from v1's over
+    * the union vocabulary (add-one smoothing, so absent terms are
+    * finite).
+    *
+    * Determinism: the KL is a sum of per-term doubles — fold-order
+    * trouble — so each term's contribution q·ln(q/p) is floored onto
+    * a ×10⁹ grid (nats·10⁻⁹ units) BEFORE the per-source sum, making
+    * the sum an integer fold: order-independent and cross-engine
+    * exact up to ln's ≤1-ulp engine difference against the grid
+    * margin (the rr1/ir1 discipline; margins attested in spec). All
+    * counts feeding p and q are exact longs.
+    *
+    * Scale shape: both snapshots explode to tokens map-side and meet
+    * in ONE (source, term) partial aggregation (tagged union — no
+    * join of the two corpora); everything after is vocabulary-
+    * bounded: a |sources|-row broadcast of totals, a map-only
+    * contribution, one final partial agg. Never a per-source scan,
+    * no window.
+    */
+  def termDrift(v1: DataFrame, v2: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    def toks(df: DataFrame, tag: Int) = Dedup.spread(df)
+      .withColumn("__w", split(col(textCol), " +"))
+      .select(col(srcCol), explode(col("__w")).as("term"), lit(tag).as("__v"))
+      .filter(length(col("term")) >= 1)
+    val counts = toks(v1, 1).unionByName(toks(v2, 2))
+      .groupBy(col(srcCol), col("term"))
+      .agg(sum(when(col("__v") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("__v") === 2, 1L).otherwise(0L)).as("c2"))
+    val tot = counts.groupBy(col(srcCol)).agg(
+      sum(col("c1")).as("tokens_v1"), sum(col("c2")).as("tokens_v2"),
+      count(lit(1)).as("vocab_union"),
+      sum(when(col("c1") === 0, 1L).otherwise(0L)).as("new_terms"),
+      sum(when(col("c2") === 0, 1L).otherwise(0L)).as("dropped_terms"))
+    // smoothed p (v1) and q (v2) over the union vocab; the ln/×/÷
+    // tree below is mirrored token-for-token by the dr1 oracle — do
+    // not reassociate
+    val j = counts.join(broadcast(tot), srcCol)
+      .withColumn("__p",
+        (col("c1") + lit(1.0)) / (col("tokens_v1") + col("vocab_union")))
+      .withColumn("__q",
+        (col("c2") + lit(1.0)) / (col("tokens_v2") + col("vocab_union")))
+      .withColumn("__contrib",
+        floor(col("__q") * log(col("__q") / col("__p")) *
+          lit(1000000000.0)).cast("long"))
+    j.groupBy(col(srcCol))
+      .agg(max(col("tokens_v1")).as("tokens_v1"),
+        max(col("tokens_v2")).as("tokens_v2"),
+        max(col("vocab_union")).as("vocab_union"),
+        max(col("new_terms")).as("new_terms"),
+        max(col("dropped_terms")).as("dropped_terms"),
+        sum(col("__contrib")).as("kl_nnats"))
+  }
 }

@@ -224,6 +224,83 @@ class CommunitySketchSpec extends SparkTestBase {
     }
   }
 
+  // ---------------- term-distribution drift ----------------
+
+  private def srcDocs(src: String, texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+  }
+
+  test("termDrift of identical snapshots is exactly zero") {
+    val v = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+    val rows = pipeline.TextAnalysis.termDrift(v, v, "source", "text")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kl_nnats") === 0L)
+      assert(r.getAs[Long]("new_terms") === 0L)
+      assert(r.getAs[Long]("dropped_terms") === 0L)
+      assert(r.getAs[Long]("tokens_v1") === r.getAs[Long]("tokens_v2"))
+    }
+  }
+
+  test("termDrift matches the hand formula and counts new/dropped terms") {
+    val v1 = srcDocs("s", "a a b")
+    val v2 = srcDocs("s", "a b b")
+    val r = pipeline.TextAnalysis.termDrift(v1, v2, "source", "text")
+      .collect().head
+    assert(r.getAs[Long]("tokens_v1") === 3L)
+    assert(r.getAs[Long]("tokens_v2") === 3L)
+    assert(r.getAs[Long]("vocab_union") === 2L)
+    // replicate the documented expression tree exactly
+    def contrib(c1: Long, c2: Long): Long = {
+      val p = (c1 + 1.0) / (3 + 2); val q = (c2 + 1.0) / (3 + 2)
+      math.floor(q * math.log(q / p) * 1e9).toLong
+    }
+    assert(r.getAs[Long]("kl_nnats") === contrib(2, 1) + contrib(1, 2))
+    assert(r.getAs[Long]("kl_nnats") > 0L, "a real shift must score > 0")
+    val r2 = pipeline.TextAnalysis.termDrift(
+      srcDocs("s", "a b"), srcDocs("s", "a z"), "source", "text")
+      .collect().head
+    assert(r2.getAs[Long]("new_terms") === 1L)     // z
+    assert(r2.getAs[Long]("dropped_terms") === 1L) // b
+  }
+
+  test("termDrift grid margins on the fixture are far from floor boundaries") {
+    // the cross-engine risk is ln's <= 1 ulp; on the 1e9 grid that is
+    // ~1e-7 grid units. Attest the fixture's contributions never sit
+    // within 1e-4 of an integer boundary (the rr1/ir1 pattern).
+    val v1 = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+    val v2 = v1.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"),
+        col("source"))
+    def toks(df: org.apache.spark.sql.DataFrame, v: Int) = df
+      .select(col("source"), explode(split(col("text"), " +")).as("term"))
+      .filter(length(col("term")) >= 1).withColumn("__v", lit(v))
+    val counts = toks(v1, 1).unionByName(toks(v2, 2))
+      .groupBy("source", "term")
+      .agg(sum(when(col("__v") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("__v") === 2, 1L).otherwise(0L)).as("c2"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val tots = counts.groupBy(_._1).map { case (s, rs) =>
+      s -> ((rs.map(_._2).sum, rs.map(_._3).sum, rs.length.toLong)) }
+    val margins = counts.map { case (s, c1, c2) =>
+      val (t1, t2, v) = tots(s)
+      val p = (c1 + 1.0) / (t1 + v); val q = (c2 + 1.0) / (t2 + v)
+      val g = q * math.log(q / p) * 1e9
+      val frac = g - math.floor(g)
+      math.min(frac, 1.0 - frac)
+    }
+    assert(margins.nonEmpty)
+    assert(margins.min > 1e-4,
+      s"worst grid margin ${margins.min} too close to a boundary")
+  }
+
   test("epochUpsample rejects negative and absurd factors") {
     val docs = Tables.load(spark, sf, "documents")
     intercept[IllegalArgumentException] {

@@ -565,6 +565,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate"), p.take(2000)) // the sequence explode
   }
 
+  test("termDrift: corpora meet in a tagged-union agg, totals broadcast, no window") {
+    val v = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+    val p = plan(graft.pipeline.TextAnalysis.termDrift(
+      v, v.limit(400), "source", "text"))
+    // the two snapshots are never JOINED row-to-row: they union into
+    // one (source, term) aggregation; the |sources|-row totals come
+    // back via broadcast
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("Union"), p.take(2000))
+  }
+
   test("bpe merge rounds keep the plan flat via per-round truncation") {
     // without per-round lineage truncation the pair-stats + merge
     // double reference doubles the lazy plan per round (the pageRank
