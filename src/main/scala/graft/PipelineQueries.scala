@@ -3093,13 +3093,15 @@ object PipelineQueries {
   // pairing and the ppm coefficient are all integer arithmetic — the
   // oracle replays the guard, the selection and the compact-forward
   // computation.
-  val tr1TriangleStats: Q = (s, dir) => {
+  /** The supplier co-purchase 10-NN graph shared by tr1 and kc1:
+    * basket-guarded pair counts (the >64-line guard is one-sided —
+    * the equi-join on l_orderkey excludes the whole basket, and the
+    * guard agg runs once, not once per self-join side), then each
+    * node keeps its 10 strongest partners.
+    */
+  private def coPurchaseKnn(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li0 = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    // the bad-basket list is tiny (usually empty); broadcast-anti on
-    // the LEFT side only — the equi-join on l_orderkey then excludes
-    // the whole basket, and the guard agg is computed once, not once
-    // per self-join side
     val bad = li0.groupBy("l_orderkey").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 64).select("l_orderkey")
     val li = li0.join(broadcast(bad), Seq("l_orderkey"), "left_anti")
@@ -3110,14 +3112,22 @@ object PipelineQueries {
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
     val partners = wp.select(col("a").as("node"), col("b").as("p"), col("w"))
       .unionByName(wp.select(col("b").as("node"), col("a").as("p"), col("w")))
-    val topk = partners.withColumn("__rn", row_number().over(
+    partners.withColumn("__rn", row_number().over(
         Window.partitionBy("node").orderBy(col("w").desc, col("p"))))
       .filter(col("__rn") <= 10)
-    pipeline.Communities.triangleStats(topk, "node", "p").orderBy("node")
+      .select("node", "p")
   }
 
-  val tr1Sql: String =
-    """WITH ok AS MATERIALIZED (
+  val tr1TriangleStats: Q = (s, dir) =>
+    pipeline.Communities.triangleStats(coPurchaseKnn(s, dir), "node", "p")
+      .orderBy("node")
+
+  /** The co-purchase 10-NN CTE chain shared by tr1 and kc1 (the SQL
+    * twin of [[coPurchaseKnn]]): basket guard, pair weights, per-node
+    * top-10, canonical undirected edges as e0(a, b).
+    */
+  private val knnCtesSql: String =
+    """ok AS MATERIALIZED (
       |  SELECT l_orderkey FROM lineitem
       |  GROUP BY l_orderkey HAVING count(*) <= 64),
       |li AS MATERIALIZED (
@@ -3140,7 +3150,10 @@ object PipelineQueries {
       |    FROM pt) q WHERE rn <= 10),
       |e0 AS MATERIALIZED (
       |  SELECT DISTINCT least(node, p) AS a, greatest(node, p) AS b
-      |  FROM tk),
+      |  FROM tk)""".stripMargin
+
+  val tr1Sql: String =
+    s"""WITH $knnCtesSql,
       |deg AS MATERIALIZED (
       |  SELECT node, count(*) AS deg FROM (
       |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) q
@@ -3175,6 +3188,42 @@ object PipelineQueries {
       |            ELSE 0 END AS lcc_ppm
       |FROM deg d LEFT JOIN pn ON pn.node = d.node
       |ORDER BY d.node""".stripMargin
+
+  // k-core peel trajectory on the same co-purchase 10-NN graph: at
+  // k = 11 the fixture cascades 100 -> 77 -> 37 -> 2 -> 0 over four
+  // rounds (a REAL iterative peel — each drop lowers neighbors'
+  // degrees below k), and the fixed 6-round budget's idempotent 0/0
+  // tail is attested in-band. All counts exact integers.
+  val kc1KCoreProfile: Q = (s, dir) =>
+    pipeline.Communities.kCoreProfile(coPurchaseKnn(s, dir), "node", "p",
+      k = 11, rounds = 6).orderBy("round")
+
+  private def kCoreIterCtes(k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""kp$r AS MATERIALIZED (
+        |  SELECT src AS node FROM l${r - 1}
+        |  GROUP BY src HAVING count(*) >= $k),
+        |l$r AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM l${r - 1} e
+        |  JOIN kp$r a ON a.node = e.src
+        |  JOIN kp$r b ON b.node = e.dst)""".stripMargin
+    }.mkString(",\n")
+
+  val kc1Sql: String = {
+    val roundRows = (0 to 6).map { r =>
+      s"""SELECT $r AS round,
+        |       (SELECT count(DISTINCT src) FROM l$r) AS nodes,
+        |       (SELECT count(*) // 2 FROM l$r) AS edges""".stripMargin
+    }
+    s"""WITH $knnCtesSql,
+      |l0 AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM e0 WHERE a <> b
+      |  UNION
+      |  SELECT b AS src, a AS dst FROM e0 WHERE a <> b),
+      |${kCoreIterCtes(11, 6)}
+      |${roundRows.mkString("\nUNION ALL\n")}
+      |ORDER BY round""".stripMargin
+  }
 
   // HyperLogLog distinct users per event type: registers and the
   // scaled harmonic sum are exact integers rebuilt by the oracle from
@@ -3365,6 +3414,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "dr1_term_drift" -> dr1TermDrift,
+    "kc1_kcore_profile" -> kc1KCoreProfile,
     "sh1_shuffle_shards" -> sh1ShuffleShards,
     "lp1_label_propagation" -> lp1LabelProp,
     "tr1_triangle_stats" -> tr1TriangleStats,
@@ -3461,6 +3511,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dr1_term_drift" -> dr1Sql,
+    "kc1_kcore_profile" -> kc1Sql,
     "sh1_shuffle_shards" -> sh1Sql,
     "lp1_label_propagation" -> lp1Sql,
     "tr1_triangle_stats" -> tr1Sql,

@@ -92,6 +92,112 @@ object Communities {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** The k-core of an undirected simple graph: the maximal subgraph
+    * in which every node has degree >= `k` (Seidman, Social Networks
+    * 1983) — the "dense backbone" signal curation uses opposite
+    * [[triangleStats]]: coreness separates structurally embedded
+    * pages from peripheral ones, and a crawl's spam/link-farm audits
+    * read both. Computed by synchronous peeling: each round drops
+    * every node whose CURRENT degree is < k, until nothing changes.
+    * Peeling is monotone (dropped nodes never return) and idempotent
+    * at the fixpoint, so running a FIXED `rounds` budget is exact as
+    * long as the budget covers convergence — extra rounds are no-ops,
+    * which is what makes the computation replayable as a fixed CTE
+    * chain in any engine. The returned frame is the k-core's edge
+    * endpoints with their in-core degree.
+    *
+    * Scale shape: each round is one partial count keyed on the edge
+    * source and two semi equi-joins filtering both endpoints against
+    * the survivor set — all keyed on node ids, no all-pairs work, no
+    * window, no driver-side rows. The surviving edge frame shrinks
+    * monotonically. The round function reads the live frame twice
+    * (degree + filter), so lineage is truncated every
+    * `checkpointEvery` rounds to contain the plan doubling (the
+    * gr2/bpe double-reference family; bounded at 2^checkpointEvery×
+    * between cuts). Convergence within the budget is the caller's
+    * contract — pass `rounds` >= the graph's peel depth and assert
+    * idempotence in tests (the spec does; real deployments log the
+    * last round's drop count).
+    */
+  def kCore(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+      k: Int = 3, rounds: Int = 12, checkpointEvery: Int = 3,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    require(rounds >= 1, s"kCore needs rounds >= 1, got $rounds")
+    def truncate(df: DataFrame): DataFrame =
+      Lineage.truncate(df, reliableCheckpoints)
+    val spark = pairs.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var live = truncate(pairs
+      .select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(pairs.select(col(id2).cast("long").as("src"),
+        col(id1).cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(shufflePartitions, col("src")))
+    for (r <- 1 to rounds) {
+      val keep = live.groupBy("src").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= k).select(col("src").as("__keep"))
+      live = live
+        .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      if (r % checkpointEvery == 0 && r < rounds) live = truncate(live)
+    }
+    live.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** The peel TRAJECTORY of [[kCore]]: one row per round (0 = the
+    * input graph) with the surviving node and edge counts — the
+    * decomposition profile an audit actually reads ("how fast does
+    * the graph shed periphery at this k"), and the form that stays
+    * informative when the k-core itself is empty. Rounds past the
+    * fixpoint repeat the converged counts (or 0/0 once empty), so a
+    * fixed budget attests idempotence in-band. Same per-round shape
+    * and truncation policy as [[kCore]]; the counts are lazy one-row
+    * aggregates unioned into a `rounds + 1`-row frame — one job for
+    * the whole trajectory.
+    */
+  def kCoreProfile(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", k: Int = 3, rounds: Int = 6,
+      checkpointEvery: Int = 3,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    require(k >= 1, s"kCoreProfile needs k >= 1, got $k")
+    require(rounds >= 1, s"kCoreProfile needs rounds >= 1, got $rounds")
+    def truncate(df: DataFrame): DataFrame =
+      Lineage.truncate(df, reliableCheckpoints)
+    val spark = pairs.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def stats(round: Int, live: DataFrame): DataFrame =
+      live.agg(expr("count(DISTINCT src)").as("nodes"),
+        expr("count(1) DIV 2").as("edges"))
+        .select(lit(round).as("round"), col("nodes"), col("edges"))
+    var live = truncate(pairs
+      .select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(pairs.select(col(id2).cast("long").as("src"),
+        col(id1).cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(shufflePartitions, col("src")))
+    var out = stats(0, live)
+    for (r <- 1 to rounds) {
+      val keep = live.groupBy("src").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= k).select(col("src").as("__keep"))
+      live = live
+        .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      if (r % checkpointEvery == 0 && r < rounds) live = truncate(live)
+      out = out.unionByName(stats(r, live))
+    }
+    out
+  }
+
   /** Per-node triangle count and local clustering coefficient over an
     * undirected simple graph, by degree-ordered orientation
     * ("compact-forward", Latapy, TCS 2008; Schank & Wagner, WEA 2005)

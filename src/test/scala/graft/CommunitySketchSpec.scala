@@ -100,6 +100,49 @@ class CommunitySketchSpec extends SparkTestBase {
     assert(noisy === clean)
   }
 
+  // ---------------- k-core ----------------
+
+  test("kCore: triangle with a tail peels to the triangle at k = 2") {
+    val out = Communities.kCore(
+      edgesOf((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // 5 drops (deg 1), then 4 drops (deg fell to 1): the 2-core is
+    // exactly the triangle, every member at in-core degree 2
+    assert(out === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore: a path has an empty 2-core; K4 is its own 3-core") {
+    assert(Communities.kCore(
+      edgesOf((1L, 2L), (2L, 3L), (3L, 4L)), k = 2).count() === 0L)
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val out = Communities.kCore(edgesOf(k4: _*), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.length === 4 && out.forall(_._2 == 3L))
+  }
+
+  test("kCoreProfile is monotone and idempotent past the fixpoint") {
+    // triangle + tail at k = 2: round 0 (5 nodes, 5 edges) ->
+    // round 1 drops node 5 -> round 2 drops node 4 -> converged
+    val prof = Communities.kCoreProfile(
+      edgesOf((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)),
+      k = 2, rounds = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(prof === Seq((0, 5L, 5L), (1, 4L, 4L), (2, 3L, 3L),
+      (3, 3L, 3L), (4, 3L, 3L), (5, 3L, 3L)))
+    val counts = prof.map(_._2)
+    assert(counts === counts.sorted.reverse, "peel must be monotone")
+  }
+
+  test("kCore validates k and rounds") {
+    intercept[IllegalArgumentException] {
+      Communities.kCore(edgesOf((1L, 2L)), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Communities.kCoreProfile(edgesOf((1L, 2L)), rounds = 0)
+    }
+  }
+
   // ---------------- HyperLogLog ----------------
 
   test("HLL registers are duplicate-insensitive and merge by max") {
