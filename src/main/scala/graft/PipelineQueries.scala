@@ -3412,7 +3412,310 @@ object PipelineQueries {
       |  ON c.source = t.source
       |ORDER BY t.source""".stripMargin
 
+  // ---------------- round-10 wave 3: lake maintenance, privacy,
+  // ---------------- index materialization, web + script hygiene
+
+  // Schema evolution across writer versions: two batches with
+  // different column sets land under one root; the merged read
+  // null-fills each batch's missing columns AT THE SCAN (mergeSchema
+  // unions footer schemas at planning time — no post-scan join) and
+  // the directory name surfaces as the `batch` partition column. The
+  // oracle replays the union with explicit typed NULLs.
+  val se1SchemaEvolution: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val root = fmtDir(dir, "evo")
+    // clear stale batches: unlike the single-dir fm* writers, a
+    // leftover batch=* dir from an older run would leak into the scan
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    sources.Evolution.writeBatch(
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang"),
+      root, "v1")
+    sources.Evolution.writeBatch(
+      d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "source", "n_chars"),
+      root, "v2")
+    sources.Evolution.readMerged(s, root)
+      .select("doc_id", "text", "lang", "source", "n_chars", "batch")
+      .orderBy("doc_id")
+  }
+
+  val se1Sql: String =
+    """SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source,
+      |       CAST(NULL AS BIGINT) AS n_chars, 'v1' AS batch
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, text, CAST(NULL AS VARCHAR), source, n_chars, 'v2'
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // Small-file compaction plan: deterministic rank-div file
+  // assignment over the (l_orderkey, l_linenumber) unique key — the
+  // manifest (row counts + per-file key ranges) a compactor publishes
+  // before swapping files in. The key ranges ARE the footer-stats
+  // data-skipping property the rewrite buys. sources.Compaction
+  // doc-comments the sampled-repartitionByRange trade-off; SourcesSpec
+  // attests the physical writer produces exactly one file per id.
+  val fc1CompactionPlan: Q = (s, dir) =>
+    sources.Compaction.plan(
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey", "l_linenumber"), targetRows = 10000L)
+      .orderBy("file_id")
+
+  val fc1Sql: String =
+    """WITH r AS (
+      |  SELECT l_orderkey,
+      |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+      |           AS rn
+      |  FROM lineitem)
+      |SELECT rn // 10000 AS file_id, count(*) AS n_rows,
+      |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin
+
+  // k-anonymity audit over customer quasi-identifiers (nation ×
+  // thousand-bucketed balance), stratified by market segment: class
+  // counts, the per-stratum anonymity level (smallest class) and the
+  // rows re-identifiable below k=5. Generalization expressions are
+  // the caller's knob — the bucket width here is the audit's point.
+  val ka1KAnonymity: Q = (s, dir) =>
+    pipeline.Privacy.kAnonymityProfile(
+      Tables.load(s, dir, "customer"), col("c_mktsegment"),
+      Seq(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long")),
+      k = 5L)
+      .orderBy("stratum")
+
+  val ka1Sql: String =
+    """WITH cls AS (
+      |  SELECT c_mktsegment AS stratum, c_nationkey,
+      |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |         count(*) AS sz
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT stratum, count(*) AS n_classes, min(sz) AS k_anonymity,
+      |       sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS risky_classes,
+      |       sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS risky_rows,
+      |       sum(sz) AS n_rows,
+      |       (sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000)
+      |         // sum(sz) AS risky_pct_bp
+      |FROM cls GROUP BY stratum ORDER BY stratum""".stripMargin
+
+  // Delta-encoded inverted index (df 5..100000 band): posting-list
+  // gaps per term plus the Σ-gaps checksum; the artifact rr1/rr2
+  // logically rebuild per run and a 100 TB corpus materializes once.
+  val ii1InvertedIndex: Q = (s, dir) =>
+    pipeline.Retrieval.invertedIndex(
+      docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+      minDf = 5L, maxDf = 100000L)
+      .orderBy("term")
+
+  val ii1Sql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT t.term AS term, d.doc_id AS doc
+      |  FROM documents d,
+      |       unnest(regexp_split_to_array(lower(d.text), '[^a-z]+'))
+      |         AS t(term)
+      |  WHERE length(t.term) >= 3),
+      |g AS (
+      |  SELECT term, doc,
+      |         doc - lag(doc, 1, 0) OVER (
+      |           PARTITION BY term ORDER BY doc) AS delta
+      |  FROM tok)
+      |SELECT term, count(*) AS df,
+      |       list(delta ORDER BY doc) AS postings_delta,
+      |       CAST(sum(delta) AS BIGINT) AS max_doc
+      |FROM g GROUP BY term
+      |HAVING count(*) BETWEEN 5 AND 100000
+      |ORDER BY term""".stripMargin
+
+  // Character-class (script) distribution per language bucket — the
+  // langid-QA / encoding-corruption signal. Map-only length-diff
+  // counting (never a per-character explode), one partial agg.
+  val tx14ScriptProfile: Q = (s, dir) =>
+    pipeline.TextAnalysis.scriptProfile(docs(s, dir), "lang", "text")
+      .orderBy("lang")
+
+  val tx14Sql: String = {
+    def cc(re: String, as: String): String =
+      s"CAST(sum(length(text) - length(regexp_replace(text, '$re', '', 'g'))) AS BIGINT) AS $as"
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |  ${cc("[A-Za-z]", "letters")},
+       |  ${cc("[0-9]", "digits")},
+       |  ${cc("[ ]", "spaces")},
+       |  ${cc("[^ -~]", "non_printable")}
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // URL canonicalization + per-registered-domain rollup. The
+  // documents fixture has no URL column, so the entry derives one
+  // DETERMINISTICALLY from (lang, source, doc_id) — mixed-case
+  // scheme/host, www prefix, query string, fragment, trailing slash —
+  // specifically so every canonicalization rule fires on every row;
+  // the OPERATOR under test is Web.canonicalUrl/domainStats, and the
+  // oracle replays both the derivation and the cleanup rule-for-rule.
+  val ur1DomainStats: Q = (s, dir) => {
+    val pages = docs(s, dir).withColumn("url",
+      concat(lit("HTTPS://www."), col("lang"), lit("."), col("source"),
+        lit("-site.COM/p/"), col("doc_id"), lit("/?utm=x&ref="),
+        col("source"), lit("#s"), col("doc_id") % 7))
+    pipeline.Web.domainStats(pages, "url", "n_chars")
+      .orderBy("domain")
+  }
+
+  val ur1Sql: String =
+    """WITH u AS (
+      |  SELECT concat('HTTPS://www.', lang, '.', source, '-site.COM/p/',
+      |                doc_id, '/?utm=x&ref=', source, '#s', doc_id % 7)
+      |           AS url, n_chars
+      |  FROM documents),
+      |c AS (
+      |  SELECT regexp_replace(regexp_replace(regexp_replace(
+      |           regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+      |           '^www\.', ''), '[?#].*$', ''), '/+$', '') AS canon,
+      |         n_chars
+      |  FROM u),
+      |h AS (
+      |  SELECT regexp_replace(canon, '/.*$', '') AS host, n_chars FROM c),
+      |ph AS (
+      |  SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+      |         host, count(*) AS pages, sum(n_chars) AS chars
+      |  FROM h GROUP BY 1, 2)
+      |SELECT domain, count(*) AS n_hosts,
+      |       CAST(sum(pages) AS BIGINT) AS n_pages,
+      |       CAST(sum(chars) AS BIGINT) AS total_chars
+      |FROM ph GROUP BY domain ORDER BY domain""".stripMargin
+
+  // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical leg
+  // (rr1's five queries) with a semantic cosine leg (query vectors
+  // 0..4 over the embeddings table, brute top-10). Contributions are
+  // 10⁹ div (60 + rank) — exact integers — so the fused ranking is
+  // fold-order and cross-engine exact; the oracle replays BOTH legs
+  // end to end and the fusion arithmetic.
+  val rr3RrfFusion: Q = (s, dir) => {
+    val lex = pipeline.Retrieval.bm25TopK(
+      docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+      rr1Queries, k1 = 1.2, b = 0.75, topK = 10)
+      .select("query_id", "doc_id", "rank")
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val sem = Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    pipeline.Retrieval.rrfFuse(Seq(lex, sem), "query_id", "doc_id",
+      "rank", kRrf = 60, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val rr3Sql: String = {
+    // the lexical leg is rr1's oracle verbatim, demoted to CTEs
+    val lexCtes = rr1Sql
+      .replaceFirst("(?s)SELECT CAST\\(query_id AS BIGINT\\).*$", "")
+      .trim.stripSuffix(",")
+    s"""$lexCtes,
+       |lex AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank
+       |  FROM r WHERE rank <= 10),
+       |sem AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |         row_number() OVER (
+       |           PARTITION BY q.vec_id
+       |           ORDER BY list_cosine_similarity(
+       |             CAST(q.embedding AS DOUBLE[]),
+       |             CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 5
+       |  QUALIFY rank <= 10),
+       |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+       |f AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nano,
+       |         count(*) AS n_lists
+       |  FROM u GROUP BY 1, 2)
+       |SELECT query_id, doc_id, rrf_nano, n_lists,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY query_id
+       |         ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
+       |FROM f QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // Incremental index maintenance: the corpus is split append-only at
+  // doc_id 400 (old batch / new batch), each side builds its own
+  // index, and mergeIndexes stitches the gap lists through ONE
+  // |vocab|-row full-outer join — the old corpus is never re-read.
+  // The oracle is ii1's batch-rebuild SQL over the FULL corpus:
+  // hash equality PROVES incremental merge ≡ full rebuild (the dd7
+  // incremental-dedup attestation pattern).
+  val ii2IncrementalIndex: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val oldIdx = pipeline.Retrieval.invertedIndex(
+      d.filter(col("doc_id") < 400), "doc_id", "text",
+      minDf = 1L, maxDf = Long.MaxValue)
+    val newIdx = pipeline.Retrieval.invertedIndex(
+      d.filter(col("doc_id") >= 400), "doc_id", "text",
+      minDf = 1L, maxDf = Long.MaxValue)
+    pipeline.Retrieval.mergeIndexes(oldIdx, newIdx)
+      .filter(col("df") >= 5 && col("df") <= 100000)
+      .orderBy("term")
+  }
+
+  // Linear quality-classifier inference over hashing-trick features:
+  // 64-bucket features (fh1's portable-hash lane), a deterministic
+  // stand-in weight table in integer milli-units (a REAL deployment
+  // broadcasts trained weights; the formulaic table below exists so
+  // the oracle can re-derive the model — the mm* stub discipline),
+  // per-doc logit as an exact long dot product, accept = z > 0,
+  // rolled up per source.
+  val ql1QualityLogistic: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val weights = s.range(64).select(col("id").as("bucket"),
+      (col("id") * 2654435761L % 1001L - 500L).as("w_milli"))
+    val feats = pipeline.Features.hashingTrick(
+      d.select("doc_id", "text"), "doc_id", "text", dim = 64)
+    val scored = pipeline.Features.logitScore(feats, "doc_id", weights)
+    scored.join(d.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("accept"), 1L).otherwise(0L)).as("n_accept"),
+        sum("z_milli").as("sum_z_milli"))
+      .withColumn("accept_bp", expr("n_accept * 10000 div n_docs"))
+      .orderBy("source")
+  }
+
+  val ql1Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS bucket,
+      |         count(*) AS n_hits
+      |  FROM toks WHERE tok <> '' GROUP BY doc_id, bucket),
+      |w AS (
+      |  SELECT b AS bucket, b * 2654435761 % 1001 - 500 AS w_milli
+      |  FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+      |z AS (
+      |  SELECT doc_id, CAST(sum(n_hits * w_milli) AS BIGINT) AS z_milli
+      |  FROM feats JOIN w USING (bucket) GROUP BY doc_id)
+      |SELECT d.source, count(*) AS n_docs,
+      |       sum(CASE WHEN z.z_milli > 0 THEN 1 ELSE 0 END) AS n_accept,
+      |       CAST(sum(z.z_milli) AS BIGINT) AS sum_z_milli,
+      |       (sum(CASE WHEN z.z_milli > 0 THEN 1 ELSE 0 END) * 10000)
+      |         // count(*) AS accept_bp
+      |FROM z JOIN documents d USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "se1_schema_evolution" -> se1SchemaEvolution,
+    "fc1_compaction_plan" -> fc1CompactionPlan,
+    "ka1_k_anonymity" -> ka1KAnonymity,
+    "ii1_inverted_index" -> ii1InvertedIndex,
+    "ii2_incremental_index" -> ii2IncrementalIndex,
+    "rr3_rrf_fusion" -> rr3RrfFusion,
+    "ql1_quality_logistic" -> ql1QualityLogistic,
+    "tx14_script_profile" -> tx14ScriptProfile,
+    "ur1_domain_stats" -> ur1DomainStats,
     "dr1_term_drift" -> dr1TermDrift,
     "kc1_kcore_profile" -> kc1KCoreProfile,
     "sh1_shuffle_shards" -> sh1ShuffleShards,
@@ -3510,6 +3813,15 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "se1_schema_evolution" -> se1Sql,
+    "fc1_compaction_plan" -> fc1Sql,
+    "ka1_k_anonymity" -> ka1Sql,
+    "ii1_inverted_index" -> ii1Sql,
+    "ii2_incremental_index" -> ii1Sql, // merge ≡ batch rebuild, by design
+    "rr3_rrf_fusion" -> rr3Sql,
+    "ql1_quality_logistic" -> ql1Sql,
+    "tx14_script_profile" -> tx14Sql,
+    "ur1_domain_stats" -> ur1Sql,
     "dr1_term_drift" -> dr1Sql,
     "kc1_kcore_profile" -> kc1Sql,
     "sh1_shuffle_shards" -> sh1Sql,

@@ -113,6 +113,41 @@ object StreamQueries {
       |SELECT event_id, user_id, ts, last_view_ts
       |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  // Daily resample + forward fill per user: downsample the event
+  // stream to one value per (user, day) — max(value) within the day —
+  // generate each user's full day spine between their first and last
+  // observation, and carry the last value across gap days (n_obs = 0
+  // marks a filled gap). The bucket id is integer-µs division, exact
+  // in both engines; fill values are raw fixture doubles (no
+  // arithmetic), so the hash gate covers the whole pipeline.
+  val ts1Gapfill: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    graft.pipeline.Temporal.resampleFill(
+      Tables.load(s, dir, "events"), "user_id", "ts", "value",
+      bucketSeconds = 86400L)
+      .orderBy("user_id", "bucket_ts")
+  }
+  val ts1Sql: String =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+      |         max(value) AS v, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |k AS (
+      |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      |  FROM b GROUP BY 1),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM k),
+      |j AS (
+      |  SELECT s.user_id, s.bucket, b.v, coalesce(b.n, 0) AS n_obs
+      |  FROM spine s LEFT JOIN b
+      |    ON b.user_id = s.user_id AND b.bucket = s.bucket)
+      |SELECT user_id, make_timestamp(bucket * 86400000000) AS bucket_ts,
+      |       last_value(v IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY bucket
+      |         ROWS UNBOUNDED PRECEDING) AS val_filled,
+      |       n_obs
+      |FROM j ORDER BY user_id, bucket_ts""".stripMargin
+
   // Binned range join (no equi key): events assigned to value bands.
   val rj1RangeJoin: Q = (s, dir) => {
     import org.apache.spark.sql.functions._
@@ -270,6 +305,7 @@ object StreamQueries {
     "ev3_dedup" -> ev3Dedup,
     "ev4_interval_join" -> ev4Attribution,
     "aj1_asof_join" -> aj1AsofJoin,
+    "ts1_gapfill" -> ts1Gapfill,
     "rj1_range_join" -> rj1RangeJoin,
     "rt1_cohort_retention" -> rt1Retention,
     "fn1_funnel_stages" -> fn1Funnel,
@@ -285,6 +321,7 @@ object StreamQueries {
     "ev2_sessionize" -> ev2Sql,
     "ev3_dedup" -> ev3Sql,
     "aj1_asof_join" -> aj1Sql,
+    "ts1_gapfill" -> ts1Sql,
     "rj1_range_join" -> rj1Sql,
     "rt1_cohort_retention" -> rt1Sql,
     "fn1_funnel_stages" -> fn1Sql,

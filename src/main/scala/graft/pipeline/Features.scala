@@ -41,4 +41,30 @@ object Features {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Linear-classifier inference over [[hashingTrick]] features — the
+    * fastText-style quality-gate scoring pass (Joulin et al., "Bag of
+    * Tricks for Efficient Text Classification", EACL 2017) a pipeline
+    * runs over every candidate document.
+    *
+    * `weights` is the trained model as a (bucket, w_milli) frame with
+    * integer milli-unit weights: the per-doc logit is then
+    * `z_milli = Σ n_hits · w_milli` — exact long arithmetic in every
+    * fold order, so scores and the z > 0 accept decision are
+    * cross-engine reproducible (the sigmoid is monotone, so
+    * thresholding the logit IS thresholding the probability; no
+    * engine-varying exp() in the decision path).
+    *
+    * Scale shape: the model (≤ feature dim rows) broadcasts; the
+    * sparse features equi-join it map-side and ONE per-doc partial
+    * agg folds the dot product. At 100 TB this is a map-only pass
+    * plus one doc-keyed combine — the cheapest possible inference.
+    */
+  def logitScore(feats: DataFrame, idCol: String,
+      weights: DataFrame): DataFrame =
+    feats.join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_hits") * col("w_milli")).as("z_milli"),
+        count(lit(1)).as("n_feats"))
+      .withColumn("accept", col("z_milli") > 0L)
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.DataFrame
   * instead (requires `spark.sparkContext.setCheckpointDir` to point
   * at durable storage, e.g. HDFS/object store).
   */
-private[pipeline] object Lineage {
+private[graft] object Lineage {
   def truncate(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint() else df.localCheckpoint(true)
 }

@@ -169,4 +169,114 @@ object Retrieval {
       .agg(count(lit(1)).as("n_matches"),
         min(col("start")).cast("long").as("first_pos"))
   }
+
+  /** Materialized inverted index with delta-encoded posting lists —
+    * the storage artifact behind [[bm25TopK]]/[[phraseSearch]], built
+    * as its own operator because a 100 TB corpus builds the index
+    * ONCE and serves many query batches from it.
+    *
+    * Per term: `df` (document frequency), `postings_delta` (doc ids
+    * sorted ascending, gap-encoded — the standard compression that
+    * turns ~8-byte ids into mostly-small varint-able gaps; Manning et
+    * al., IIR §5.3) and `max_doc` (= Σ deltas, a free end-to-end
+    * checksum: any lost or reordered gap breaks it).
+    *
+    * Scale shape: one distinct over (term, doc) — a partial-agg
+    * shuffle on the pair key — then ONE term-keyed shuffle that both
+    * computes gaps (lag window) and folds the list. The per-term list
+    * is the honest memory bound: `maxDf` drops stopword-class terms
+    * whose posting lists approach the corpus size (they carry no
+    * selectivity; real indexes stop them too), so no single group
+    * materializes an unbounded array. `minDf` prunes the hapax tail
+    * that bloats the term dictionary without ever matching a query.
+    */
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal
+    * Rank Fusion outperforms Condorcet and individual Rank Learning
+    * Methods", SIGIR 2009): combine per-query rankings from several
+    * retrievers — here the lexical (BM25) and semantic (cosine) legs
+    * of a hybrid stack — by summing 1/(k + rank) over the lists each
+    * document appears in.
+    *
+    * The contribution is computed as `10⁹ div (k + rank)` — an exact
+    * integer — so fused scores are fold-order and cross-engine exact
+    * (no IEEE reciprocal sums), and ties break on doc id.
+    *
+    * Scale shape: the inputs are already top-k lists (|queries|·k
+    * rows each, NOT corpus-sized — the expensive retrieval happened
+    * upstream), so fusion is a union + one (query, doc) partial agg +
+    * a per-query top-k window. Cost is independent of corpus size by
+    * construction.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, docCol: String,
+      rankCol: String, kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tagged = rankings
+      .map(_.select(col(queryCol), col(docCol),
+        col(rankCol).cast("long").as("__rank")))
+      .reduce(_ unionByName _)
+    val fused = tagged
+      .withColumn("__c", expr(s"1000000000 div ($kRrf + __rank)"))
+      .groupBy(col(queryCol), col(docCol))
+      .agg(sum("__c").as("rrf_nano"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col("rrf_nano").desc, col(docCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Merge a standalone index built over an APPEND-ONLY new batch into
+    * an existing [[invertedIndex]] artifact — the maintenance path
+    * that makes a 100 TB index incremental: the old corpus is never
+    * re-tokenized, never re-shuffled; only the delta batch pays the
+    * build and the merge is ONE term-keyed full-outer join over two
+    * index frames (|vocab| rows, not corpus rows). The dd7
+    * incremental-dedup discipline applied to retrieval.
+    *
+    * Contract: every doc id in `newIdx` exceeds every id in `oldIdx`
+    * (monotone ingest ids — the append-only lake invariant). Under it
+    * the merged gap list is `old ++ [new_first − old_max] ++ new_tail`
+    * where `new_first` IS the head of the new index's gap list (a
+    * standalone build encodes its first posting absolute). Σ-gap
+    * checksums compose: merged max_doc = the new side's max_doc.
+    * Callers apply df banding AFTER merging (a term's df can cross
+    * the band as batches arrive).
+    */
+  def mergeIndexes(oldIdx: DataFrame, newIdx: DataFrame): DataFrame = {
+    val o = oldIdx.select(col("term"), col("df").as("__odf"),
+      col("postings_delta").as("__opd"), col("max_doc").as("__omax"))
+    val n = newIdx.select(col("term"), col("df").as("__ndf"),
+      col("postings_delta").as("__npd"), col("max_doc").as("__nmax"))
+    o.join(n, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__odf"), lit(0L)) + coalesce(col("__ndf"), lit(0L)))
+          .as("df"),
+        when(col("__opd").isNull, col("__npd"))
+          .when(col("__npd").isNull, col("__opd"))
+          .otherwise(concat(col("__opd"),
+            array(element_at(col("__npd"), 1) - col("__omax")),
+            slice(col("__npd"), lit(2), size(col("__npd")))))
+          .as("postings_delta"),
+        coalesce(col("__nmax"),
+          col("__omax")).as("max_doc"))
+  }
+
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 5, maxDf: Long = 100000): DataFrame = {
+    val tok = Dedup.spread(docs)
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("term"),
+        col(idCol).cast("long").as("__doc"))
+      .filter(length(col("term")) >= 3)
+      .distinct()
+    val w = Window.partitionBy("term").orderBy("__doc")
+    tok
+      .withColumn("__delta",
+        col("__doc") - lag(col("__doc"), 1, 0L).over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        transform(
+          sort_array(collect_list(struct(col("__doc"), col("__delta")))),
+          e => e.getField("__delta")).as("postings_delta"),
+        sum(col("__delta")).as("max_doc"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+  }
 }

@@ -37,6 +37,47 @@ object Temporal {
       .drop("__is_left", "__pay")
   }
 
+  /** Resample an event series to fixed-width time buckets per key and
+    * forward-fill the gaps — the downsample + gap-fill primitive every
+    * time-series feature pipeline needs (sqlpp has no temporal
+    * operators at all; this is beyond-reference surface, SURVEY §2.2).
+    *
+    * Three stages, each scale-honest:
+    *   1. bucket aggregation — `max(valueCol)` + `count(*)` per
+    *      (key, bucket), ONE partial-aggregated shuffle on the key;
+    *      the bucket id is integer µs division, exact in both engines.
+    *   2. spine — per-key `sequence(min_bucket, max_bucket)` exploded;
+    *      spine rows ∝ key-span/bucket, never keys × global span, so a
+    *      key active for a day never pays the corpus's full range.
+    *   3. forward fill — running `last(value, ignoreNulls)` per key in
+    *      bucket order; one window, parallel in the key cardinality.
+    * Buckets before a key's first observation keep a NULL fill (there
+    * is nothing to carry); `n_obs = 0` marks filled gaps.
+    *
+    * At 100 TB the plan stays: partial agg → one |keys·span|-row frame
+    * → keyed window. No global sort, no per-row subquery, and the
+    * spine explode is bounded by the *observed* span of each key.
+    */
+  def resampleFill(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketSeconds: Long): DataFrame = {
+    val busUs = bucketSeconds * 1000000L
+    val b = events
+      .withColumn("__bucket", expr(s"unix_micros($tsCol) div $busUs"))
+      .groupBy(col(keyCol), col("__bucket"))
+      .agg(max(col(valueCol)).as("__v"), count(lit(1)).as("__n"))
+    val spine = b.groupBy(col(keyCol))
+      .agg(min("__bucket").as("__lo"), max("__bucket").as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("__bucket"))
+    val w = Window.partitionBy(keyCol).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(b, Seq(keyCol, "__bucket"), "left")
+      .select(col(keyCol),
+        timestamp_micros(col("__bucket") * busUs).as("bucket_ts"),
+        last(col("__v"), ignoreNulls = true).over(w).as("val_filled"),
+        coalesce(col("__n"), lit(0L)).as("n_obs"))
+  }
+
   /** Range join with no equi key: each interval explodes to the
     * integer bins it covers, points join on their bin, and the exact
     * range predicate filters. Cost is O(points + intervals·span/bin)

@@ -861,4 +861,32 @@ object TextAnalysis {
         max(col("dropped_terms")).as("dropped_terms"),
         sum(col("__contrib")).as("kl_nnats"))
   }
+
+  /** Character-class (script) distribution per stratum: counts of
+    * ASCII letters, digits, spaces and everything outside printable
+    * ASCII, summed over each group's documents. The non-printable/
+    * non-ASCII share is the cheap sanity signal behind language-ID QA
+    * (a "lang=en" slice with 30% non-ASCII is mislabeled or
+    * mojibake'd) and encoding-corruption triage.
+    *
+    * Each class count is `length(text) − length(regexp_replace(text,
+    * class, ''))` — map-only codegen'd string ops, no explode (the
+    * per-CHARACTER explode would multiply the corpus by avg doc
+    * length; this stays one row per doc) — then ONE partial-aggregated
+    * groupBy on the stratum. The class regexes use explicit ASCII
+    * ranges only, so Java and any RE2-class engine agree byte-for-byte.
+    */
+  def scriptProfile(df: DataFrame, byCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def classCount(re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    df.groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(t).cast("long")).as("n_chars"),
+        sum(classCount("[A-Za-z]")).as("letters"),
+        sum(classCount("[0-9]")).as("digits"),
+        sum(classCount("[ ]")).as("spaces"),
+        sum(classCount("[^ -~]")).as("non_printable"))
+  }
 }

@@ -291,4 +291,76 @@ class SourcesSpec extends SparkTestBase {
       col("y").between(30, 40)).agg(count(lit(1))).head().getLong(0)
     assert(box == 11L * 11L)
   }
+
+  test("schema evolution: merged read null-fills, prunes, keeps batch col") {
+    import spark.implicits._
+    val root = tmp("graft_evo")
+    graft.sources.Evolution.writeBatch(
+      Seq((1L, "a", "en")).toDF("id", "text", "lang"), root, "v1")
+    graft.sources.Evolution.writeBatch(
+      Seq((2L, "b", 42L)).toDF("id", "text", "extra"), root, "v2")
+    val m = graft.sources.Evolution.readMerged(spark, root)
+    assert(m.columns.toSet == Set("id", "text", "lang", "extra", "batch"))
+    val rows = m.orderBy("id")
+      .select("id", "lang", "extra", "batch").collect()
+    assert(rows(0).getString(1) == "en" && rows(0).isNullAt(2) &&
+      rows(0).getString(3) == "v1")
+    assert(rows(1).isNullAt(1) && rows(1).getLong(2) == 42L &&
+      rows(1).getString(3) == "v2")
+    // batch predicate prunes whole directories at planning time
+    // (inputFiles reflects the unpruned relation — ask the scan node)
+    val pruned = m.filter(col("batch") === "v1")
+    val selected = pruned.queryExecution.executedPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+      case _ => 0
+    }.sum
+    assert(selected == 1,
+      pruned.queryExecution.executedPlan.toString.take(1200))
+  }
+
+  test("compaction: plan is deterministic rank-div; writer emits one file per id") {
+    import spark.implicits._
+    val frag = spark.range(100).select(
+      (col("id") * 7 % 100).as("k"), col("id").as("payload"))
+      .repartition(16) // the small-files problem
+    val p = graft.sources.Compaction.plan(frag, Seq("k"), targetRows = 30L)
+      .orderBy("file_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 100 rows / 30 → files of 30,30,30,10 with tight, disjoint ranges
+    assert(p.toSeq == Seq((0L, 30L, 0L, 29L), (1L, 30L, 30L, 59L),
+      (2L, 30L, 60L, 89L), (3L, 10L, 90L, 99L)))
+    val out = tmp("graft_compact")
+    val n = graft.sources.Compaction.compact(frag, out, Seq("k"), 30L)
+    assert(n == 4L)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("file_id=")).sortBy(_.getName)
+    assert(dirs.length == 4)
+    dirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName} has ${parts.length} files")
+    }
+    // the rewrite moves bytes, never rows
+    val back = spark.read.parquet(out)
+    assert(back.count() == 100 &&
+      back.agg(sum("payload")).head.getLong(0) == 4950L)
+  }
+
+  test("compaction rank is distributed: no global window, boundary-invariant") {
+    import spark.implicits._
+    val rows = spark.range(97).select((col("id") * 13 % 97).as("k"))
+    // no single-partition WindowExec anywhere in the plan
+    val df = graft.sources.Compaction.plan(rows, Seq("k"), 20L)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    // ranks depend on the total key order only — partition counts
+    // (and thus sampled range boundaries) must not move any row
+    val a = graft.sources.Compaction
+      .assignFiles(rows, Seq("k"), 20L, partitions = 3)
+      .select("k", "file_id").as[(Long, Long)].collect().toMap
+    val b = graft.sources.Compaction
+      .assignFiles(rows, Seq("k"), 20L, partitions = 11)
+      .select("k", "file_id").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a(0L) == 0L && a(96L) == 4L) // 97 rows → 5 files
+  }
 }
