@@ -3706,7 +3706,48 @@ object PipelineQueries {
       |FROM z JOIN documents d USING (doc_id)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // Per-source data card over a corpus with planted exact duplicates
+  // (docs 0..49 re-keyed, the dd1 plant) so the dup-rate column is
+  // exercised: volumes, language spread, duplicate rate, short-doc
+  // share — one scan family, one plan.
+  val ca2CorpusCard: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val planted = d.unionByName(d.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 3000000L))
+    pipeline.Profiling.corpusCard(planted, "source", "lang", "text",
+      shortChars = 100)
+      .orderBy("source")
+  }
+
+  val ca2Sql: String =
+    """WITH planted AS (
+      |  SELECT source, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT source, lang, text FROM documents WHERE doc_id < 50),
+      |base AS (
+      |  SELECT source, lang, md5(text) AS h, length(text) AS chars,
+      |         len(string_split_regex(text, ' +')) AS toks
+      |  FROM planted),
+      |bh AS (
+      |  SELECT source, h, count(*) AS n, sum(chars) AS c, sum(toks) AS t,
+      |         sum(CASE WHEN chars < 100 THEN 1 ELSE 0 END) AS sh
+      |  FROM base GROUP BY source, h),
+      |s1 AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+      |         count(*) AS n_unique,
+      |         CAST(sum(n) - count(*) AS BIGINT) AS dup_docs,
+      |         CAST(sum(c) AS BIGINT) AS total_chars,
+      |         CAST(sum(t) AS BIGINT) AS total_tokens,
+      |         CAST(sum(sh) AS BIGINT) AS short_docs
+      |  FROM bh GROUP BY source),
+      |s2 AS (
+      |  SELECT source, count(*) AS n_langs
+      |  FROM (SELECT DISTINCT source, lang FROM base) GROUP BY source)
+      |SELECT s1.*, s2.n_langs FROM s1 JOIN s2 USING (source)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ca2_corpus_card" -> ca2CorpusCard,
     "se1_schema_evolution" -> se1SchemaEvolution,
     "fc1_compaction_plan" -> fc1CompactionPlan,
     "ka1_k_anonymity" -> ka1KAnonymity,
@@ -3813,6 +3854,7 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ca2_corpus_card" -> ca2Sql,
     "se1_schema_evolution" -> se1Sql,
     "fc1_compaction_plan" -> fc1Sql,
     "ka1_k_anonymity" -> ka1Sql,

@@ -301,4 +301,43 @@ object Profiling {
           col("rows_below").cast("double") / (col("__n") - 1).cast("double"))
           .otherwise(lit(0.0)).as("pct_rank"))
   }
+
+  /** Per-source "data card": the one-frame corpus summary every
+    * dataset release ships (doc/char/token volumes, language spread,
+    * exact-duplicate rate, short-doc share) — composed as ONE
+    * declarative plan over ONE scan family so a 100 TB corpus pays a
+    * single read, not a profiling job per statistic.
+    *
+    * Shape: per-doc features are map-only (md5, token count, length
+    * flags); duplicates roll up through a (source, content-hash)
+    * partial agg, languages through a (source, lang) partial agg, and
+    * the two |sources|-row summaries meet in one tiny join. No
+    * windows, no Expand-based multi-distinct — the countDistinct
+    * discipline used everywhere in this repo.
+    */
+  def corpusCard(docs: DataFrame, srcCol: String, langCol: String,
+      textCol: String, shortChars: Int = 100): DataFrame = {
+    val base = docs.select(col(srcCol).as("source"),
+      col(langCol).as("__lang"),
+      md5(col(textCol).cast("binary")).as("__h"),
+      length(col(textCol)).cast("long").as("__chars"),
+      size(split(col(textCol), " +")).cast("long").as("__toks"))
+    val byHash = base
+      .groupBy(col("source"), col("__h"))
+      .agg(count(lit(1)).as("__n"), sum("__chars").as("__c"),
+        sum("__toks").as("__t"),
+        sum(when(col("__chars") < shortChars, 1L).otherwise(0L))
+          .as("__short"))
+      .groupBy("source")
+      .agg(sum("__n").as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        (sum("__n") - count(lit(1))).as("dup_docs"),
+        sum("__c").as("total_chars"),
+        sum("__t").as("total_tokens"),
+        sum("__short").as("short_docs"))
+    val byLang = base.groupBy(col("source"), col("__lang"))
+      .agg(count(lit(1)).as("__ln"))
+      .groupBy("source").agg(count(lit(1)).as("n_langs"))
+    byHash.join(byLang, "source")
+  }
 }

@@ -127,6 +127,89 @@ object EventStreams {
       .drop("session_seq")
   }
 
+  final case class FillRow(user_id: Long, bucket_ts: java.sql.Timestamp,
+      val_filled: Double, n_obs: Long)
+
+  /** (bucket, maxValue, nObs) for a day not yet sealed by the
+    * watermark. */
+  final case class PendingBucket(bucket: Long, maxV: Double, n: Long)
+
+  final case class FillState(lastClosed: Long, lastVal: Double,
+      pending: Seq[PendingBucket])
+
+  private val fillBucketMs: Long = 86400000L
+
+  /** Streaming twin of [[graft.pipeline.Temporal.resampleFill]] (the
+    * ts1 gate entry): per-user daily downsample (max value + count)
+    * with forward-filled gap days, emitted incrementally as the
+    * watermark seals each day.
+    *
+    * Semantics match the batch spine exactly: gap rows exist only
+    * BETWEEN a user's observations, so a gap day is emitted the
+    * moment a later observed day seals — carrying the last sealed
+    * value with n_obs = 0 — and a user's trailing silence emits
+    * nothing (the batch spine ends at the last observation too).
+    *
+    * State per user is bounded: two scalars (last sealed day + its
+    * carried value) plus the days still inside the watermark horizon
+    * (horizon/86400 + 1 entries — with a 10-minute watermark, ≤ 2).
+    * The scalars persist without a timeout so a user silent for a
+    * month still fills the gap when they return; that is O(users)
+    * memory, the same class as sessionize's state.
+    */
+  def gapFillStream(events: Dataset[Event]): Dataset[FillRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, FillRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[FillState]) =>
+          val st = state.getOption
+            .getOrElse(FillState(Long.MinValue, 0.0, Nil))
+          // fold new rows into their day buckets
+          val merged = scala.collection.mutable.Map[Long, (Double, Long)]()
+          st.pending.foreach(p => merged(p.bucket) = (p.maxV, p.n))
+          rows.foreach { e =>
+            val b = Math.floorDiv(e.ts.getTime, fillBucketMs)
+            merged(b) = merged.get(b) match {
+              case Some((m, n)) => (math.max(m, e.value), n + 1)
+              case None => (e.value, 1L)
+            }
+          }
+          // seal every bucket whose day has passed the watermark,
+          // oldest first, emitting gap rows between sealed days
+          val wm = state.getCurrentWatermarkMs()
+          val (closing, open) = merged.toSeq.sortBy(_._1)
+            .partition { case (b, _) => (b + 1) * fillBucketMs <= wm }
+          var lastClosed = st.lastClosed
+          var lastVal = st.lastVal
+          val out = List.newBuilder[FillRow]
+          closing.foreach { case (b, (m, n)) =>
+            if (lastClosed != Long.MinValue) {
+              var g = lastClosed + 1
+              while (g < b) {
+                out += FillRow(userId,
+                  new java.sql.Timestamp(g * fillBucketMs), lastVal, 0L)
+                g += 1
+              }
+            }
+            out += FillRow(userId,
+              new java.sql.Timestamp(b * fillBucketMs), m, n)
+            lastClosed = b
+            lastVal = m
+          }
+          val pend = open.map { case (b, (m, n)) => PendingBucket(b, m, n) }
+          state.update(FillState(lastClosed, lastVal, pend))
+          if (pend.nonEmpty)
+            state.setTimeoutTimestamp((pend.map(_.bucket).min + 1) *
+              fillBucketMs)
+          out.result().iterator
+      }
+  }
+
   // ---------------- dedup ----------------
 
   /** Streaming event dedup by event_id with bounded state: duplicates

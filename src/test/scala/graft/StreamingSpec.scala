@@ -313,4 +313,45 @@ class StreamingSpec extends SparkTestBase {
       assert(n > 0 && n >= batchN)
     } finally q.stop()
   }
+
+  test("streaming gap-fill: sealed days match the batch spine, gaps carry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dayTs(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${d}%02d $h%02d:00:00")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.gapFillStream(mem.toDS())
+      .writeStream.format("memory").queryName("gapfill")
+      .outputMode("append").start()
+    try {
+      // user 7: two obs on day 1 (max 5.0), then day 3 — day 2 is a gap
+      mem.addData(
+        Event(1, dayTs(1, 9), 7, "click", 2.0),
+        Event(2, dayTs(1, 17), 7, "click", 5.0))
+      q.processAllAvailable()
+      // nothing sealed yet: watermark is still inside day 1
+      assert(spark.table("gapfill").count() == 0)
+      mem.addData(Event(3, dayTs(3, 12), 7, "view", 3.0))
+      q.processAllAvailable()
+      // sentinel user pushes the watermark past day 3's end
+      mem.addData(Event(4, dayTs(20, 0), 9, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("gapfill").filter(col("user_id") === 7)
+        .orderBy("bucket_ts")
+        .select("bucket_ts", "val_filled", "n_obs").collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
+      // identical rows to the batch twin (the ts1 oracle semantics)
+      val batch = graft.pipeline.Temporal.resampleFill(
+        Seq((7L, dayTs(1, 9), 2.0), (7L, dayTs(1, 17), 5.0),
+          (7L, dayTs(3, 12), 3.0)).toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", 86400L)
+        .orderBy("bucket_ts")
+        .select("bucket_ts", "val_filled", "n_obs").collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
+      assert(got.toSeq == batch.toSeq)
+      assert(got.length == 3 && got(1)._2 == 5.0 && got(1)._3 == 0L)
+      // user 9's own day never sealed → trailing silence emits nothing
+      assert(spark.table("gapfill").filter(col("user_id") === 9).count() == 0)
+    } finally q.stop()
+  }
 }

@@ -185,6 +185,28 @@ class Wave3OpsSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("corpusCard: volumes, dup rate, lang spread, short share — no Expand") {
+    import spark.implicits._
+    val d = Seq(
+      ("s1", "en", "hello world"),   // dup pair
+      ("s1", "en", "hello world"),
+      ("s1", "de", "kurz"),          // short, second lang
+      ("s2", "en", "only one doc here")
+    ).toDF("source", "lang", "text")
+    val df = pipeline.Profiling.corpusCard(d, "source", "lang", "text",
+      shortChars = 10)
+    val got = df.orderBy("source").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      // s1: 3 docs, 2 unique, 1 dup, 11+11+4=26 chars, 2+2+1=5 toks,
+      //     1 short, 2 langs
+      ("s1", 3L, 2L, 1L, 26L, 5L, 1L, 2L),
+      ("s2", 1L, 1L, 0L, 17L, 4L, 0L, 1L)))
+    val p = plan(df)
+    assert(!p.contains("Expand"), p.take(800))
+  }
+
   test("canonicalUrl strips scheme/www/query/fragment/trailing slash") {
     import spark.implicits._
     val got = Seq(
