@@ -3746,7 +3746,117 @@ object PipelineQueries {
       |SELECT s1.*, s2.n_langs FROM s1 JOIN s2 USING (source)
       |ORDER BY source""".stripMargin
 
+  // l-diversity audit over orders: QI = (order month, customer
+  // hundred-block), sensitive = order status, stratified by priority.
+  // A class can be k-anonymous (many orders) yet homogeneous in
+  // status — exactly what this catches and ka1 cannot.
+  val ka2LDiversity: Q = (s, dir) =>
+    pipeline.Privacy.lDiversityProfile(
+      Tables.load(s, dir, "orders"), col("o_orderpriority"),
+      Seq(month(col("o_orderdate")), expr("o_custkey div 100")),
+      col("o_orderstatus"), l = 2L)
+      .orderBy("stratum")
+
+  val ka2Sql: String =
+    """WITH pv AS (
+      |  SELECT o_orderpriority AS stratum, month(o_orderdate) AS m,
+      |         o_custkey // 100 AS cb, o_orderstatus AS sv,
+      |         count(*) AS rows_v
+      |  FROM orders GROUP BY 1, 2, 3, 4),
+      |pc AS (
+      |  SELECT stratum, m, cb, count(*) AS dvr, sum(rows_v) AS sz
+      |  FROM pv GROUP BY 1, 2, 3)
+      |SELECT stratum, count(*) AS n_classes, min(dvr) AS l_diversity,
+      |       sum(CASE WHEN dvr < 2 THEN 1 ELSE 0 END) AS homog_classes,
+      |       CAST(sum(CASE WHEN dvr < 2 THEN sz ELSE 0 END) AS BIGINT)
+      |         AS homog_rows,
+      |       CAST(sum(sz) AS BIGINT) AS n_rows
+      |FROM pc GROUP BY stratum ORDER BY stratum""".stripMargin
+
+  // Personalized PageRank from a seed set: the gr1 co-purchase graph,
+  // teleport concentrated on every 10th customer node — the
+  // "propagate quality from a curated seed set" primitive. The oracle
+  // replays all 5 rounds of the seed-teleport integer grid.
+  val gr3PersonalizedPr: Q = (s, dir) => {
+    val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val cs = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = cs.unionByName(
+      cs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = cs.select(col("src").as("node"))
+      .filter(col("node") % 20 === 0).distinct()
+    pipeline.Graph.personalizedPageRank(edges, seeds, iters = 5)
+      .orderBy("node")
+  }
+
+  private def pprIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+        |  SELECT nd.node AS node,
+        |         CAST(nd.tp + COALESCE(c.mass, 0) AS BIGINT) AS rank
+        |  FROM ntp nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           SUM((85 * (r.rank // d.outdeg)) // 100) AS mass
+        |    FROM edges e
+        |    JOIN deg d ON e.src = d.src
+        |    JOIN r${k - 1} r ON r.node = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+
+  val gr3Sql: String =
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |deg AS MATERIALIZED (
+      |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |seeds AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node FROM e0 WHERE src % 20 = 0),
+      |ns AS (SELECT count(*) AS cnt FROM seeds),
+      |ntp AS MATERIALIZED (
+      |  SELECT n.node,
+      |         CASE WHEN s.node IS NOT NULL
+      |              THEN ((1000000000000 * 15) // 100) // (SELECT cnt FROM ns)
+      |              ELSE 0 END AS tp
+      |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+      |r0 AS MATERIALIZED (
+      |  SELECT node,
+      |         CASE WHEN tp > 0
+      |              THEN 1000000000000 // (SELECT cnt FROM ns)
+      |              ELSE 0 END AS rank
+      |  FROM ntp),
+      |${pprIterCtes(5)}
+      |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+
+  // Matryoshka truncation fidelity: cosine over the first 16 dims vs
+  // the full vector, probed on the consecutive-pair chain. Both
+  // cosines are raw left-to-right double folds — the dd5 bit-exact
+  // contract — so the gate hashes the doubles directly.
+  val em1TruncationFidelity: Q = (s, dir) =>
+    Similarity.truncationFidelity(
+      embs(s, dir).select("vec_id", "embedding"), "vec_id", "embedding",
+      dims = 16)
+      .orderBy("id1")
+
+  val em1Sql: String =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                         CAST(b.embedding AS DOUBLE[])) AS cos_full,
+      |  list_cosine_similarity(CAST(a.embedding[1:16] AS DOUBLE[]),
+      |                         CAST(b.embedding[1:16] AS DOUBLE[])) AS cos_trunc
+      |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+      |ORDER BY id1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ka2_l_diversity" -> ka2LDiversity,
+    "gr3_personalized_pr" -> gr3PersonalizedPr,
+    "em1_truncation_fidelity" -> em1TruncationFidelity,
     "ca2_corpus_card" -> ca2CorpusCard,
     "se1_schema_evolution" -> se1SchemaEvolution,
     "fc1_compaction_plan" -> fc1CompactionPlan,
@@ -3854,6 +3964,9 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ka2_l_diversity" -> ka2Sql,
+    "gr3_personalized_pr" -> gr3Sql,
+    "em1_truncation_fidelity" -> em1Sql,
     "ca2_corpus_card" -> ca2Sql,
     "se1_schema_evolution" -> se1Sql,
     "fc1_compaction_plan" -> fc1Sql,

@@ -82,6 +82,41 @@ object Graph {
     ranks
   }
 
+  /** Personalized (seed-teleport) PageRank: the damped walk restarts
+    * only at `seeds`, so rank measures proximity-weighted importance
+    * RELATIVE to the seed set — the "expand from a curated set"
+    * primitive (propagate quality from vetted domains over a crawl's
+    * link graph, find suppliers close to flagged customers, seed-based
+    * corpus expansion). Same exact integer grid, same once-shuffled
+    * edge frame and |V|-row rounds as [[pageRank]]; only the teleport
+    * vector changes: `(1−d)·scale DIV |S|` at seeds, 0 elsewhere, and
+    * the walk starts AT the seeds (`scale DIV |S|` each).
+    *
+    * Seeds outside the graph are ignored (teleport onto a node with
+    * no edges would just self-decay); at least one seed must be a
+    * graph node. Dangling mass leaks as in the base formulation —
+    * redistribution under personalized teleport re-targets the seeds,
+    * a different operator contract, so it is deliberately not offered
+    * here.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst", iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      checkpointEvery: Int = 3,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank needs >= 1 iteration, got $iters")
+    val st = setup(edges, srcCol, dstCol, dampNum, dampDen, scale,
+      reliableCheckpoints, redistributeDangling = false,
+      seeds = Some(seeds))
+    var ranks = st.ranks0
+    for (i <- 1 to iters) {
+      ranks = st.round(ranks)
+      if (i % checkpointEvery == 0 && i < iters) ranks = st.truncate(ranks)
+    }
+    ranks
+  }
+
   /** [[pageRank]] iterated to a FIXPOINT instead of a fixed round
     * count: stops when the largest per-node rank change of a round is
     * <= `tolGrid` grid units. Deltas decay by ~dampNum/dampDen per
@@ -177,7 +212,8 @@ object Graph {
   private def setup(edges: DataFrame, srcCol: String, dstCol: String,
       dampNum: Long, dampDen: Long, scale: Long,
       reliableCheckpoints: Boolean,
-      redistributeDangling: Boolean = false): Setup = {
+      redistributeDangling: Boolean = false,
+      seeds: Option[DataFrame] = None): Setup = {
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
     // scale * dampNum must stay in Long for the per-edge contribution
@@ -203,6 +239,27 @@ object Graph {
     require(n > 0, "pageRank on an empty edge list")
     val teleport = (scale * (dampDen - dampNum) / dampDen) / n
 
+    // Personalized teleport: a truncated |V|-row (node, tp, rank0)
+    // frame replaces the uniform literal. Kept on a separate branch so
+    // the uniform path's round plan stays byte-identical to before.
+    val seeded: Option[DataFrame] = seeds.map { sd =>
+      require(!redistributeDangling,
+        "dangling redistribution under personalized teleport re-targets" +
+          " the seeds — a different contract; not offered")
+      val seedNodes = sd
+        .select(col(sd.columns.head).cast("long").as("node")).distinct()
+        .join(nodes, "node") // seeds outside the graph are ignored
+      val nSeeds = seedNodes.count()
+      require(nSeeds > 0, "no seed is a node of the graph")
+      val tpSeed = (scale * (dampDen - dampNum) / dampDen) / nSeeds
+      truncate(nodes
+        .join(seedNodes.withColumn("__s", lit(1L)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("__s") === 1L, lit(tpSeed)).otherwise(lit(0L)).as("tp"),
+          when(col("__s") === 1L, lit(scale / nSeeds)).otherwise(lit(0L))
+            .as("rank")))
+    }
+
     // Dangling redistribution (the standard formulation the base
     // pageRank doc documents as a leak): the static dangling-node set
     // is nodes minus edge sources; each round their damped mass is
@@ -219,9 +276,16 @@ object Graph {
         .select(col("dst"),
           expr(s"($dampNum * (rank DIV outdeg)) DIV $dampDen").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("in_mass"))
-      val base = nodes.join(inMass, nodes("node") === inMass("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      val base = seeded match {
+        case Some(ntp) =>
+          ntp.join(inMass, ntp("node") === inMass("dst"), "left")
+            .select(col("node"),
+              (col("tp") + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        case None =>
+          nodes.join(inMass, nodes("node") === inMass("dst"), "left")
+            .select(col("node"),
+              (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      }
       if (!redistributeDangling) base
       else {
         val dm = ranks.join(dangling, Seq("node"))
@@ -233,7 +297,10 @@ object Graph {
               .as("rank"))
       }
     }
-    Setup(nodes.select(col("node"), lit(scale / n).as("rank")),
-      round, truncate)
+    val ranks0 = seeded match {
+      case Some(ntp) => ntp.select(col("node"), col("rank"))
+      case None => nodes.select(col("node"), lit(scale / n).as("rank"))
+    }
+    Setup(ranks0, round, truncate)
   }
 }

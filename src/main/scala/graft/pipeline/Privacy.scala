@@ -50,4 +50,35 @@ object Privacy {
       // basis points via integral div (long/long would widen to double)
       .withColumn("risky_pct_bp", expr("risky_rows * 10000 div n_rows"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al., "l-Diversity: Privacy
+    * Beyond k-Anonymity", TKDD 2007): k-anonymity bounds CLASS SIZE,
+    * but a large class whose members all share one sensitive value
+    * still leaks it (the homogeneity attack). This measures, per QI
+    * equivalence class, how many DISTINCT sensitive values it holds,
+    * and rolls up per stratum: the minimum diversity (the table's
+    * l-level) and the classes/rows below `l`.
+    *
+    * Scale shape: one partial agg on (QI, sensitive) — the distinct —
+    * then (QI) then (stratum): three shrinking aggregations, no
+    * Expand-based countDistinct, no windows.
+    */
+  def lDiversityProfile(df: DataFrame, byCol: Column,
+      quasiIds: Seq[Column], sensitive: Column, l: Long): DataFrame = {
+    val qiCols = quasiIds.zipWithIndex.map { case (c, i) => c.as(s"__qi$i") }
+    val perValue = df
+      .groupBy((byCol.as("stratum") +: qiCols) :+ sensitive.as("__sv"): _*)
+      .agg(count(lit(1)).as("__rows"))
+    val perClass = perValue
+      .groupBy(col("stratum") +:
+        quasiIds.indices.map(i => col(s"__qi$i")): _*)
+      .agg(count(lit(1)).as("__div"), sum("__rows").as("__sz"))
+    perClass.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_classes"),
+        min("__div").as("l_diversity"),
+        sum(when(col("__div") < l, 1L).otherwise(0L)).as("homog_classes"),
+        sum(when(col("__div") < l, col("__sz")).otherwise(0L))
+          .as("homog_rows"),
+        sum("__sz").as("n_rows"))
+  }
 }

@@ -221,6 +221,31 @@ object Similarity {
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
   }
 
+  /** Matryoshka-style truncation fidelity probe: how well cosine over
+    * the first `dims` coordinates tracks cosine over the full vector
+    * (Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    * 2022 — the property that makes cheap prefix-dim ANN prefilters
+    * sound). Probed over the consecutive-id pair chain (the dd5
+    * frame): one equi-join, two fused cosine loops per pair, map-only
+    * after the join — corpus-linear, never pairwise.
+    *
+    * Returns (id1, id2, cos_full, cos_trunc) with both cosines as raw
+    * left-to-right double folds (bit-reproducible cross-engine, the
+    * dd5 contract), so downstream can compute any agreement metric
+    * without re-touching vectors.
+    */
+  def truncationFidelity(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 1, s"truncationFidelity needs dims >= 1, got $dims")
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") + 1 === col("id2"))
+      .select(col("id1"), col("id2"),
+        cosine(col("v1"), col("v2")).as("cos_full"),
+        cosine(slice(col("v1"), 1, dims), slice(col("v2"), 1, dims))
+          .as("cos_trunc"))
+  }
+
   /** Embedding near-duplicate PAIR mining at corpus scale — the cosine
     * analogue of `Dedup.minhashNearDupPairs` and the candidate step of
     * SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540).

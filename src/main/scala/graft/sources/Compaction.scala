@@ -78,11 +78,16 @@ object Compaction {
   /** Per-file compaction plan: row counts and key ranges for each
     * planned output file — the manifest a compactor publishes before
     * swapping files in.
+    *
+    * Projects to the sort key BEFORE the range sort: the plan needs
+    * nothing else, and at 100 TB the difference between sorting
+    * key-only rows and full-payload rows is the whole job (the
+    * payload only moves when [[compact]] executes the rewrite).
     */
   def plan(df: DataFrame, sortCols: Seq[String],
       targetRows: Long): DataFrame = {
     val first = col(sortCols.head)
-    assignFiles(df, sortCols, targetRows)
+    assignFiles(df.select(sortCols.map(col): _*), sortCols, targetRows)
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min(first).as("min_key"), max(first).as("max_key"))

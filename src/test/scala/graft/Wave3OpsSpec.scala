@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Privacy, Retrieval, TextAnalysis, Temporal, Web}
+import graft.pipeline.{Privacy, Retrieval, Similarity, TextAnalysis, Temporal, Web}
 
 /** Hand-computed behavior + plan-shape pins for the round-10 wave-3/4
   * operators: time-series gap fill, k-anonymity audit, inverted
@@ -183,6 +183,68 @@ class Wave3OpsSpec extends SparkTestBase {
       (1L, 2L * 10 - 4, 2L, true), (2L, -12L, 1L, false)))
     val p = plan(pipeline.Features.logitScore(feats, "doc_id", w))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("lDiversityProfile: homogeneous class flagged despite its size") {
+    import spark.implicits._
+    // stratum A, one big QI class, all same sensitive value → l = 1;
+    // second class has two values → fine at l = 2
+    val df = Seq(
+      ("A", "x", "s1"), ("A", "x", "s1"), ("A", "x", "s1"),
+      ("A", "y", "s1"), ("A", "y", "s2"),
+      ("B", "z", "s1"), ("B", "z", "s2")
+    ).toDF("seg", "qi", "sv")
+    val got = pipeline.Privacy.lDiversityProfile(
+      df, col("seg"), Seq(col("qi")), col("sv"), 2L)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("A", 2L, 1L, 1L, 3L, 5L), // class x: 3 rows, 1 value → homog
+      ("B", 1L, 2L, 0L, 0L, 2L)))
+  }
+
+  test("personalizedPageRank: rank mass stays seed-relative") {
+    import spark.implicits._
+    // path graph 1—2—3 (symmetrized), seed = {1}: rank(1) > rank(2) >
+    // rank(3) after damping; a uniform walk would rank 2 highest
+    // (highest degree)
+    val e0 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val seeds = Seq(1L).toDF("node")
+    val ppr = pipeline.Graph.personalizedPageRank(edges, seeds, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L), ppr.toString)
+    val upr = pipeline.Graph.pageRank(edges, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(upr(2L) > upr(1L), upr.toString) // uniform walk favors the hub
+    // seeds outside the graph are ignored; all-foreign seeds throw
+    val ok = pipeline.Graph.personalizedPageRank(edges,
+      Seq(1L, 99L).toDF("node"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.keySet == Set(1L, 2L, 3L) && !ok.contains(99L))
+    intercept[IllegalArgumentException] {
+      pipeline.Graph.personalizedPageRank(edges,
+        Seq(99L).toDF("node"), iters = 2).collect()
+    }
+  }
+
+  test("truncationFidelity: full and prefix cosine per consecutive pair") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, -1.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.truncationFidelity(df, "vec_id", "embedding", 2)
+      .orderBy("id1").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    // pair (0,1): full cos = 0 (orthogonal via last dim), prefix-2 = 1
+    assert(got(0)._1 == 0L && math.abs(got(0)._2) < 1e-12 &&
+      math.abs(got(0)._3 - 1.0) < 1e-12)
+    // pair (1,2): orthogonal in both views
+    assert(math.abs(got(1)._2) < 1e-12 && math.abs(got(1)._3) < 1e-12)
   }
 
   test("corpusCard: volumes, dup rate, lang spread, short share — no Expand") {
