@@ -3853,7 +3853,49 @@ object PipelineQueries {
       |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
       |ORDER BY id1""".stripMargin
 
+  // Fuzzy (edit-distance ≤ 1) join: customer names against a copy
+  // with one character deterministically replaced per row — q-gram
+  // blocking with the hot-gram guard (the shared "Customer#0…"
+  // prefix grams are exactly the boilerplate the guard exists to
+  // drop), exact levenshtein verify. The oracle replays grams, guard,
+  // candidates and the verify.
+  val fz1FuzzyJoin: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val l = c.select(col("c_custkey"), col("c_name"))
+    val r = c.select(col("c_custkey"),
+      expr("concat(substring(c_name, 1, CAST(c_custkey % 18 AS INT))," +
+        " 'x', substring(c_name, CAST(c_custkey % 18 AS INT) + 2))")
+        .as("t_name"))
+    pipeline.Fuzzy.fuzzyJoin(l, "c_custkey", "c_name",
+      r, "c_custkey", "t_name", maxDist = 1, q = 4, maxGramFreq = 500L)
+      .orderBy("id1", "id2")
+  }
+
+  val fz1Sql: String =
+    """WITH l AS (SELECT c_custkey AS id1, c_name AS s FROM customer),
+      |r AS (
+      |  SELECT c_custkey AS id2,
+      |         concat(substr(c_name, 1, CAST(c_custkey % 18 AS INT)), 'x',
+      |                substr(c_name, CAST(c_custkey % 18 AS INT) + 2)) AS t
+      |  FROM customer),
+      |lg AS (
+      |  SELECT DISTINCT id1, substr(s, CAST(i AS INT), 4) AS gram
+      |  FROM l, unnest(generate_series(1, greatest(length(s) - 3, 1))) AS u(i)),
+      |rg AS (
+      |  SELECT DISTINCT id2, substr(t, CAST(i AS INT), 4) AS gram
+      |  FROM r, unnest(generate_series(1, greatest(length(t) - 3, 1))) AS u(i)),
+      |hot AS (SELECT gram FROM lg GROUP BY gram HAVING count(*) > 500),
+      |lgc AS (
+      |  SELECT lg.id1, lg.gram FROM lg LEFT JOIN hot USING (gram)
+      |  WHERE hot.gram IS NULL),
+      |cand AS (SELECT DISTINCT id1, id2 FROM lgc JOIN rg USING (gram))
+      |SELECT id1, id2, CAST(levenshtein(s, t) AS BIGINT) AS dist
+      |FROM cand JOIN l USING (id1) JOIN r USING (id2)
+      |WHERE abs(length(s) - length(t)) <= 1 AND levenshtein(s, t) <= 1
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fz1_fuzzy_join" -> fz1FuzzyJoin,
     "ka2_l_diversity" -> ka2LDiversity,
     "gr3_personalized_pr" -> gr3PersonalizedPr,
     "em1_truncation_fidelity" -> em1TruncationFidelity,
@@ -3964,6 +4006,7 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fz1_fuzzy_join" -> fz1Sql,
     "ka2_l_diversity" -> ka2Sql,
     "gr3_personalized_pr" -> gr3Sql,
     "em1_truncation_fidelity" -> em1Sql,

@@ -247,6 +247,42 @@ class Wave3OpsSpec extends SparkTestBase {
     assert(math.abs(got(1)._2) < 1e-12 && math.abs(got(1)._3) < 1e-12)
   }
 
+  test("fuzzyJoin: blocking finds edit-1 pairs, hot grams guard, exact verify") {
+    import spark.implicits._
+    val l = Seq((1L, "jonathan smith"), (2L, "jonathon smith"),
+      (3L, "alice jones"), (4L, "completely other")).toDF("id", "name")
+    val r = Seq((10L, "jonathan smith"), (11L, "alice jonez"),
+      (12L, "zzzz yyyy")).toDF("id", "name")
+    val got = pipeline.Fuzzy.fuzzyJoin(l, "id", "name", r, "id", "name",
+      maxDist = 1, q = 3, maxGramFreq = 100L)
+      .orderBy("id1", "id2").collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1), rr.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 0L), // exact
+      (2L, 10L, 1L), // jonathon ~ jonathan
+      (3L, 11L, 1L))) // jones ~ jonez; 4/12 match nothing
+    // plan: no cartesian anywhere — candidates meet on the gram key
+    val p = plan(pipeline.Fuzzy.fuzzyJoin(l, "id", "name", r, "id", "name", 1))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("fuzzyJoin hot-gram guard drops boilerplate-only matches (documented recall trade)") {
+    import spark.implicits._
+    // every left string shares the gram pool; with the guard at 2 the
+    // common "aaaa…" grams are hot → the pair that ONLY shares hot
+    // grams is missed, the pair with a rare distinctive gram survives
+    val l = Seq((1L, "aaaaaa rare1"), (2L, "aaaaaa bbbb"),
+      (3L, "aaaaaa cccc")).toDF("id", "name")
+    val r = Seq((10L, "aaaaaa rare1")).toDF("id", "name")
+    val got = pipeline.Fuzzy.fuzzyJoin(l, "id", "name", r, "id", "name",
+      maxDist = 6, q = 4, maxGramFreq = 2L)
+      .select("id1", "id2").collect().map(rr => (rr.getLong(0), rr.getLong(1)))
+    // 1↔10 survives via "rare" grams; 2/3 ↔ 10 are within dist 6 but
+    // share only the hot aaaa grams → blocked (the documented trade)
+    assert(got.toSeq == Seq((1L, 10L)))
+  }
+
   test("corpusCard: volumes, dup rate, lang spread, short share — no Expand") {
     import spark.implicits._
     val d = Seq(
