@@ -3894,7 +3894,58 @@ object PipelineQueries {
       |WHERE abs(length(s) - length(t)) <= 1 AND levenshtein(s, t) <= 1
       |ORDER BY id1, id2""".stripMargin
 
+  // All-pairs sparse TF-IDF cosine over word bigrams (quote-grade
+  // pairwise similarity; the inverted-index formulation — documents
+  // meet only on shared mid-frequency bigrams). The fixture's planted
+  // exact duplicates surface at sim = 1.0; mid-similarity pairs grade
+  // down to the 0.2 threshold.
+  val rr4SparseCosine: Q = (s, dir) =>
+    pipeline.Retrieval.sparseCosinePairs(
+      docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+      ngram = 2, minDf = 2L, maxDf = 50L, minSim = 0.2)
+      .orderBy("id1", "id2")
+
+  val rr4Sql: String =
+    """WITH wsp AS (
+      |  SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+      |tok AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS term
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i
+      |        FROM wsp) p),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfq AS (
+      |  SELECT term, count(*) AS df FROM tf
+      |  GROUP BY term HAVING count(*) BETWEEN 2 AND 50),
+      |n AS (SELECT count(*) AS nd FROM documents),
+      |w AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         CAST(tf.tf AS DOUBLE) *
+      |           ln(CAST(n.nd AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS w
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      |q2 AS (
+      |  SELECT doc_id, term, w,
+      |         CAST(floor(w * w * 1000000.0) AS BIGINT) AS q
+      |  FROM w),
+      |nq AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS nq FROM q2
+      |       GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |         CAST(sum(CAST(floor(a.w * b.w * 1000000.0) AS BIGINT))
+      |           AS BIGINT) AS dot_micro,
+      |         count(*) AS shared_terms
+      |  FROM q2 a JOIN q2 b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, shared_terms,
+      |       CAST(dot_micro AS DOUBLE)
+      |         / sqrt(CAST(x.nq AS DOUBLE) * CAST(y.nq AS DOUBLE)) AS sim
+      |FROM pr JOIN nq x ON id1 = x.doc_id JOIN nq y ON id2 = y.doc_id
+      |WHERE CAST(dot_micro AS DOUBLE)
+      |        / sqrt(CAST(x.nq AS DOUBLE) * CAST(y.nq AS DOUBLE)) >= 0.2
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "rr4_sparse_cosine" -> rr4SparseCosine,
     "fz1_fuzzy_join" -> fz1FuzzyJoin,
     "ka2_l_diversity" -> ka2LDiversity,
     "gr3_personalized_pr" -> gr3PersonalizedPr,
@@ -4006,6 +4057,7 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rr4_sparse_cosine" -> rr4Sql,
     "fz1_fuzzy_join" -> fz1Sql,
     "ka2_l_diversity" -> ka2Sql,
     "gr3_personalized_pr" -> gr3Sql,

@@ -283,6 +283,36 @@ class Wave3OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 10L)))
   }
 
+  test("sparseCosinePairs: identical docs hit 1.0, disjoint absent, df band guards") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact dup of 1 → sim 1.0
+      (3L, "alpha beta other words"),   // shares the 'alpha beta' bigram
+      (4L, "zz yy xx ww")               // disjoint → no pair
+    ).toDF("doc_id", "text")
+    val got = pipeline.Retrieval.sparseCosinePairs(d, "doc_id", "text",
+      ngram = 2, minDf = 2L, maxDf = 50L, minSim = 0.0)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(math.abs(got(0)._4 - 1.0) < 1e-6 && got(0)._3 == 3) // dup pair
+    assert(got(1)._4 > 0 && got(1)._4 < 1 && got(1)._3 == 1)
+    // fixture run + plan pin: pairs meet on the term key only
+    val fixture = pipeline.Retrieval.sparseCosinePairs(
+      Tables.load(spark, sf, "documents").select("doc_id", "text"),
+      "doc_id", "text", ngram = 2, minDf = 2L, maxDf = 50L, minSim = 0.0)
+    assert(fixture.count() > 0)
+    // plan pin: no cartesian; the only nested-loop is the deliberate
+    // ONE-ROW corpus-stats broadcast cross (the rr1 lazy-stats shape) —
+    // the pair join itself must be a hash/merge join on the term key
+    val p = plan(fixture)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin [term") ||
+      p.contains("SortMergeJoin [term") ||
+      p.contains("ShuffledHashJoin [term"), p.take(1500))
+  }
+
   test("corpusCard: volumes, dup rate, lang spread, short share — no Expand") {
     import spark.implicits._
     val d = Seq(
