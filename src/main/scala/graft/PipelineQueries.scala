@@ -3884,7 +3884,10 @@ object PipelineQueries {
       |rg AS (
       |  SELECT DISTINCT id2, substr(t, CAST(i AS INT), 4) AS gram
       |  FROM r, unnest(generate_series(1, greatest(length(t) - 3, 1))) AS u(i)),
-      |hot AS (SELECT gram FROM lg GROUP BY gram HAVING count(*) > 500),
+      |hot AS (
+      |  SELECT gram FROM lg GROUP BY gram HAVING count(*) > 500
+      |  UNION
+      |  SELECT gram FROM rg GROUP BY gram HAVING count(*) > 500),
       |lgc AS (
       |  SELECT lg.id1, lg.gram FROM lg LEFT JOIN hot USING (gram)
       |  WHERE hot.gram IS NULL),

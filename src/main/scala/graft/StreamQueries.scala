@@ -120,13 +120,11 @@ object StreamQueries {
   // marks a filled gap). The bucket id is integer-µs division, exact
   // in both engines; fill values are raw fixture doubles (no
   // arithmetic), so the hash gate covers the whole pipeline.
-  val ts1Gapfill: Q = (s, dir) => {
-    import org.apache.spark.sql.functions._
+  val ts1Gapfill: Q = (s, dir) =>
     graft.pipeline.Temporal.resampleFill(
       Tables.load(s, dir, "events"), "user_id", "ts", "value",
       bucketSeconds = 86400L)
       .orderBy("user_id", "bucket_ts")
-  }
   val ts1Sql: String =
     """WITH b AS (
       |  SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,

@@ -32,14 +32,17 @@ object Fuzzy {
     * blocking. Returns (id1, id2, dist).
     *
     * Blocking: a candidate is any pair sharing at least one
-    * NON-HOT q-gram. Grams occurring more than `maxGramFreq` times on
-    * the LEFT side are dropped from the join (the stop-shingle / tr1
-    * one-sided-guard discipline: a gram shared by G rows yields G²
-    * candidate pairs — beyond the threshold it is boilerplate, not
-    * identity signal, and THE quadratic blowup at corpus scale).
-    * Recall caveat, documented not hidden: a true match whose every
-    * shared gram is hot is missed — the standard blocking trade; tune
-    * `maxGramFreq` up for higher recall at quadratic candidate cost.
+    * NON-HOT q-gram. A gram occurring more than `maxGramFreq` times
+    * on EITHER side is dropped from the join (the stop-shingle
+    * discipline: a gram with G_l × G_r incidences yields G_l·G_r
+    * candidate rows — boilerplate, not identity signal, and THE
+    * quadratic blowup at corpus scale; guarding only one side would
+    * leave a left-rare/right-hot gram free to fan out G_r-fold). The
+    * union hot set is anti-joined on ONE side — that alone kills the
+    * gram's join output. Recall caveat, documented not hidden: a true
+    * match whose every shared gram is hot is missed — the standard
+    * blocking trade; tune `maxGramFreq` up for higher recall at
+    * quadratic candidate cost.
     *
     * Verify: candidates join their texts back and pass
     * `abs(len(s) − len(t)) <= maxDist` (free pre-filter — length is
@@ -61,8 +64,10 @@ object Fuzzy {
     val r = right.select(col(rightId).as("id2"), col(rightText).as("__t"))
     val lg = qgrams(l, "id1", "__s", q)
     val rg = qgrams(r, "id2", "__t", q)
-    val hot = lg.groupBy("gram").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxGramFreq).select("gram")
+    def hotOf(g: DataFrame): DataFrame =
+      g.groupBy("gram").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxGramFreq).select("gram")
+    val hot = hotOf(lg).unionByName(hotOf(rg)).distinct()
     val cand = lg.join(broadcast(hot), Seq("gram"), "left_anti")
       .join(rg, "gram")
       .select("id1", "id2").distinct()

@@ -170,26 +170,6 @@ object Retrieval {
         min(col("start")).cast("long").as("first_pos"))
   }
 
-  /** Materialized inverted index with delta-encoded posting lists —
-    * the storage artifact behind [[bm25TopK]]/[[phraseSearch]], built
-    * as its own operator because a 100 TB corpus builds the index
-    * ONCE and serves many query batches from it.
-    *
-    * Per term: `df` (document frequency), `postings_delta` (doc ids
-    * sorted ascending, gap-encoded — the standard compression that
-    * turns ~8-byte ids into mostly-small varint-able gaps; Manning et
-    * al., IIR §5.3) and `max_doc` (= Σ deltas, a free end-to-end
-    * checksum: any lost or reordered gap breaks it).
-    *
-    * Scale shape: one distinct over (term, doc) — a partial-agg
-    * shuffle on the pair key — then ONE term-keyed shuffle that both
-    * computes gaps (lag window) and folds the list. The per-term list
-    * is the honest memory bound: `maxDf` drops stopword-class terms
-    * whose posting lists approach the corpus size (they carry no
-    * selectivity; real indexes stop them too), so no single group
-    * materializes an unbounded array. `minDf` prunes the hapax tail
-    * that bloats the term dictionary without ever matching a query.
-    */
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal
     * Rank Fusion outperforms Condorcet and individual Rank Learning
     * Methods", SIGIR 2009): combine per-query rankings from several
@@ -325,6 +305,26 @@ object Retrieval {
           col("__omax")).as("max_doc"))
   }
 
+  /** Materialized inverted index with delta-encoded posting lists —
+    * the storage artifact behind [[bm25TopK]]/[[phraseSearch]], built
+    * as its own operator because a 100 TB corpus builds the index
+    * ONCE and serves many query batches from it.
+    *
+    * Per term: `df` (document frequency), `postings_delta` (doc ids
+    * sorted ascending, gap-encoded — the standard compression that
+    * turns ~8-byte ids into mostly-small varint-able gaps; Manning et
+    * al., IIR §5.3) and `max_doc` (= Σ deltas, a free end-to-end
+    * checksum: any lost or reordered gap breaks it).
+    *
+    * Scale shape: one distinct over (term, doc) — a partial-agg
+    * shuffle on the pair key — then df from a term-keyed partial agg,
+    * and the band filter applied BEFORE the gap window and list fold:
+    * a stopword-class term over the band never reaches collect_list,
+    * so no aggregation buffer ever materializes a corpus-sized
+    * posting array (filtering after the fold would OOM on exactly the
+    * terms the band exists to drop). `minDf` prunes the hapax tail
+    * that bloats the term dictionary without ever matching a query.
+    */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 5, maxDf: Long = 100000): DataFrame = {
     val tok = Dedup.spread(docs)
@@ -332,16 +332,18 @@ object Retrieval {
         col(idCol).cast("long").as("__doc"))
       .filter(length(col("term")) >= 3)
       .distinct()
+    val banded = tok
+      .join(tok.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf && col("df") <= maxDf), "term")
     val w = Window.partitionBy("term").orderBy("__doc")
-    tok
+    banded
       .withColumn("__delta",
         col("__doc") - lag(col("__doc"), 1, 0L).over(w))
       .groupBy("term")
-      .agg(count(lit(1)).as("df"),
+      .agg(max(col("df")).as("df"),
         transform(
           sort_array(collect_list(struct(col("__doc"), col("__delta")))),
           e => e.getField("__delta")).as("postings_delta"),
         sum(col("__delta")).as("max_doc"))
-      .filter(col("df") >= minDf && col("df") <= maxDf)
   }
 }

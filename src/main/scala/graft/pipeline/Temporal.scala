@@ -61,8 +61,14 @@ object Temporal {
   def resampleFill(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, bucketSeconds: Long): DataFrame = {
     val busUs = bucketSeconds * 1000000L
+    // FLOOR division, not `div` (which truncates toward zero): a
+    // pre-1970 timestamp must land in the day it belongs to, matching
+    // both DuckDB's `//` and the streaming twin's Math.floorDiv —
+    // (a − pmod(a, b)) div b is floorDiv in exact integer arithmetic
     val b = events
-      .withColumn("__bucket", expr(s"unix_micros($tsCol) div $busUs"))
+      .withColumn("__bucket", expr(
+        s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $busUs))" +
+          s" div $busUs"))
       .groupBy(col(keyCol), col("__bucket"))
       .agg(max(col(valueCol)).as("__v"), count(lit(1)).as("__n"))
     val spine = b.groupBy(col(keyCol))

@@ -41,6 +41,9 @@ object Compaction {
   def assignFiles(df: DataFrame, sortCols: Seq[String],
       targetRows: Long, partitions: Int = 32,
       reliableCheckpoints: Boolean = false): DataFrame = {
+    require(targetRows > 0 && partitions > 0 && sortCols.nonEmpty,
+      s"need targetRows > 0, partitions > 0, non-empty sortCols; " +
+        s"got $targetRows, $partitions, $sortCols")
     val spark = df.sparkSession
     // materialize the range partitioning once so the count pass and
     // the rank pass see identical partition contents
@@ -102,9 +105,11 @@ object Compaction {
   def compact(df: DataFrame, path: String, sortCols: Seq[String],
       targetRows: Long): Long = {
     val assigned = assignFiles(df, sortCols, targetRows)
-    val nFiles = assigned.agg(max("file_id")).head.getLong(0) + 1
+    // max over an empty frame is a NULL cell, not a row-less result
+    val maxRow = assigned.agg(max("file_id")).head
+    val nFiles = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
     assigned
-      .repartition(nFiles.toInt min 1024, col("file_id"))
+      .repartition((nFiles max 1L).toInt min 1024, col("file_id"))
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").partitionBy("file_id").parquet(path)
     nFiles

@@ -108,11 +108,11 @@ class Wave3OpsSpec extends SparkTestBase {
     assert(!p.contains("Generate"), p.take(800)) // no per-char explode
   }
 
-  test("mergeIndexes ≡ batch rebuild; only-old/only-new/both terms stitch") {
+  test("mergeIndexes: only-old and only-new terms pass through unchanged") {
     import spark.implicits._
     val d = Seq(
-      (1L, "aa bb"), (2L, "aa cc"), (5L, "aa bb dd"), // old batch
-      (10L, "aa dd"), (12L, "dd ee")                  // new batch (ids above)
+      (1L, "oldterm both"), (2L, "oldterm"), (5L, "both"), // old batch
+      (10L, "newterm both"), (12L, "newterm")              // new (ids above)
     ).toDF("doc_id", "text")
     def idx(df: org.apache.spark.sql.DataFrame) =
       Retrieval.invertedIndex(df, "doc_id", "text",
@@ -121,13 +121,41 @@ class Wave3OpsSpec extends SparkTestBase {
       idx(d.filter(col("doc_id") < 10)), idx(d.filter(col("doc_id") >= 10)))
     val got = merged.orderBy("term").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
-    // hand-check the three stitch cases (tokens are 2 chars; minLen is
-    // 3 in invertedIndex — so use the raw terms as-is? No: length >= 3
-    // filters 2-char tokens) — use the full rebuild as the oracle:
+    assert(got.toSeq == Seq(
+      // both: old 1,5 + new 10 → gaps 1,4,5 (boundary gap 10-5)
+      ("both", 3L, Seq(1L, 4L, 5L), 10L),
+      // newterm: new-only postings pass through verbatim
+      ("newterm", 2L, Seq(10L, 2L), 12L),
+      // oldterm: old-only postings pass through verbatim
+      ("oldterm", 2L, Seq(1L, 1L), 2L)))
     val full = idx(d).orderBy("term").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
-    assert(got.toSeq == full.toSeq)
-    assert(got.isEmpty) // 2-char tokens are all under the length-3 floor
+    assert(got.toSeq == full.toSeq) // merge ≡ rebuild on all three cases
+  }
+
+  test("invertedIndex bands BEFORE the list fold; resampleFill floors pre-1970") {
+    import spark.implicits._
+    // band-before-fold: the hot term never reaches collect_list — its
+    // absence from the output with maxDf below its df proves the
+    // filter sits upstream of the fold (plan also shows the join)
+    val d = Seq((1L, "hot rare"), (2L, "hot"), (3L, "hot")).toDF("id", "t")
+    val idx = Retrieval.invertedIndex(d, "id", "t",
+      minDf = 1L, maxDf = 2L)
+    assert(idx.collect().map(_.getString(0)).toSeq == Seq("rare"))
+    // the band is a join upstream of the window+fold, not a filter on
+    // the folded result: the df join sits BELOW the Window in the tree
+    // (plans print root-first, so Window's index is smaller)
+    val p = plan(idx)
+    assert(p.contains("Window") && p.contains("Join") &&
+      p.indexOf("Window") < p.indexOf("Join"), p.take(1200))
+    // pre-1970 day bucketing: floor division, matching DuckDB's `//`
+    // and the streaming twin's Math.floorDiv — 1969-12-31 12:00 UTC
+    // must land on day -1 (1969-12-31), not day 0
+    val ev = Seq((1L, new java.sql.Timestamp(-43200000L), 2.5))
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.resampleFill(ev, "user_id", "ts", "value", 86400L)
+      .collect()(0)
+    assert(got.getTimestamp(1).getTime == -86400000L, got.toString)
   }
 
   test("mergeIndexes stitches gap lists across the batch boundary") {
