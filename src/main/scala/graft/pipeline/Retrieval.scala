@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -332,18 +332,27 @@ object Retrieval {
         col(idCol).cast("long").as("__doc"))
       .filter(length(col("term")) >= 3)
       .distinct()
-    val banded = tok
-      .join(tok.groupBy("term").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= minDf && col("df") <= maxDf), "term")
     val w = Window.partitionBy("term").orderBy("__doc")
-    banded
+    def fold(src: DataFrame, dfCol: Column): DataFrame = src
       .withColumn("__delta",
         col("__doc") - lag(col("__doc"), 1, 0L).over(w))
       .groupBy("term")
-      .agg(max(col("df")).as("df"),
+      .agg(dfCol.as("df"),
         transform(
           sort_array(collect_list(struct(col("__doc"), col("__delta")))),
           e => e.getField("__delta")).as("postings_delta"),
         sum(col("__delta")).as("max_doc"))
+    if (minDf <= 1L && maxDf == Long.MaxValue)
+      // wide-open band (the incremental sub-index case): no memory
+      // bound to enforce, so skip the df pre-join — one term shuffle
+      fold(tok, count(lit(1)))
+    else
+      // band BEFORE the window+fold: an over-band term never reaches
+      // collect_list, so no aggregation buffer materializes a
+      // corpus-sized posting array
+      fold(tok.join(
+        tok.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= minDf && col("df") <= maxDf), "term"),
+        max(col("df")))
   }
 }
