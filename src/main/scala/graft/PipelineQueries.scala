@@ -3947,7 +3947,62 @@ object PipelineQueries {
       |        / sqrt(CAST(x.nq AS DOUBLE) * CAST(y.nq AS DOUBLE)) >= 0.2
       |ORDER BY id1, id2""".stripMargin
 
+  // Hierarchical ROLLUP with grouping flags — the OLAP subtotal
+  // surface the reference's dialect lacks entirely (SURVEY §2.5: no
+  // grouping sets). Spark's rollup plans through ONE Expand (factor =
+  // #grouping sets = 3) feeding a single partial-agged aggregation —
+  // the canonical shape; each input row is replicated per level and
+  // map-side combined, so the cost is 3× one scan, never 3 scans.
+  val an2Rollup: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).as("g_pri"),
+        grouping(col("o_orderstatus")).as("g_st"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100.0, 0).cast("long"))
+          .as("price_cents"))
+      .orderBy("g_pri", "g_st", "o_orderpriority", "o_orderstatus")
+
+  val an2Sql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       GROUPING(o_orderpriority) AS g_pri,
+      |       GROUPING(o_orderstatus) AS g_st,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+      |         AS BIGINT) AS price_cents
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin
+
+  // Pivot (long → wide): per-user spend by event type with an
+  // EXPLICIT value list — the form that skips pivot's extra
+  // distinct-discovery scan (at 100 TB the discovery pass costs a
+  // full shuffle before any work starts; production pivots pin their
+  // columns). One groupBy, five conditional sums, map-side combined.
+  val pv1TypePivot: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("__cents", round(col("value") * 100.0, 0).cast("long"))
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum("__cents"))
+      .orderBy("user_id")
+
+  val pv1Sql: String =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'click' THEN c END) AS click,
+      |  sum(CASE WHEN event_type = 'error' THEN c END) AS error,
+      |  sum(CASE WHEN event_type = 'purchase' THEN c END) AS purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN c END) AS signup,
+      |  sum(CASE WHEN event_type = 'view' THEN c END) AS view
+      |FROM (SELECT user_id, event_type,
+      |             CAST(round(value * 100.0, 0) AS BIGINT) AS c
+      |      FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "an2_priority_rollup" -> an2Rollup,
+    "pv1_type_pivot" -> pv1TypePivot,
     "rr4_sparse_cosine" -> rr4SparseCosine,
     "fz1_fuzzy_join" -> fz1FuzzyJoin,
     "ka2_l_diversity" -> ka2LDiversity,
@@ -4060,6 +4115,8 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "an2_priority_rollup" -> an2Sql,
+    "pv1_type_pivot" -> pv1Sql,
     "rr4_sparse_cosine" -> rr4Sql,
     "fz1_fuzzy_join" -> fz1Sql,
     "ka2_l_diversity" -> ka2Sql,

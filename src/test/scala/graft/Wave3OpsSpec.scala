@@ -341,6 +341,27 @@ class Wave3OpsSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin [term"), p.take(1500))
   }
 
+  test("rollup emits all three levels; pivot with explicit values, one scan") {
+    import spark.implicits._
+    val d = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0))
+      .toDF("p", "s", "v")
+    val r = d.rollup(col("p"), col("s"))
+      .agg(grouping(col("p")).as("gp"), grouping(col("s")).as("gs"),
+        count(lit(1)).as("n"))
+      .collect() // grouping() is TINYINT in Spark
+      .map(x => (x.getByte(2).toInt, x.getByte(3).toInt, x.getLong(4)))
+    // 3 leaf rows + 2 per-p subtotals + 1 grand total
+    assert(r.count(t => t._1 == 0 && t._2 == 0) == 3)
+    assert(r.count(t => t._1 == 0 && t._2 == 1) == 2)
+    assert(r.toSeq.contains((1, 1, 3L)))
+    val pv = Seq((1L, "a", 10L), (1L, "b", 5L), (2L, "a", 7L))
+      .toDF("k", "t", "c")
+      .groupBy("k").pivot("t", Seq("a", "b")).agg(sum("c"))
+      .orderBy("k").collect()
+    assert(pv(0).getLong(1) == 10L && pv(0).getLong(2) == 5L)
+    assert(pv(1).getLong(1) == 7L && pv(1).isNullAt(2)) // absent → NULL
+  }
+
   test("corpusCard: volumes, dup rate, lang spread, short share — no Expand") {
     import spark.implicits._
     val d = Seq(
