@@ -4000,7 +4000,74 @@ object PipelineQueries {
       |      FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // Water-filling budget allocation: 60% of the corpus's tokens split
+  // across sources with src0..src3 asking a ~2.7× share — more than
+  // their capacity holds, so they saturate and spill their shortfall
+  // into the other sixteen. The one-row total-tokens probe is the
+  // documented dim-probe exception; all decisions and fills are long
+  // arithmetic on the share-milli grid.
+  val sm10Waterfill: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("source"),
+      size(split(col("text"), " +")).cast("long").as("toks"))
+    val budget = d.agg(sum("toks")).head.getLong(0) * 3L / 5L
+    val shares: Map[String, Long] =
+      (0 to 3).map(i => s"src$i" -> 100L).toMap ++
+        (4 to 19).map(i => s"src$i" -> 37L).toMap
+    pipeline.Sampling.waterfillBudget(d, "source", "toks", budget, shares)
+      .orderBy("source")
+  }
+
+  val sm10Sql: String = {
+    val vals = ((0 to 3).map(i => s"('src$i', 100)") ++
+      (4 to 19).map(i => s"('src$i', 37)")).mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source, len(string_split_regex(text, ' +')) AS toks
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(toks) AS BIGINT) * 3 // 5 AS b FROM d),
+       |sh(source, share_milli) AS (VALUES $vals),
+       |cap AS (
+       |  SELECT c.source, c.cap_tokens, s.share_milli
+       |  FROM (SELECT source, CAST(sum(toks) AS BIGINT) AS cap_tokens
+       |        FROM d GROUP BY source HAVING sum(toks) > 0) c
+       |  JOIN sh s USING (source)),
+       |w AS (
+       |  SELECT source, cap_tokens, share_milli,
+       |    coalesce(sum(cap_tokens) OVER (
+       |      ORDER BY CAST(cap_tokens AS DOUBLE) / CAST(share_milli AS DOUBLE),
+       |               source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpre,
+       |    sum(share_milli) OVER (
+       |      ORDER BY CAST(cap_tokens AS DOUBLE) / CAST(share_milli AS DOUBLE),
+       |               source
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ssuf
+       |  FROM cap),
+       |f AS (
+       |  SELECT *, CASE WHEN cap_tokens * ssuf <
+       |                   ((SELECT b FROM tot) - cpre) * share_milli
+       |                 THEN 1 ELSE 0 END AS rowsat
+       |  FROM w),
+       |g AS (
+       |  SELECT *, min(rowsat) OVER (
+       |    ORDER BY CAST(cap_tokens AS DOUBLE) / CAST(share_milli AS DOUBLE),
+       |             source
+       |    ROWS UNBOUNDED PRECEDING) AS sat
+       |  FROM f),
+       |t2 AS (
+       |  SELECT coalesce(sum(CASE WHEN sat = 1 THEN cap_tokens END), 0)
+       |           AS satcap,
+       |         coalesce(sum(CASE WHEN sat = 0 THEN share_milli END), 0)
+       |           AS unsatshare
+       |  FROM g)
+       |SELECT source, cap_tokens, share_milli, sat = 1 AS saturated,
+       |       CAST(CASE WHEN sat = 1 THEN cap_tokens
+       |            ELSE ((SELECT b FROM tot) - (SELECT satcap FROM t2))
+       |                 * share_milli // (SELECT unsatshare FROM t2)
+       |            END AS BIGINT) AS alloc_tokens
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "sm10_waterfill_budget" -> sm10Waterfill,
     "an2_priority_rollup" -> an2Rollup,
     "pv1_type_pivot" -> pv1TypePivot,
     "rr4_sparse_cosine" -> rr4SparseCosine,
@@ -4115,6 +4182,7 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sm10_waterfill_budget" -> sm10Sql,
     "an2_priority_rollup" -> an2Sql,
     "pv1_type_pivot" -> pv1Sql,
     "rr4_sparse_cosine" -> rr4Sql,

@@ -542,4 +542,78 @@ object Sampling {
         Ivf.nearestCell(col(vecCol), centroids).cast("int")),
       idCol, "cluster", perCluster, seed)
   }
+
+  /** Water-filling budget allocation: split a global token budget
+    * across sources by proportional target shares, redistributing the
+    * shortfall of sources too small to absorb their share — the
+    * mixture problem [[mixtureRates]] does NOT solve (that one scales
+    * the total down to the binding stratum; this one keeps the total
+    * fixed at `budgetTokens` and lets capped sources spill their mass
+    * into the rest, the standard "books ×2 of a 1T budget, but books
+    * only has 300B tokens" planning step).
+    *
+    * Closed form on the |sources|-row frame: sort by capacity/share
+    * ascending; a source SATURATES (takes its full capacity) iff
+    * `cap_i · S_i < (B − C_{i−1}) · m_i`, with C the running capacity
+    * prefix and S the share suffix — evaluated as a RUNNING-AND so the
+    * saturated set is prefix-closed by construction; the rest split
+    * the remaining budget in proportion to their shares. Every
+    * comparison and allocation is exact long arithmetic: shares are
+    * integer millis (the caller's grid), so `cap·suffix < rem·milli`
+    * never touches a double and the fill is `(B − satCap)·milli div
+    * unsatShare` — floor-exact and engine-identical. Only the SORT
+    * key (cap/milli) is a double — one division, bit-identical
+    * cross-engine, ties broken on the source name.
+    *
+    * Scale shape: one corpus aggregation to per-source capacities;
+    * everything after runs on |sources| rows (two windows + one
+    * one-row agg on a frame of dozens — the documented exception to
+    * the no-global-window rule, bounded by construction).
+    */
+  def waterfillBudget(df: DataFrame, strataCol: String,
+      tokensCol: String, budgetTokens: Long,
+      shareMilli: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    require(shareMilli.nonEmpty && shareMilli.values.forall(_ > 0),
+      "shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = broadcast(shareMilli.toSeq.sortBy(_._1)
+      .toDF(strataCol, "share_milli"))
+    val cap = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol).cast("long")).as("cap_tokens"))
+      .filter(col("cap_tokens") > 0L)
+      .join(t, strataCol)
+    val ord = Window.orderBy(
+      (col("cap_tokens").cast("double") /
+        col("share_milli").cast("double")).asc, col(strataCol).asc)
+    val flagged = cap
+      .withColumn("__cprefix",
+        coalesce(sum("cap_tokens").over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__ssuffix",
+        sum("share_milli").over(
+          ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__rowSat",
+        col("cap_tokens") * col("__ssuffix") <
+          (lit(budgetTokens) - col("__cprefix")) * col("share_milli"))
+      // running AND: saturation is a prefix of the sorted order
+      .withColumn("saturated",
+        min(col("__rowSat").cast("int")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          === 1)
+    val totals = flagged.agg(
+      coalesce(sum(when(col("saturated"), col("cap_tokens"))), lit(0L))
+        .as("__satCap"),
+      coalesce(sum(when(!col("saturated"), col("share_milli"))), lit(0L))
+        .as("__unsatShare"))
+    flagged.crossJoin(broadcast(totals))
+      .select(col(strataCol), col("cap_tokens"), col("share_milli"),
+        col("saturated"),
+        when(col("saturated"), col("cap_tokens"))
+          .otherwise(expr(
+            s"(${budgetTokens}L - __satCap) * share_milli div __unsatShare"))
+          .as("alloc_tokens"))
+  }
 }

@@ -362,6 +362,24 @@ class Wave3OpsSpec extends SparkTestBase {
     assert(pv(1).getLong(1) == 7L && pv(1).isNullAt(2)) // absent → NULL
   }
 
+  test("waterfillBudget: capped source spills its shortfall, exact longs") {
+    import spark.implicits._
+    // equal 100-milli shares over budget 120: unconstrained each gets
+    // 40; A holds only 10 → saturates; B and C split the rest 55/55
+    val d = Seq(("A", 10L), ("B", 100L), ("C", 100L)).toDF("src", "toks")
+    val got = pipeline.Sampling.waterfillBudget(d, "src", "toks", 120L,
+      Map("A" -> 100L, "B" -> 100L, "C" -> 100L))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getBoolean(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("A", true, 10L), ("B", false, 55L),
+      ("C", false, 55L)))
+    // budget above total capacity: everyone saturates, no div-by-zero
+    val all = pipeline.Sampling.waterfillBudget(d, "src", "toks", 1000L,
+      Map("A" -> 100L, "B" -> 100L, "C" -> 100L))
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getLong(4)))
+    assert(all.forall(_._2) && all.map(_._3).sum == 210L)
+  }
+
   test("corpusCard: volumes, dup rate, lang spread, short share — no Expand") {
     import spark.implicits._
     val d = Seq(
