@@ -801,6 +801,7 @@ object PipelineQueries {
     val cbs = pipeline.Quantize.pqCodebooks(e, "vec_id", "embedding",
       m = 4, k = 16)
     pipeline.Quantize.pqProfile(e, "vec_id", "embedding", cbs)
+      .withColumn("sum_d12", col("sum_d12").cast("long")) // km1 budget doc
       .orderBy("subspace", "code")
   }
 
@@ -833,7 +834,7 @@ object PipelineQueries {
       |             PARTITION BY vec_id, j ORDER BY d, code) AS rn
       |    FROM dist) WHERE rn = 1)
       |SELECT j AS subspace, code, count(*) AS n_vecs,
-      |       CAST(sum(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_d12
+      |       CAST(sum(CAST(d AS DECIMAL(38,0))) AS BIGINT) AS sum_d12
       |FROM assigned GROUP BY j, code ORDER BY subspace, code""".stripMargin
 
   // IVFADC: the IVF coarse quantizer composed with PQ codes — probe
@@ -925,7 +926,12 @@ object PipelineQueries {
     val e = embs(s, dir).select("vec_id", "embedding")
     val centroids = pipeline.Ivf.staticCentroids(e, "vec_id", "embedding",
       nlist = 16)
+    // the operator carries sum_d12 as DECIMAL(38,0) (exact at any
+    // corpus size); the gate entry casts to BIGINT for the driver's
+    // pandas harness, which renders DECIMAL as float64. Budget: max
+    // |sum_d12| at sf0.01 is 6.8e13 — 1e5x int64 headroom.
     pipeline.Ivf.clusterProfile(e, "vec_id", "embedding", centroids)
+      .withColumn("sum_d12", col("sum_d12").cast("long"))
       .orderBy("cell")
   }
 
@@ -952,7 +958,7 @@ object PipelineQueries {
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
       |    FROM dist) WHERE rn = 1)
       |SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_id,
-      |       CAST(sum(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_d12
+      |       CAST(sum(CAST(d AS DECIMAL(38,0))) AS BIGINT) AS sum_d12
       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
 
   // ---------------- text analysis ----------------
@@ -2458,7 +2464,7 @@ object PipelineQueries {
       |                            ORDER BY score_micro DESC, doc_id) AS rank
       |  FROM ag)
       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
-      |       score_micro, n_terms
+      |       CAST(score_micro AS BIGINT) AS score_micro, n_terms
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // N-gram novelty of the src5..src9 half of the corpus against the
@@ -2937,7 +2943,8 @@ object PipelineQueries {
     val rows = (1 to bpeRounds).map { k =>
       s"""SELECT $k AS round, split_part(pair, ' ', 1) AS lhs,
         |       split_part(pair, ' ', 2) AS rhs,
-        |       replace(pair, ' ', '') AS merged, pair_count
+        |       replace(pair, ' ', '') AS merged,
+        |       CAST(pair_count AS BIGINT) AS pair_count
         |FROM b$k""".stripMargin
     }
     s"""WITH ${bpeCteSql(bpeRounds)}
@@ -2960,9 +2967,10 @@ object PipelineQueries {
       |tk AS MATERIALIZED (
       |  SELECT word, len(string_split(seq, ' ')) AS n_toks
       |  FROM s$bpeRounds)
-      |SELECT source, sum(n_occ) AS n_words,
-      |       sum(n_occ * n_toks) AS n_tokens,
-      |       (sum(n_occ * n_toks) * 1000000) // sum(n_occ) AS fert_ppm
+      |SELECT source, CAST(sum(n_occ) AS BIGINT) AS n_words,
+      |       CAST(sum(n_occ * n_toks) AS BIGINT) AS n_tokens,
+      |       CAST((sum(n_occ * n_toks) * 1000000) // sum(n_occ)
+      |            AS BIGINT) AS fert_ppm
       |FROM sw JOIN tk USING (word)
       |GROUP BY source ORDER BY source""".stripMargin
 
@@ -2973,6 +2981,12 @@ object PipelineQueries {
   val pc1GramSums: Q = (s, dir) =>
     graft.pipeline.Pca.gramSums(embs(s, dir), "vec_id", "embedding",
       dim = 64, shards = 8)
+      // DECIMAL(38,0) moment sums cast to BIGINT for the driver's
+      // pandas harness (km1 budget doc); |s_ij| max ~8e12 at sf0.01
+      .select(col("i"), col("j"), col("n").cast("long").as("n"),
+        col("s_i").cast("long").as("s_i"),
+        col("s_j").cast("long").as("s_j"),
+        col("s_ij").cast("long").as("s_ij"))
 
   val pc1Sql: String =
     """WITH eq AS MATERIALIZED (
@@ -2987,8 +3001,9 @@ object PipelineQueries {
       |               unnest(generate_series(1, len(q))) AS i
       |        FROM eq) t)
       |SELECT a.i AS i, b.i AS j, count(*) AS n,
-      |       sum(a.qi) AS s_i, sum(b.qi) AS s_j,
-      |       sum(a.qi * b.qi) AS s_ij
+      |       CAST(sum(a.qi) AS BIGINT) AS s_i,
+      |       CAST(sum(b.qi) AS BIGINT) AS s_j,
+      |       CAST(sum(a.qi * b.qi) AS BIGINT) AS s_ij
       |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin
 
@@ -3271,7 +3286,9 @@ object PipelineQueries {
       |  FROM fr GROUP BY 1),
       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_cnt
       |       FROM events GROUP BY 1)
-      |SELECT s.event_type, ex.exact_cnt, s.zeros, s.harmonic_scaled,
+      |SELECT s.event_type, ex.exact_cnt,
+      |       CAST(s.zeros AS BIGINT) AS zeros,
+      |       CAST(s.harmonic_scaled AS BIGINT) AS harmonic_scaled,
       |       CASE WHEN (0.709 * 4096.0 * 131072.0 / harmonic_scaled)
       |                 <= 160.0 AND zeros > 0
       |            THEN 64.0 * ln(64.0 / zeros)
@@ -3405,8 +3422,11 @@ object PipelineQueries {
       |                 ((c1 + 1.0) / (tokens_v1 + vocab_union))) *
       |              1000000000.0) AS BIGINT) AS contrib
       |  FROM cnt JOIN tot ON tot.source = cnt.source)
-      |SELECT t.source, t.tokens_v1, t.tokens_v2, t.vocab_union,
-      |       t.new_terms, t.dropped_terms, c.kl_nnats
+      |SELECT t.source, CAST(t.tokens_v1 AS BIGINT) AS tokens_v1,
+      |       CAST(t.tokens_v2 AS BIGINT) AS tokens_v2, t.vocab_union,
+      |       CAST(t.new_terms AS BIGINT) AS new_terms,
+      |       CAST(t.dropped_terms AS BIGINT) AS dropped_terms,
+      |       CAST(c.kl_nnats AS BIGINT) AS kl_nnats
       |FROM tot t JOIN (
       |  SELECT source, sum(contrib) AS kl_nnats FROM con GROUP BY source) c
       |  ON c.source = t.source
@@ -3494,20 +3514,30 @@ object PipelineQueries {
       |         count(*) AS sz
       |  FROM customer GROUP BY 1, 2, 3)
       |SELECT stratum, count(*) AS n_classes, min(sz) AS k_anonymity,
-      |       sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS risky_classes,
-      |       sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS risky_rows,
-      |       sum(sz) AS n_rows,
-      |       (sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000)
-      |         // sum(sz) AS risky_pct_bp
+      |       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS risky_classes,
+      |       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+      |         AS risky_rows,
+      |       CAST(sum(sz) AS BIGINT) AS n_rows,
+      |       CAST((sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000)
+      |         // sum(sz) AS BIGINT) AS risky_pct_bp
       |FROM cls GROUP BY stratum ORDER BY stratum""".stripMargin
 
   // Delta-encoded inverted index (df 5..100000 band): posting-list
   // gaps per term plus the Σ-gaps checksum; the artifact rr1/rr2
   // logically rebuild per run and a 100 TB corpus materializes once.
+  // The operator returns the gap list as ARRAY<BIGINT> (the layout a
+  // consumer wants); the gate entry serializes it to a comma-joined
+  // VARCHAR because the driver harness cannot sort/hash list columns
+  // (CORRECTNESS_r10: "unhashable type: 'numpy.ndarray'").
+  private def joinPostings(df: DataFrame): DataFrame =
+    df.withColumn("postings_delta",
+      array_join(col("postings_delta").cast("array<string>"), ","))
+
   val ii1InvertedIndex: Q = (s, dir) =>
-    pipeline.Retrieval.invertedIndex(
+    joinPostings(pipeline.Retrieval.invertedIndex(
       docs(s, dir).select("doc_id", "text"), "doc_id", "text",
-      minDf = 5L, maxDf = 100000L)
+      minDf = 5L, maxDf = 100000L))
       .orderBy("term")
 
   val ii1Sql: String =
@@ -3523,7 +3553,8 @@ object PipelineQueries {
       |           PARTITION BY term ORDER BY doc) AS delta
       |  FROM tok)
       |SELECT term, count(*) AS df,
-      |       list(delta ORDER BY doc) AS postings_delta,
+      |       array_to_string(list(delta ORDER BY doc), ',')
+      |         AS postings_delta,
       |       CAST(sum(delta) AS BIGINT) AS max_doc
       |FROM g GROUP BY term
       |HAVING count(*) BETWEEN 5 AND 100000
@@ -3655,8 +3686,8 @@ object PipelineQueries {
     val newIdx = pipeline.Retrieval.invertedIndex(
       d.filter(col("doc_id") >= 400), "doc_id", "text",
       minDf = 1L, maxDf = Long.MaxValue)
-    pipeline.Retrieval.mergeIndexes(oldIdx, newIdx)
-      .filter(col("df") >= 5 && col("df") <= 100000)
+    joinPostings(pipeline.Retrieval.mergeIndexes(oldIdx, newIdx)
+      .filter(col("df") >= 5 && col("df") <= 100000))
       .orderBy("term")
   }
 
@@ -3699,10 +3730,11 @@ object PipelineQueries {
       |  SELECT doc_id, CAST(sum(n_hits * w_milli) AS BIGINT) AS z_milli
       |  FROM feats JOIN w USING (bucket) GROUP BY doc_id)
       |SELECT d.source, count(*) AS n_docs,
-      |       sum(CASE WHEN z.z_milli > 0 THEN 1 ELSE 0 END) AS n_accept,
+      |       CAST(sum(CASE WHEN z.z_milli > 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_accept,
       |       CAST(sum(z.z_milli) AS BIGINT) AS sum_z_milli,
-      |       (sum(CASE WHEN z.z_milli > 0 THEN 1 ELSE 0 END) * 10000)
-      |         // count(*) AS accept_bp
+      |       CAST((sum(CASE WHEN z.z_milli > 0 THEN 1 ELSE 0 END) * 10000)
+      |         // count(*) AS BIGINT) AS accept_bp
       |FROM z JOIN documents d USING (doc_id)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
@@ -3767,7 +3799,8 @@ object PipelineQueries {
       |  SELECT stratum, m, cb, count(*) AS dvr, sum(rows_v) AS sz
       |  FROM pv GROUP BY 1, 2, 3)
       |SELECT stratum, count(*) AS n_classes, min(dvr) AS l_diversity,
-      |       sum(CASE WHEN dvr < 2 THEN 1 ELSE 0 END) AS homog_classes,
+      |       CAST(sum(CASE WHEN dvr < 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS homog_classes,
       |       CAST(sum(CASE WHEN dvr < 2 THEN sz ELSE 0 END) AS BIGINT)
       |         AS homog_rows,
       |       CAST(sum(sz) AS BIGINT) AS n_rows
@@ -3990,11 +4023,16 @@ object PipelineQueries {
 
   val pv1Sql: String =
     """SELECT user_id,
-      |  sum(CASE WHEN event_type = 'click' THEN c END) AS click,
-      |  sum(CASE WHEN event_type = 'error' THEN c END) AS error,
-      |  sum(CASE WHEN event_type = 'purchase' THEN c END) AS purchase,
-      |  sum(CASE WHEN event_type = 'signup' THEN c END) AS signup,
-      |  sum(CASE WHEN event_type = 'view' THEN c END) AS view
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN c END) AS BIGINT)
+      |    AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN c END) AS BIGINT)
+      |    AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN c END) AS BIGINT)
+      |    AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN c END) AS BIGINT)
+      |    AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN c END) AS BIGINT)
+      |    AS view
       |FROM (SELECT user_id, event_type,
       |             CAST(round(value * 100.0, 0) AS BIGINT) AS c
       |      FROM events)
