@@ -136,12 +136,23 @@ object Bench {
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","warm_iters":$warmIters,"queries":${obj(_.median)},"cold":${obj(_.cold)},"warm_min":${obj(_.min)},"warm_max":${obj(_.max)},"retries":$retryObj,"extras":${objOf(extras)(_.median)},"extras_cold":${objOf(extras)(_.cold)},"errors":$errObj,"sf":"$sfDir"}"""
-    // a file copy survives the driver's stdout tail-capture limit
+    // the full per-entry detail goes to a FILE; stdout gets a COMPACT
+    // line. The driver captures only a ~2000-char tail of stdout and
+    // parses the JSON line out of it — the full 155-entry line is
+    // >3 KB, so every prior round's BENCH_r*.json recorded
+    // "parsed": null. The compact line carries the headline total,
+    // the q1..q10 reference queries, the 5 slowest pipeline entries,
+    // and error count — and must stay well under the tail window.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
-    println(json)
+    val headline = results.filter(_._1.matches("q[0-9]+_.*"))
+    val slowest = (results -- headline.keys).toSeq
+      .sortBy(-_._2.median).take(5).toMap
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"warm_iters":$warmIters,"queries":${objOf(headline)(_.median)},"slowest":${objOf(slowest)(_.median)},"detail":"bench_out.json","sf":"$sfDir"}"""
+    println(compact)
     if (errors.nonEmpty) System.err.println(
       s"BENCH: ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
