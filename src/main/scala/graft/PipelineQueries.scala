@@ -1258,6 +1258,30 @@ object PipelineQueries {
       |       CAST(sum((doc_id * 29 + x * 5 + y * 19) % 256) AS BIGINT) AS b_sum
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // REAL audio codec round trip (javax.sound.sampled, in the JDK):
+  // each doc_id becomes a deterministic PCM16 mono test-tone,
+  // WAV-ENCODED then DECODED by the actual RIFF codec inside one
+  // mapPartitions batch; the oracle recomputes the decoded sample
+  // sums from the closed-form sample function (PCM is lossless, so
+  // codec-correct ⇔ hash-green — the mm3 attestation pattern).
+  // Format/round-trip/robustness pins live in PipelineSpec.
+  val mm4AudioCodec: Q = (s, dir) =>
+    Multimodal.audioSampleStats(s, docs(s, dir).select("doc_id"), "doc_id",
+      sampleRate = 8000, nSamples = 800, partitions = 32)
+      .orderBy("media_id")
+
+  val mm4Sql: String =
+    """WITH sm AS (
+      |  SELECT d.doc_id, ((d.doc_id * 31 + t.t * 7) % 2003) - 1001 AS v
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 799)) AS t) t)
+      |SELECT doc_id AS media_id, 8000 AS sample_rate,
+      |       count(*) AS n_samples,
+      |       CAST(sum(v) AS BIGINT) AS sum_v,
+      |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |       CAST(sum(v * v) AS BIGINT) AS sum_sq
+      |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   // ---------------- skew-salted join ----------------
 
   // Salted equi-join: result must equal the plain join exactly (the
@@ -4194,6 +4218,7 @@ object PipelineQueries {
     "qz1_embed_quantize" -> qz1Quantize,
     "mm2_resize_features" -> mm2ResizeFeatures,
     "mm3_image_codec" -> mm3ImageCodec,
+    "mm4_audio_codec" -> mm4AudioCodec,
     "sj1_salted_join" -> sj1SaltedJoin,
     "hk1_hot_keys" -> hk1HotKeys,
     "pf4_z_outliers" -> pf4Outliers,
@@ -4332,5 +4357,6 @@ object PipelineQueries {
     "tx5_pii_redact" -> tx5Sql,
     "mm1_media_features" -> mm1Sql,
     "mm3_image_codec" -> mm3Sql,
+    "mm4_audio_codec" -> mm4Sql,
   )
 }

@@ -114,21 +114,33 @@ object Ivf {
   /** Lloyd's k-means with deterministic seeded init (hash-ordered
     * sample). Centroid updates aggregate per (cell, dimension) —
     * a posexplode + groupBy, shuffle-friendly at any corpus size.
+    *
+    * PARTITION-INVARIANT: the training sample is a per-row portable-
+    * hash ppm threshold on the id (`df.sample` draws per-PARTITION,
+    * so a repartitioned rerun used to change the sample and therefore
+    * the centroids — the r10 verdict's determinism caveat), and the
+    * init pick is a (hash, id)-ordered global top-k. Same corpus +
+    * same seed → the same centroids on any cluster layout.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, seed: Long = 42L,
       sampleLimit: Int = 100000): Array[Array[Double]] = {
-    // df.sample is a map-side filter (no global sort/limit funnel, the
-    // right shape at corpus scale) and deterministic under a fixed
-    // seed + partitioning
     val n = corpus.count()
     val sample = (if (n <= sampleLimit) corpus
-      else corpus.sample(withReplacement = false,
-        fraction = math.min(1.0, sampleLimit.toDouble / n), seed = seed))
+      else {
+        // keep-if hash(seed:id) ppm < threshold: a map-side filter
+        // (no sort/limit funnel) whose per-row decision depends only
+        // on the id — invariant to partitioning, unlike df.sample
+        val ppm = math.min(1000000L,
+          math.ceil(sampleLimit.toDouble / n * 1e6).toLong)
+        corpus.filter(
+          PortableHash.hash60(concat(lit(s"ivf:$seed:"),
+            col(idCol).cast("string"))) % 1000000L < ppm)
+      })
       .select(col(idCol), col(vecCol))
       .cache()
     var centroids: Array[Array[Double]] = sample
-      .orderBy(xxhash64(col(idCol), lit(seed + 1)))
+      .orderBy(xxhash64(col(idCol), lit(seed + 1)), col(idCol))
       .limit(k)
       .select(vecCol)
       .collect()

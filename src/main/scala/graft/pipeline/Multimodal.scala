@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   *     (javax.imageio — offline-safe, ships with the JVM) inside the
   *     batch shape; the mm3 gate entry oracle-checks a full
   *     encode→decode round trip at the pixel level.
-  *   - audio/video decode stays STUBBED (`decodeBatch` — no such
-  *     codecs in the JDK) with a deterministic fake that reads real
-  *     bytes and emits a fixed-shape feature vector; swap it for a
-  *     JNI/FFI codec in production. The Spark-side plumbing (schema,
-  *     partitioning, batch shape, typed Datasets) is real and tested
-  *     either way.
+  *   - AUDIO is REAL too: `syntheticWavBatch` / `decodeAudioBatch`
+  *     round-trip PCM16 WAV through javax.sound.sampled (also in the
+  *     JDK); the mm4 gate entry oracle-checks decoded sample sums.
+  *   - video decode stays STUBBED (`decodeBatch`/`frameSampleBatch` —
+  *     no video codec in the JDK) with a deterministic fake that
+  *     reads real bytes and emits a fixed-shape feature vector; swap
+  *     it for a JNI/FFI codec in production. The Spark-side plumbing
+  *     (schema, partitioning, batch shape, typed Datasets) is real
+  *     and tested either way.
   */
 object Multimodal {
 
@@ -241,6 +244,97 @@ object Multimodal {
     ids.select(col(idCol).cast("long")).as[Long]
       .repartition(partitions)
       .mapPartitions(it => decodeImageBatch(syntheticPngBatch(width, height)(it)))
+      .toDF()
+  }
+
+  // ------------- real audio codec (javax.sound.sampled) -------------
+  //
+  // The JDK also ships a WAV (RIFF/PCM) reader+writer, so audio
+  // decode does not have to stay a stub either: the functions below
+  // run a REAL encode→decode round trip through
+  // javax.sound.sampled.AudioSystem inside the same mapPartitions
+  // batch shape as the image path. The synthetic waveform keeps the
+  // result oracle-able: sample t of clip `id` is the closed-form
+  // integer ((id·31 + t·7) mod 2003) − 1001 (within int16 range), WAV
+  // PCM is lossless, so the decoded sample sums replay in pure SQL —
+  // proving the real container+codec ran. Video remains the one
+  // stubbed decode (no video codec in the JDK); frameSampleBatch
+  // carries its 1→N plumbing.
+
+  final case class AudioRow(media_id: Long, payload: Array[Byte])
+
+  final case class AudioStats(media_id: Long, sample_rate: Int,
+      n_samples: Long, sum_v: Long, sum_abs: Long, sum_sq: Long)
+
+  /** Deterministic PCM16 mono test-tone for clip `id`, WAV-encoded by
+    * the JDK codec (RIFF header + little-endian PCM), one batch per
+    * partition.
+    */
+  def syntheticWavBatch(sampleRate: Int, nSamples: Int)(
+      ids: Iterator[Long]): Iterator[AudioRow] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    ids.map { id =>
+      val pcm = new Array[Byte](nSamples * 2)
+      var t = 0
+      while (t < nSamples) {
+        val v = (((id * 31 + t.toLong * 7) % 2003) - 1001).toInt
+        pcm(2 * t) = (v & 0xff).toByte
+        pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+        t += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      AudioRow(id, bos.toByteArray)
+    }
+  }
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` parses the RIFF
+    * container (format, rate, channel layout come from the payload,
+    * not from trusted metadata) and the stats are integer sums over
+    * the decoded samples. Throws on an undecodable payload or a
+    * format outside PCM16 mono rather than emitting garbage rows.
+    */
+  def decodeAudioBatch(rows: Iterator[AudioRow]): Iterator[AudioStats] =
+    rows.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
+        s"media ${r.media_id}: unsupported audio format $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var i = 0
+      var sumV = 0L; var sumAbs = 0L; var sumSq = 0L
+      while (i < n) {
+        val v = ((bytes(2 * i + 1).toInt << 8) |
+          (bytes(2 * i) & 0xff)).toShort.toInt
+        sumV += v
+        sumAbs += math.abs(v)
+        sumSq += v.toLong * v
+        i += 1
+      }
+      AudioStats(r.media_id, fmt.getSampleRate.toInt, n.toLong,
+        sumV, sumAbs, sumSq)
+    }
+
+  /** ids → WAV encode → decode → per-clip sample stats, both codec
+    * stages inside ONE mapPartitions pass (payload bytes never
+    * shuffle; only ids in and fixed-size stats rows out).
+    */
+  def audioSampleStats(spark: SparkSession, ids: DataFrame, idCol: String,
+      sampleRate: Int, nSamples: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(partitions)
+      .mapPartitions(it =>
+        decodeAudioBatch(syntheticWavBatch(sampleRate, nSamples)(it)))
       .toDF()
   }
 

@@ -874,7 +874,12 @@ object TextAnalysis {
     * per-CHARACTER explode would multiply the corpus by avg doc
     * length; this stays one row per doc) — then ONE partial-aggregated
     * groupBy on the stratum. The class regexes use explicit ASCII
-    * ranges only, so Java and any RE2-class engine agree byte-for-byte.
+    * ranges only, so Java and any RE2-class engine agree byte-for-byte
+    * — including off the BMP: Spark's `length()` is
+    * `UTF8String.numChars` (code points, not UTF-16 units), the same
+    * unit DuckDB counts, so supplementary-plane text (emoji) lands in
+    * `non_printable` identically in both engines (pinned by the
+    * Wave3OpsSpec supplementary-plane test).
     */
   def scriptProfile(df: DataFrame, byCol: String,
       textCol: String): DataFrame = {

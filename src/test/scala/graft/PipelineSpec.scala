@@ -108,6 +108,18 @@ class PipelineSpec extends SparkTestBase {
     assert(c1.length == 8 && c1.flatten.toSeq == c2.flatten.toSeq)
   }
 
+  test("IVF centroid training is partition-invariant (sampled path)") {
+    import graft.pipeline.Ivf
+    // sampleLimit below n forces the ppm-threshold sampler; training
+    // the same corpus under a different partitioning must produce the
+    // SAME centroids (df.sample would not — its draw is per-partition)
+    val c1 = Ivf.trainCentroids(embs, "vec_id", "embedding",
+      k = 4, iters = 2, sampleLimit = 100)
+    val c2 = Ivf.trainCentroids(embs.repartition(7), "vec_id", "embedding",
+      k = 4, iters = 2, sampleLimit = 100)
+    assert(c1.length == 4 && c1.flatten.toSeq == c2.flatten.toSeq)
+  }
+
   test("cosine zip_with fold matches a hand computation") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 0.0f), 2L, Array(0.6f, 0.8f)))
@@ -1343,6 +1355,45 @@ class PipelineSpec extends SparkTestBase {
           s + (p._1 - p._2) * (p._1 - p._2))
       }.sum
       assert(math.abs(dist - expect) < 1e-9, s"query $q: $dist vs $expect")
+    }
+  }
+
+  test("audio codec: real WAV round trip, format from container, bad payload throws") {
+    import graft.pipeline.Multimodal
+    val clip = Multimodal.syntheticWavBatch(8000, 800)(Iterator(7L)).next()
+    // the payload really is a RIFF/WAVE container, not raw PCM
+    val hdr = new String(clip.payload.slice(0, 4), "US-ASCII")
+    val wave = new String(clip.payload.slice(8, 12), "US-ASCII")
+    assert(hdr == "RIFF" && wave == "WAVE", s"$hdr/$wave")
+    val st = Multimodal.decodeAudioBatch(Iterator(clip)).next()
+    // sample rate comes from the decoded container header
+    assert(st.sample_rate == 8000 && st.n_samples == 800L)
+    // decoded sums match the closed-form waveform (PCM lossless)
+    var sv = 0L; var sa = 0L; var sq = 0L
+    (0 until 800).foreach { t =>
+      val v = ((7L * 31 + t.toLong * 7) % 2003 - 1001).toInt
+      sv += v; sa += math.abs(v); sq += v.toLong * v
+    }
+    assert((st.sum_v, st.sum_abs, st.sum_sq) == ((sv, sa, sq)))
+    // an undecodable payload throws instead of emitting garbage
+    intercept[Exception] {
+      Multimodal.decodeAudioBatch(
+        Iterator(Multimodal.AudioRow(1L, Array[Byte](1, 2, 3, 4)))).next()
+    }
+    // distributed path matches the driver-side closed form
+    val ids = spark.range(0, 5).toDF("doc_id")
+    val rows = Multimodal.audioSampleStats(spark, ids, "doc_id",
+      sampleRate = 8000, nSamples = 800, partitions = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    (0L until 5L).foreach { id =>
+      var v1 = 0L; var a1 = 0L; var q1 = 0L
+      (0 until 800).foreach { t =>
+        val v = ((id * 31 + t.toLong * 7) % 2003 - 1001).toInt
+        v1 += v; a1 += math.abs(v); q1 += v.toLong * v
+      }
+      assert(rows(id) == ((8000, 800L, v1, a1, q1)), s"id $id")
     }
   }
 

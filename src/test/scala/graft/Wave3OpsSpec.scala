@@ -108,6 +108,21 @@ class Wave3OpsSpec extends SparkTestBase {
     assert(!p.contains("Generate"), p.take(800)) // no per-char explode
   }
 
+  test("scriptProfile: supplementary-plane text counts code points") {
+    import spark.implicits._
+    // "a😀b": U+1F600 is outside the BMP (2 UTF-16 code units, 4
+    // UTF-8 bytes, 1 code point). Spark's length() is
+    // UTF8String.numChars — code points — the same unit DuckDB's
+    // length() uses, so n_chars/non_printable agree cross-engine even
+    // off the BMP (the Latin-only gate fixture can't catch this; this
+    // pin can).
+    val df = Seq(("en", "a😀b")).toDF("lang", "text")
+    val r = TextAnalysis.scriptProfile(df, "lang", "text").collect()(0)
+    assert(r.getLong(2) == 3, s"n_chars: ${r.getLong(2)}")       // not 4
+    assert(r.getLong(3) == 2, s"letters: ${r.getLong(3)}")       // a, b
+    assert(r.getLong(6) == 1, s"non_printable: ${r.getLong(6)}") // 😀
+  }
+
   test("mergeIndexes: only-old and only-new terms pass through unchanged") {
     import spark.implicits._
     val d = Seq(
