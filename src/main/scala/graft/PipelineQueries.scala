@@ -961,6 +961,87 @@ object PipelineQueries {
       |       CAST(sum(CAST(d AS DECIMAL(38,0))) AS BIGINT) AS sum_d12
       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
 
+  // Trained-quantizer profile: the Lloyd path, gate-attested (the r10
+  // verdict's last open item — km1/pq1/pq2 all ride the training-free
+  // staticCentroids pick). trainCentroidsGrid keeps EVERY training
+  // step on the exact integer grid (portable-md5 ppm sample, (md5,id)
+  // init pick, integer argmin, floor-div centroid update), so the
+  // oracle replays the ENTIRE training loop — sample, init, both
+  // Lloyd rounds — then the final full-corpus profile, bit-for-bit.
+  val km2TrainedProfile: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val cents = pipeline.Ivf.trainCentroidsGrid(e, "vec_id", "embedding",
+      k = 8, iters = 2, seed = 42L, sampleLimit = 256)
+    pipeline.Ivf.clusterProfile(e, "vec_id", "embedding",
+      cents.map(_.map(_ / 1e6)))
+      .withColumn("sum_d12", col("sum_d12").cast("long")) // km1 budget doc
+      .orderBy("cell")
+  }
+
+  private def km2RoundCtes(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""d$r AS (
+        |  SELECT s.vec_id, s.v, p.j,
+        |         ((list_dot_product(s.v, s.v)
+        |           - 2.0 * list_dot_product(s.v, p.c))
+        |          + list_dot_product(p.c, p.c)) AS d
+        |  FROM smp s CROSS JOIN c${r - 1} p),
+        |a$r AS MATERIALIZED (
+        |  SELECT vec_id, v, j FROM (
+        |    SELECT vec_id, v, j,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY d, j) AS rn
+        |    FROM d$r) WHERE rn = 1),
+        |u$r AS (
+        |  SELECT j, i, floor(sum(v[i]) / count(*)) AS m
+        |  FROM (SELECT j, v, unnest(generate_series(1, len(v))) AS i
+        |        FROM a$r) q
+        |  GROUP BY j, i),
+        |c$r AS MATERIALIZED (
+        |  SELECT p.j, COALESCE(nu.c, p.c) AS c
+        |  FROM c${r - 1} p LEFT JOIN (
+        |    SELECT j, list(m ORDER BY i) AS c FROM u$r GROUP BY j) nu
+        |    ON nu.j = p.j)""".stripMargin
+    }.mkString(",\n")
+
+  val km2Sql: String =
+    s"""WITH eq AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |                        x -> floor(x * 1000000.0 + 0.5)) AS v
+      |  FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM eq),
+      |smp AS MATERIALIZED (
+      |  SELECT vec_id, v FROM eq, nn
+      |  WHERE nn.n <= 256 OR
+      |        CAST('0x' || substr(md5('ivfx:42:' ||
+      |               CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |          % 1000000
+      |          < CAST(ceil(256.0 / nn.n * 1000000.0) AS BIGINT)),
+      |c0 AS MATERIALIZED (
+      |  SELECT CAST(rn AS INT) - 1 AS j, v AS c FROM (
+      |    SELECT v, row_number() OVER (ORDER BY
+      |             CAST('0x' || substr(md5('ivfxinit:42:' ||
+      |                    CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+      |             vec_id) AS rn
+      |    FROM smp) WHERE rn <= 8),
+      |${km2RoundCtes(2)},
+      |fd AS (
+      |  SELECT e.vec_id, p.j,
+      |         ((list_dot_product(e.v, e.v)
+      |           - 2.0 * list_dot_product(e.v, p.c))
+      |          + list_dot_product(p.c, p.c)) AS d
+      |  FROM eq e CROSS JOIN c2 p),
+      |fa AS (
+      |  SELECT vec_id, j AS cell, d FROM (
+      |    SELECT vec_id, j, d,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY d, j) AS rn
+      |    FROM fd) WHERE rn = 1)
+      |SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_id,
+      |       CAST(sum(CAST(d AS DECIMAL(38,0))) AS BIGINT) AS sum_d12
+      |FROM fa GROUP BY cell ORDER BY cell""".stripMargin
+
   // ---------------- text analysis ----------------
 
   val tx1Quality: Q = (s, dir) =>
@@ -4226,6 +4307,7 @@ object PipelineQueries {
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
     "km1_cluster_profile" -> km1ClusterProfile,
+    "km2_trained_profile" -> km2TrainedProfile,
     "pq1_pq_profile" -> pq1PqProfile,
     "pq2_ivfadc_topk" -> pq2IvfAdcTopK,
     "tx1_text_quality" -> tx1Quality,
@@ -4348,6 +4430,7 @@ object PipelineQueries {
     "ss2_cosine_topk_lsh" -> ss2Sql,
     "ss3_cosine_topk_ivf" -> ss3Sql,
     "km1_cluster_profile" -> km1Sql,
+    "km2_trained_profile" -> km2Sql,
     "pq1_pq_profile" -> pq1Sql,
     "pq2_ivfadc_topk" -> pq2Sql,
     "tx1_text_quality" -> tx1Sql,

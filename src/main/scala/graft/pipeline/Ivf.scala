@@ -163,6 +163,70 @@ object Ivf {
     centroids
   }
 
+  /** Integer-grid Lloyd: the trained-quantizer twin of
+    * `trainCentroids` that is not merely deterministic but
+    * ORACLE-REPLAYABLE — every step is exact integer arithmetic a SQL
+    * engine reproduces bit-for-bit:
+    *   - vectors quantized to the ×10⁶ coordinate grid first;
+    *   - the training sample is the portable-md5 ppm threshold
+    *     (partition-invariant, SQL: md5-hex-prefix mod 1e6 < ppm);
+    *   - init picks the k (md5-hash, id)-smallest sample vectors;
+    *   - assignment is the integer-grid argmin (ties to lower index);
+    *   - the centroid update keeps cells ON the grid:
+    *     c' = floor(Σq / n) per dimension — one IEEE division + floor
+    *     on integer-valued doubles, identical in any engine; an empty
+    *     cell keeps its previous centroid.
+    * Returns centroids in GRID units (integer-valued doubles); divide
+    * by 1e6 for original-scale consumers (`gridCentroid` then recovers
+    * the exact integers, so `clusterProfile` composes losslessly).
+    * Same shuffle shape as `trainCentroids`: per-(cell,dim) partial
+    * aggs, k×dims driver state.
+    */
+  def trainCentroidsGrid(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2, seed: Long = 42L,
+      sampleLimit: Int = 100000): Array[Array[Double]] = {
+    val n = corpus.count()
+    // Spark floor() yields BIGINT elements; carry the grid as doubles
+    // (exact — values are integral and ≪ 2^53)
+    val base = corpus.select(col(idCol),
+      gridVec(col(vecCol)).cast("array<double>").as("__qv"))
+    val sample = (if (n <= sampleLimit) base
+      else {
+        val ppm = math.min(1000000L,
+          math.ceil(sampleLimit.toDouble / n * 1e6).toLong)
+        base.filter(
+          PortableHash.hash60(concat(lit(s"ivfx:$seed:"),
+            col(idCol).cast("string"))) % 1000000L < ppm)
+      }).cache()
+    var cents: Array[Array[Double]] = sample
+      .orderBy(PortableHash.hash60(concat(lit(s"ivfxinit:$seed:"),
+        col(idCol).cast("string"))), col(idCol))
+      .limit(k)
+      .select("__qv")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = sample.select(
+        nearestCellStruct(col("__qv"), cents).getField("j").as("__cell"),
+        col("__qv"))
+      val updated = assigned
+        .select(col("__cell"),
+          posexplode(col("__qv")).as(Seq("__pos", "__v")))
+        .groupBy("__cell", "__pos")
+        // Spark floor(double) yields BIGINT; back to double for the
+        // centroid array (value unchanged — it's grid-integral)
+        .agg(floor(sum(col("__v")) / count(lit(1))).cast("double").as("__m"))
+        .collect()
+      val next = cents.map(_.clone()) // absent (empty) cells keep theirs
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    sample.unpersist()
+    cents
+  }
+
   /** Deterministic, training-free centroid pick: the corpus vectors at
     * evenly spaced ids (vec_id = j·⌊N/nlist⌋ for j < nlist). No Lloyd
     * refinement — cells are still a valid inverted file, and the pick

@@ -108,6 +108,23 @@ class PipelineSpec extends SparkTestBase {
     assert(c1.length == 8 && c1.flatten.toSeq == c2.flatten.toSeq)
   }
 
+  test("grid Lloyd: partition-invariant, grid-integral, empty cell keeps centroid") {
+    import graft.pipeline.Ivf
+    val c1 = Ivf.trainCentroidsGrid(embs, "vec_id", "embedding",
+      k = 4, iters = 2, sampleLimit = 100)
+    val c2 = Ivf.trainCentroidsGrid(embs.repartition(7), "vec_id",
+      "embedding", k = 4, iters = 2, sampleLimit = 100)
+    assert(c1.length == 4 && c1.flatten.toSeq == c2.flatten.toSeq)
+    // every coordinate is an exact grid integer (floor-div update)
+    assert(c1.flatten.forall(v => v == math.floor(v) && math.abs(v) < 9e15))
+    // k > sample size leaves the surplus init picks' cells empty —
+    // their centroids must survive training unchanged, not NaN out
+    val tiny = embs.limit(3)
+    val c3 = Ivf.trainCentroidsGrid(tiny, "vec_id", "embedding",
+      k = 3, iters = 2)
+    assert(c3.length == 3 && c3.flatten.forall(v => !v.isNaN))
+  }
+
   test("IVF centroid training is partition-invariant (sampled path)") {
     import graft.pipeline.Ivf
     // sampleLimit below n forces the ppm-threshold sampler; training
