@@ -3972,6 +3972,80 @@ object PipelineQueries {
       |${pprIterCtes(5)}
       |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
 
+  // HITS hubs & authorities over the DIRECTED customer→supplier
+  // bipartite graph (hubs = customers, authorities = suppliers; the
+  // 2k/2k+1 id encoding keeps the sides disjoint). Every half-step
+  // renormalizes to the ppm grid against that step's max — pure long
+  // arithmetic the oracle replays round for round.
+  val gr4Hits: Q = (s, dir) => {
+    val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    pipeline.Graph.hits(edges, iters = 3).orderBy("node")
+  }
+
+  private def hitsRoundCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""h$k AS MATERIALIZED (
+        |  SELECT e.src AS node, sum(a.a) AS h
+        |  FROM e JOIN an${k - 1} a ON a.node = e.dst GROUP BY e.src),
+        |hn$k AS MATERIALIZED (
+        |  SELECT node, (h * 1000000) // (SELECT max(h) FROM h$k) AS h
+        |  FROM h$k),
+        |a$k AS MATERIALIZED (
+        |  SELECT e.dst AS node, sum(h.h) AS a
+        |  FROM e JOIN hn$k h ON h.node = e.src GROUP BY e.dst),
+        |an$k AS MATERIALIZED (
+        |  SELECT node, (a * 1000000) // (SELECT max(a) FROM a$k) AS a
+        |  FROM a$k)""".stripMargin
+    }.mkString(",\n")
+
+  val gr4Sql: String =
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |an0 AS MATERIALIZED (
+      |  SELECT DISTINCT dst AS node, CAST(1000000 AS BIGINT) AS a FROM e),
+      |${hitsRoundCtes(3)}
+      |SELECT n.node,
+      |       CAST(coalesce(h.h, 0) AS BIGINT) AS hub_ppm,
+      |       CAST(coalesce(a.a, 0) AS BIGINT) AS auth_ppm
+      |FROM (SELECT node FROM hn3 UNION SELECT node FROM an3) n
+      |LEFT JOIN hn3 h ON h.node = n.node
+      |LEFT JOIN an3 a ON a.node = n.node
+      |ORDER BY n.node""".stripMargin
+
+  // DP count release: per-market-segment customer counts through the
+  // Laplace mechanism (ε = 0.5), the release-side complement of the
+  // ka1/ka2 audits. The seeded-hash noise draw is the whole point of
+  // attestability: the oracle replays u and the inverse CDF exactly
+  // (ln/mul/floor on identical doubles — the dr1/tx10 discipline).
+  val ka3DpRelease: Q = (s, dir) =>
+    pipeline.Privacy.dpCountRelease(Tables.load(s, dir, "customer"),
+      col("c_mktsegment"), epsMilli = 500L, seed = 7L)
+      .orderBy("stratum")
+
+  val ka3Sql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS stratum, count(*) AS n
+      |  FROM customer GROUP BY 1),
+      |u AS (
+      |  SELECT stratum, n,
+      |         (CAST(CAST('0x' || substr(md5('dp:7:' || stratum), 1, 15)
+      |                    AS BIGINT) % 1000000 AS DOUBLE) + 0.5)
+      |           / 1000000.0 AS u
+      |  FROM c)
+      |SELECT stratum, CAST(500 AS BIGINT) AS eps_milli,
+      |       greatest(0, n * 1000 + CAST(
+      |         CASE WHEN u < 0.5
+      |              THEN floor(1000.0 * ((1000.0 / 500.0) * ln(2.0 * u)))
+      |              ELSE floor(1000.0 * ((-(1000.0 / 500.0))
+      |                                  * ln(2.0 - 2.0 * u)))
+      |         END AS BIGINT)) AS released_milli
+      |FROM u ORDER BY stratum""".stripMargin
+
   // Matryoshka truncation fidelity: cosine over the first 16 dims vs
   // the full vector, probed on the consecutive-pair chain. Both
   // cosines are raw left-to-right double folds — the dd5 bit-exact
@@ -4217,6 +4291,8 @@ object PipelineQueries {
     "fz1_fuzzy_join" -> fz1FuzzyJoin,
     "ka2_l_diversity" -> ka2LDiversity,
     "gr3_personalized_pr" -> gr3PersonalizedPr,
+    "gr4_hits" -> gr4Hits,
+    "ka3_dp_release" -> ka3DpRelease,
     "em1_truncation_fidelity" -> em1TruncationFidelity,
     "ca2_corpus_card" -> ca2CorpusCard,
     "se1_schema_evolution" -> se1SchemaEvolution,
@@ -4334,6 +4410,8 @@ object PipelineQueries {
     "fz1_fuzzy_join" -> fz1Sql,
     "ka2_l_diversity" -> ka2Sql,
     "gr3_personalized_pr" -> gr3Sql,
+    "gr4_hits" -> gr4Sql,
+    "ka3_dp_release" -> ka3Sql,
     "em1_truncation_fidelity" -> em1Sql,
     "ca2_corpus_card" -> ca2Sql,
     "se1_schema_evolution" -> se1Sql,

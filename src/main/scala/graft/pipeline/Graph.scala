@@ -303,4 +303,64 @@ object Graph {
     }
     Setup(ranks0, round, truncate)
   }
+
+  /** HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment", JACM 1999) on the exact integer grid:
+    * iterate h(u) = Σ_{u→v} a(v) and a(v) = Σ_{u→v} h(u), each
+    * half-step renormalized to the ppm grid against that step's max
+    * score — `(s·10⁶) DIV max` is pure long arithmetic, so every
+    * round replays bit-for-bit in the oracle (the pageRank grid
+    * discipline applied to the other classic link-analysis fixpoint).
+    *
+    * Output: one row per node, `hub_ppm`/`auth_ppm` on the 0..10⁶
+    * grid (nodes with no outgoing edges have hub 0; no incoming,
+    * auth 0; the best hub/authority sit at exactly 10⁶).
+    *
+    * Scale shape: same as pageRank — the |E| frame is deduped,
+    * src-partitioned and materialized ONCE; each half-round is one
+    * equi-join + one map-side-combined agg, the round max rides in
+    * through a ONE-ROW broadcast cross join (no extra action), score
+    * frames are |V|-row, lineage truncated per round. Overflow
+    * budget: normalized scores are ≤ 10⁶, so a raw score is at most
+    * degree·10⁶ and the normalization product at most degree·10¹² —
+    * exact in long up to max degree ~9.2·10⁶; beyond that (celebrity
+    * fan-in at extreme scale) widen the product to DECIMAL(38,0).
+    */
+  def hits(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 3,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def truncate(df: DataFrame): DataFrame =
+      Lineage.truncate(df, reliableCheckpoints)
+    val spark = edges.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = truncate(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(shufflePartitions, col("src")))
+    def normalized(raw: DataFrame, score: String): DataFrame = {
+      val mx = raw.agg(max(col(score)).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"($score * 1000000L) DIV __mx").as(score))
+    }
+    var auth = truncate(e.select(col("dst").as("node"))
+      .distinct().withColumn("a", lit(1000000L)))
+    var hub: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val hRaw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(e("src").as("node")).agg(sum("a").as("h"))
+      hub = truncate(normalized(hRaw, "h"))
+      val aRaw = e.join(hub, e("src") === hub("node"))
+        .groupBy(e("dst").as("node")).agg(sum("h").as("a"))
+      auth = truncate(normalized(aRaw, "a"))
+    }
+    hub.withColumnRenamed("h", "hub_ppm")
+      .join(auth.withColumnRenamed("a", "auth_ppm"), Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"),
+        coalesce(col("auth_ppm"), lit(0L)).as("auth_ppm"))
+  }
 }

@@ -81,4 +81,50 @@ object Privacy {
           .as("homog_rows"),
         sum("__sz").as("n_rows"))
   }
+
+  /** Differentially-private count release (Laplace mechanism — Dwork,
+    * McSherry, Nissim, Smith, "Calibrating Noise to Sensitivity in
+    * Private Data Analysis", TCC 2006): the RELEASE-side complement of
+    * the audits above — per-stratum counts published with calibrated
+    * noise instead of raw (a count query has sensitivity 1, so the
+    * noise scale is b = 1/ε). Output carries ONLY the noised value
+    * (`released_milli` = 1000·count + noise in milli-units, clamped at
+    * 0) — never the true count.
+    *
+    * The noise draw is the Laplace inverse CDF over a uniform u
+    * derived from a portable md5 hash of (seed, stratum) on the ppm
+    * grid — so a given (seed, stratum) releases ONE fixed value no
+    * matter how often or where the job reruns (re-running a fresh
+    * draw per execution would let an observer average the noise
+    * away; the hash pins the draw, the same way a production release
+    * pins per-release RNG state). The formal ε guarantee holds
+    * against observers who don't know the seed — treat the seed like
+    * a key and rotate it per release. The hash-seeded form is what
+    * makes the release attestable: the oracle replays u and the
+    * inverse CDF exactly.
+    *
+    * Scale shape: ONE partial-aggregated groupBy (the count), then a
+    * map-only noise column over |strata| rows. Nothing else.
+    */
+  def dpCountRelease(df: DataFrame, byCol: Column, epsMilli: Long,
+      seed: Long): DataFrame = {
+    require(epsMilli > 0, s"epsMilli must be positive, got $epsMilli")
+    val u = (PortableHash.hash60(concat(lit(s"dp:$seed:"),
+      col("stratum").cast("string"))) % 1000000L).cast("double")
+    // u on the half-open ppm grid, never exactly 0, 0.5 or 1
+    val uu = (u + lit(0.5d)) / lit(1000000.0d)
+    val b = lit(1000.0d) / lit(epsMilli.toDouble) // 1/ε in count units
+    // inverse CDF: u<.5 → b·ln(2u); u≥.5 → −b·ln(2−2u). Keep the
+    // expression tree IDENTICAL to the oracle's SQL (same op order) —
+    // ln/mul/floor on the same doubles are bit-equal cross-engine
+    // (the dr1/tx10 discipline).
+    val noiseMilli = when(uu < 0.5d,
+      floor(lit(1000.0d) * (b * log(lit(2.0d) * uu))))
+      .otherwise(floor(lit(1000.0d) * (-b * log(lit(2.0d) - lit(2.0d) * uu))))
+    df.groupBy(byCol.as("stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("stratum"), lit(epsMilli).as("eps_milli"),
+        greatest(lit(0L), col("__n") * 1000L + noiseMilli)
+          .as("released_milli"))
+  }
 }

@@ -37,6 +37,34 @@ class GraphSnapshotSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("hits: hand-computed round, ppm normalization, zero fill, no cartesian") {
+    import spark.implicits._
+    // u1→{v1,v2}, u2→{v1}: round 1 with a0 = 1e6 everywhere:
+    //   h(u1)=2e6, h(u2)=1e6 → normalized u1=1e6, u2=5e5
+    //   a(v1)=1e6+5e5=1.5e6, a(v2)=1e6 → v1=1e6, v2=(1e6*1e6)//1.5e6
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val r1 = Graph.hits(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(r1(1L) == ((1000000L, 0L)))   // best hub; never an authority
+    assert(r1(2L) == ((500000L, 0L)))
+    assert(r1(10L) == ((0L, 1000000L)))  // best authority; never a hub
+    assert(r1(11L) == ((0L, 666666L)))   // (1e6*1e6) DIV 1.5e6
+    // more rounds keep the invariants: grid-bounded, maxima at 1e6
+    val r3 = Graph.hits(edges, iters = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(r3.forall { case (h, a) => h >= 0 && h <= 1000000L &&
+      a >= 0 && a <= 1000000L })
+    assert(r3.map(_._1).max == 1000000L && r3.map(_._2).max == 1000000L)
+    // duplicate edges collapse (the distinct), and the plan is
+    // equi-join shaped — no cartesian/broadcast-NLJ
+    val dup = Graph.hits(edges.unionByName(edges), iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dup == r1)
+    val p = Graph.hits(edges, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("pageRank: 2-cycle is an exact fixpoint of the integer grid") {
     // a<->b, outdeg 1 each: rank' = tp + (85*(r div 1)) div 100
     //   = 75e9 + 425e9 = 5e11 = r0, every round.

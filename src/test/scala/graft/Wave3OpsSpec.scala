@@ -71,6 +71,31 @@ class Wave3OpsSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("dpCountRelease: seeded noise is pinned, bounded, never leaks the count") {
+    import spark.implicits._
+    val df = (Seq.fill(40)("A") ++ Seq.fill(7)("B") ++ Seq("C"))
+      .toDF("seg")
+    def run(eps: Long, seed: Long): Map[String, (Long, Long)] =
+      Privacy.dpCountRelease(df, col("seg"), eps, seed).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val r1 = run(500L, 7L)
+    // same (seed, stratum) → the SAME release, any number of reruns
+    assert(run(500L, 7L) == r1)
+    // schema carries eps, never the true count; release is clamped ≥ 0
+    assert(r1.values.forall { case (e, rel) => e == 500L && rel >= 0L })
+    // Laplace(b = 1/ε = 2) over the ppm grid: |noise| ≤ b·ln(1e6)
+    // counts = ~27.6 counts = 27631 milli
+    val bound = math.ceil(2000.0 * math.log(1e6)).toLong + 1
+    assert(math.abs(r1("A")._2 - 40000L) <= bound &&
+      math.abs(r1("B")._2 - 7000L) <= bound)
+    // a different seed draws different noise on at least one stratum
+    val r2 = run(500L, 8L)
+    assert(r1 != r2)
+    // plan: one agg + map-only projection, no window/join
+    val p = plan(Privacy.dpCountRelease(df, col("seg"), 500L, 7L))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(600))
+  }
+
   test("invertedIndex: sorted gap encoding with max_doc checksum") {
     import spark.implicits._
     val docs = Seq(
