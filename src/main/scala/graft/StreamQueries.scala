@@ -113,6 +113,36 @@ object StreamQueries {
       |SELECT event_id, user_id, ts, last_view_ts
       |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  // SCD Type-2 dimension build from the event change log: per user,
+  // the event_type history compacted into versioned [valid_from,
+  // valid_to) rows — consecutive re-assertions of the same value are
+  // compacted away, same-ts changes collapse last-write-wins. The
+  // oracle replays the dedupe agg, the change-detection lag and the
+  // interval lead.
+  val sc1Scd2: Q = (s, dir) =>
+    graft.pipeline.Temporal.scd2Build(
+      Tables.load(s, dir, "events"), "user_id", "ts", "event_type")
+      .orderBy("user_id", "valid_from")
+
+  val sc1Sql: String =
+    """WITH latest AS (
+      |  SELECT user_id, ts, max(event_type) AS v
+      |  FROM events GROUP BY user_id, ts),
+      |chg AS (
+      |  SELECT user_id, ts, v,
+      |         lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+      |  FROM latest),
+      |keep AS (
+      |  SELECT user_id, ts, v FROM chg WHERE pv IS NULL OR v <> pv)
+      |SELECT user_id, v AS value, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |         AS valid_to,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         AS is_current,
+      |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+      |            AS INT) AS version
+      |FROM keep ORDER BY user_id, valid_from""".stripMargin
+
   // Daily resample + forward fill per user: downsample the event
   // stream to one value per (user, day) — max(value) within the day —
   // generate each user's full day spine between their first and last
@@ -303,6 +333,7 @@ object StreamQueries {
     "ev3_dedup" -> ev3Dedup,
     "ev4_interval_join" -> ev4Attribution,
     "aj1_asof_join" -> aj1AsofJoin,
+    "sc1_scd2_build" -> sc1Scd2,
     "ts1_gapfill" -> ts1Gapfill,
     "rj1_range_join" -> rj1RangeJoin,
     "rt1_cohort_retention" -> rt1Retention,
@@ -319,6 +350,7 @@ object StreamQueries {
     "ev2_sessionize" -> ev2Sql,
     "ev3_dedup" -> ev3Sql,
     "aj1_asof_join" -> aj1Sql,
+    "sc1_scd2_build" -> sc1Sql,
     "ts1_gapfill" -> ts1Sql,
     "rj1_range_join" -> rj1Sql,
     "rt1_cohort_retention" -> rt1Sql,

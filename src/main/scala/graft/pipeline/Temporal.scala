@@ -104,4 +104,44 @@ object Temporal {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** SCD Type-2 dimension build from a change log (Kimball's slowly
+    * changing dimension): per key, the value history compacted into
+    * versioned rows with `[valid_from, valid_to)` intervals —
+    * `valid_to` is NULL on the current version. Consecutive changes
+    * carrying the SAME value are compacted away first (a CDC feed
+    * re-asserts unchanged state all the time; re-emitting it as new
+    * versions would bloat the dimension and break as-of joins on
+    * version count), and same-timestamp changes collapse to the
+    * greatest value (the ev5 last-write-wins tie rule).
+    *
+    * Scale shape: ONE shuffle on the key — the dedupe agg, the
+    * change-detection lag() and the interval lead() all run on the
+    * same (key) partitioning and (ts) order, so Catalyst plans a
+    * single Exchange feeding one agg and one Window. Key-skew bounded:
+    * windows are per key, state is one row.
+    */
+  def scd2Build(changes: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    // partition by the KEY up front: hashpartitioning(key) satisfies
+    // the (key, ts) agg's clustering AND both window passes, so the
+    // whole build is one Exchange (a groupBy-first shape would shuffle
+    // once on (key, ts) and again on key for the windows). CDC feeds
+    // rarely duplicate (key, ts), so the lost map-side combine costs
+    // ~nothing.
+    val latest = changes
+      .repartition(col(keyCol))
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valueCol)).as("__v"))
+    latest
+      .withColumn("__prev", lag(col("__v"), 1).over(byKey))
+      // keep the first row per key and every actual value change
+      .filter(col("__prev").isNull || col("__v") =!= col("__prev"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
+      .select(col(keyCol), col("__v").as("value"),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        (row_number().over(byKey)).cast("int").as("version"))
+  }
 }

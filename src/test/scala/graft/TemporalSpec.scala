@@ -37,6 +37,31 @@ class TemporalSpec extends SparkTestBase {
     assert(got == "b")
   }
 
+  test("scd2Build: compaction, LWW same-ts collapse, intervals, one exchange") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, ts(1), "a"),          // v1: a from 10:01
+      (1L, ts(3), "a"),          // re-assertion — compacted away
+      (1L, ts(5), "b"),          // v2: b from 10:05
+      (1L, ts(5), "a"),          // same-ts collision → max("b","a") = b
+      (1L, ts(9), "a"),          // v3: back to a (a≠b, new version)
+      (2L, ts(2), "x")           // lone row → single current version
+    ).toDF("user_id", "ts", "state")
+    val got = Temporal.scd2Build(changes, "user_id", "ts", "state")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(3)), r.getBoolean(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (1L, "a", Some(ts(5)), false, 1),
+      (1L, "b", Some(ts(9)), false, 2),
+      (1L, "a", None, true, 3),
+      (2L, "x", None, true, 1)))
+    // one shuffle serves the dedupe agg and both window passes
+    val p = Temporal.scd2Build(changes, "user_id", "ts", "state")
+      .queryExecution.executedPlan.toString
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(1200))
+  }
+
   test("binned range join matches a plain range predicate, incl. boundaries") {
     import spark.implicits._
     val points = Seq((1L, 0.0), (2L, 1.5), (3L, 1.499), (4L, 7.999),
