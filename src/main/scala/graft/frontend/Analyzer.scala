@@ -668,8 +668,20 @@ object Analyzer {
       checkExpr(new ExprCtx(scope0, isUsed = true, ctx), nonNull(INT), e)._2
     }
     val (proj2, scope2) = inferSelectFields(ctx, scope0, select.proj)
+    // `:- STY` ascription: assert the elaborated select's scope/row
+    // matches the declared shape — named scopes resolve through
+    // WITHSCOPE aliases (lookupNav), declared fields must exist with
+    // a subsuming type, lazy WITH fields count (they are scope
+    // members whether or not the query fetches them). Analysis-time
+    // only; lowering ignores it.
+    select.ascription.foreach { sty =>
+      try scopeSubsumes(scope2, styToScope(ctx.env, sty))
+      catch {
+        case SqlppError(m) => fail(s"ascription mismatch: $m")
+      }
+    }
     (scope2, Select(proj2, from2, where2, groupBy2, having2, orderBy2,
-      limit2, offset2, select.isOpen))
+      limit2, offset2, select.isOpen, select.ascription))
   }
 
   /** Projection elaboration (reference analyze.ml:704-784). */

@@ -27,6 +27,7 @@ object Lexer {
   case object TColon extends Token
   case object TBar extends Token
   case object TArrow extends Token // ->
+  case object TAscribe extends Token // :- (scope/row ascription)
   case object TEllipsis extends Token // ...
   case object TEof extends Token
 
@@ -133,6 +134,7 @@ object Lexer {
         case ')' => out += TRParen; i += 1
         case ',' => out += TComma; i += 1
         case ';' => out += TSemi; i += 1
+        case ':' if peek(1) == '-' => out += TAscribe; i += 2
         case ':' => out += TColon; i += 1
         case '|' => out += TBar; i += 1
         case '=' => out += TOp("="); i += 1

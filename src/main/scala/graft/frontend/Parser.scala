@@ -291,8 +291,11 @@ final class Parser(tokens: Vector[Token],
       } else None
     val limit = if (eat("LIMIT")) Some(parseExpr()) else None
     val offset = if (eat("OFFSET")) Some(parseExpr()) else None
+    // `:- STY` scope/row ascription (reference README.md:103-186) —
+    // an analysis-time assertion over the select's scope and row
+    val asc = if (peek == TAscribe) { next(); Some(parseSty()) } else None
     Select(fields, from, where, groupBy, having, orderBy, limit, offset,
-      isOpen)
+      isOpen, asc)
   }
 
   private def parseFieldsetArgs(): List[List[String]] =

@@ -134,7 +134,18 @@ object Printer {
     }
     s.limit.foreach(l => parts += s"LIMIT ${expr(l)}")
     s.offset.foreach(o => parts += s"OFFSET ${expr(o)}")
+    s.ascription.foreach(a => parts += s":- ${sty(a)}")
     parts.result().mkString(" ")
+  }
+
+  def sty(s: Sty): String = s match {
+    case StyName(n) => n
+    case StyStruct(elems) =>
+      elems.map {
+        case (n, StyElemTy(t)) => s"$n ${t.show}"
+        case (n, StyElemScope(StyName(m))) if m == n => s"FROM $m"
+        case (n, StyElemScope(inner)) => s"FROM ${sty(inner)} AS $n"
+      }.mkString("(", ", ", ")")
   }
 
   def query(q: Query): String = q match {

@@ -228,7 +228,12 @@ object Syntax {
       orderBy: Option[List[(Expr, Dir)]],
       limit: Option[Expr],
       offset: Option[Expr],
-      isOpen: Boolean)
+      isOpen: Boolean,
+      /** `:- STY` scope/row ascription (reference README.md:103-186 —
+        * documented there but never implemented in the reference; an
+        * analysis-time assertion with no runtime effect).
+        */
+      ascription: Option[Sty] = None)
 
   sealed trait InsertFrom
   final case class InsertValues(rows: List[List[Expr]]) extends InsertFrom

@@ -462,4 +462,61 @@ class AnalyzerSpec extends AnyFunSuite {
     val info = analyze("select id from users where id = ?uid")
     assert(info.params("uid") == PtyTy(nullT(INT)))
   }
+
+  // ---- `:- STY` scope/row ascription (README.md:103-186; documented
+  // ---- in the reference but unimplemented there — parser has no
+  // ---- token for it. Semantics here: analysis-time scopeSubsumes
+  // ---- against the elaborated select's scope.)
+
+  test("ascription: row fields check against the select row") {
+    assert(row("select id as user_id from users :- (user_id int not null)")
+      == List("user_id" -> "INT NOT NULL"))
+    // a declared nullable supertype accepts a non-null field
+    analyze("select id as user_id from users :- (user_id int)")
+    // wrong core type / wrong nullability / unknown field all error
+    assert(err("select id as user_id from users :- (user_id string)")
+      .contains("ascription mismatch"))
+    assert(err("select name from users :- (name string not null)")
+      .contains("ascription mismatch"))
+    assert(err("select id from users :- (nope int)")
+      .contains("no such column"))
+  }
+
+  test("ascription: lazy WITH fields are scope members (README.md:149)") {
+    // the with-field is never fetched, yet the ascription sees it
+    analyze("select with count(1) as count, id from users group by id" +
+      " :- (count INT NOT NULL, id int not null)")
+  }
+
+  test("ascription: `from NAME` resolves scopes through WITHSCOPE aliases (README.md:113-127)") {
+    // README's named-scope-binding example over the test schema
+    analyze(
+      """select withscope u.users as users, u.name as name
+        |from (select name, ... from users) as u
+        |:- (from users)""".stripMargin)
+    // two scopes re-exported through a nested subselect
+    analyze(
+      """select withscope q.users as users, withscope q.profiles as profiles, q.user_id as uid
+        |from (
+        |  select withscope u.users as users, profiles.user_id as user_id, ...
+        |  from (select ... from users) as u
+        |  join profiles on u.users.id = profiles.user_id
+        |) as q
+        |:- (from users, from profiles)""".stripMargin)
+    // asserting a scope that is not bound errors
+    assert(err("select id from users :- (from profiles)")
+      .contains("no such scope"))
+  }
+
+  test("ascription: structural `from (...) as n` checks the named scope's row (README.md:180-186)") {
+    analyze(
+      """select u.id as id
+        |from users as u
+        |:- (from (id int not null, name string) as u)""".stripMargin)
+    assert(err(
+      """select u.id as id
+        |from users as u
+        |:- (from (id string) as u)""".stripMargin)
+      .contains("ascription mismatch"))
+  }
 }
