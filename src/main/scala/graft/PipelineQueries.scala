@@ -1363,6 +1363,33 @@ object PipelineQueries {
       |       CAST(sum(v * v) AS BIGINT) AS sum_sq
       |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // REAL multi-frame (video-container) codec round trip: each doc_id
+  // becomes a 6-frame animation over an explicit 8-gray palette,
+  // GIF-ENCODED then frame-sampled (every 2nd frame) by the actual
+  // JDK container reader — frame count, rasters and sampling all come
+  // from the container; indexed palette makes the trip lossless BY
+  // CONSTRUCTION, so the oracle replays the decoded gray sums in
+  // closed form (the mm3/mm4 attestation pattern, now for the 1→N
+  // frame-sampling shape).
+  val mm5VideoCodec: Q = (s, dir) =>
+    Multimodal.videoFrameStats(s, docs(s, dir).select("doc_id"), "doc_id",
+      width = 16, height = 16, nFrames = 6, everyNth = 2, partitions = 32)
+      .orderBy("media_id", "frame")
+
+  val mm5Sql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, fr.f, xs.x, ys.y
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 5, 2)) AS f) fr
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys)
+      |SELECT doc_id AS media_id, CAST(f AS INT) AS frame,
+      |       CAST(6 AS INT) AS n_frames,
+      |       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+      |       CAST(sum(((doc_id + 3 * f + x + 2 * y) % 8) * 36) AS BIGINT)
+      |         AS gray_sum
+      |FROM px GROUP BY doc_id, f ORDER BY media_id, frame""".stripMargin
+
   // ---------------- skew-salted join ----------------
 
   // Salted equi-join: result must equal the plain join exactly (the
@@ -4376,6 +4403,7 @@ object PipelineQueries {
     "mm2_resize_features" -> mm2ResizeFeatures,
     "mm3_image_codec" -> mm3ImageCodec,
     "mm4_audio_codec" -> mm4AudioCodec,
+    "mm5_video_codec" -> mm5VideoCodec,
     "sj1_salted_join" -> sj1SaltedJoin,
     "hk1_hot_keys" -> hk1HotKeys,
     "pf4_z_outliers" -> pf4Outliers,
@@ -4519,5 +4547,6 @@ object PipelineQueries {
     "mm1_media_features" -> mm1Sql,
     "mm3_image_codec" -> mm3Sql,
     "mm4_audio_codec" -> mm4Sql,
+    "mm5_video_codec" -> mm5Sql,
   )
 }

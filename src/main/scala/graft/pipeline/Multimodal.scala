@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   *   - AUDIO is REAL too: `syntheticWavBatch` / `decodeAudioBatch`
   *     round-trip PCM16 WAV through javax.sound.sampled (also in the
   *     JDK); the mm4 gate entry oracle-checks decoded sample sums.
-  *   - video decode stays STUBBED (`decodeBatch`/`frameSampleBatch` —
-  *     no video codec in the JDK) with a deterministic fake that
-  *     reads real bytes and emits a fixed-shape feature vector; swap
-  *     it for a JNI/FFI codec in production. The Spark-side plumbing
-  *     (schema, partitioning, batch shape, typed Datasets) is real
-  *     and tested either way.
+  *   - VIDEO-CONTAINER plumbing is REAL as of round 11:
+  *     `syntheticGifBatch` / `sampleFramesBatch` round-trip
+  *     multi-frame animations through the JDK's GIF codec — frame
+  *     directory, per-frame decode, every-Nth sampling all come from
+  *     the actual container (mm5 gate entry). Only the heavyweight
+  *     inter-frame codecs (H.264/VP9) remain external: swap the GIF
+  *     pair for an FFI decoder in production. The byte-level fakes
+  *     (`decodeBatch`/`frameSampleBatch`) remain for plumbing tests.
   */
 object Multimodal {
 
@@ -335,6 +337,124 @@ object Multimodal {
       .repartition(partitions)
       .mapPartitions(it =>
         decodeAudioBatch(syntheticWavBatch(sampleRate, nSamples)(it)))
+      .toDF()
+  }
+
+  // ------------- real multi-frame (video-container) codec -------------
+  //
+  // The JDK has no H.264/VP9, but javax.imageio's GIF plugin reads
+  // and writes MULTI-FRAME animations — a real container with a frame
+  // directory, per-frame decode, and a writer/reader pair. That is
+  // enough to make the video PLUMBING honest end to end: frame count
+  // comes from the container (reader.getNumImages), frames decode
+  // through the actual codec, and every-Nth sampling happens on
+  // decoded rasters. Frames are TYPE_BYTE_INDEXED over an explicit
+  // 8-gray palette, so the round trip is lossless BY CONSTRUCTION
+  // (an indexed image's palette is carried verbatim; no quantizer
+  // runs) and per-frame stats replay in closed form. A production
+  // deployment swaps the GIF pair for an FFI H.264 decoder inside the
+  // same batch shape.
+
+  final case class VideoRow(media_id: Long, payload: Array[Byte])
+
+  final case class FrameStats(media_id: Long, frame: Int, n_frames: Int,
+      width: Int, height: Int, gray_sum: Long)
+
+  /** 8-gray explicit palette: values g·36 for g < 8 (max 252). */
+  private val grayPalette: java.awt.image.IndexColorModel = {
+    val levels = (0 until 8).map(g => (g * 36).toByte).toArray
+    new java.awt.image.IndexColorModel(3, 8, levels, levels, levels)
+  }
+
+  /** Deterministic `nFrames`-frame animation for clip `id`: pixel
+    * (x, y) of frame f has gray index (id + 3·f + x + 2·y) mod 8 —
+    * GIF-encoded with the JDK codec as ONE multi-frame container per
+    * clip.
+    */
+  def syntheticGifBatch(width: Int, height: Int, nFrames: Int)(
+      ids: Iterator[Long]): Iterator[VideoRow] = {
+    ids.map { id =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0,
+              ((id + 3L * f + x + 2L * y) % 8).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      out.close()
+      VideoRow(id, bos.toByteArray)
+    }
+  }
+
+  /** REAL frame-sampled decode: the frame directory and every raster
+    * come from the container via the actual GIF reader; only frames
+    * `0, everyNth, 2·everyNth, …` are decoded and emitted (the
+    * sampling skips the decode work too — seek beats decode-all).
+    * `gray_sum` is the sum of decoded 8-bit gray values per frame.
+    */
+  def sampleFramesBatch(everyNth: Int)(
+      rows: Iterator[VideoRow]): Iterator[FrameStats] =
+    rows.flatMap { r =>
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext,
+        s"media ${r.media_id}: undecodable video payload")
+      val reader = readers.next()
+      reader.setInput(in)
+      val n = reader.getNumImages(true) // the container's frame count
+      val outRows = (0 until n by everyNth).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += (img.getRGB(x, y) >> 16) & 0xff // gray: r==g==b
+            x += 1
+          }
+          y += 1
+        }
+        FrameStats(r.media_id, f, n, w, h, sum)
+      }
+      reader.dispose()
+      outRows
+    }
+
+  /** ids → GIF encode → container-driven frame sampling → per-frame
+    * raster stats, all inside ONE mapPartitions pass (payloads never
+    * shuffle; only ids in, fixed-size frame rows out).
+    */
+  def videoFrameStats(spark: SparkSession, ids: DataFrame, idCol: String,
+      width: Int, height: Int, nFrames: Int, everyNth: Int,
+      partitions: Int): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(partitions)
+      .mapPartitions(it => sampleFramesBatch(everyNth)(
+        syntheticGifBatch(width, height, nFrames)(it)))
       .toDF()
   }
 

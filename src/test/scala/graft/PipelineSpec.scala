@@ -1414,6 +1414,33 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("video codec: real multi-frame GIF container, frame directory, Nth sampling") {
+    import graft.pipeline.Multimodal
+    val clip = Multimodal.syntheticGifBatch(16, 16, nFrames = 6)(
+      Iterator(5L)).next()
+    // the payload really is a GIF container, not raw rasters
+    assert(new String(clip.payload.slice(0, 3), "US-ASCII") == "GIF")
+    // every-2nd sampling: frames 0,2,4 decoded; n_frames comes from
+    // the CONTAINER's frame directory, not the synth parameters
+    val frames = Multimodal.sampleFramesBatch(everyNth = 2)(
+      Iterator(clip)).toSeq
+    assert(frames.map(_.frame) == Seq(0, 2, 4))
+    assert(frames.forall(f => f.n_frames == 6 && f.width == 16 &&
+      f.height == 16))
+    // indexed-palette round trip is lossless: decoded gray sums match
+    // the closed-form pixel function exactly
+    def graySum(id: Long, f: Int): Long =
+      (for (y <- 0 until 16; x <- 0 until 16)
+        yield ((id + 3L * f + x + 2L * y) % 8) * 36).sum
+    frames.foreach(fr =>
+      assert(fr.gray_sum == graySum(5L, fr.frame), s"frame ${fr.frame}"))
+    // an undecodable payload throws instead of emitting garbage
+    intercept[Exception] {
+      Multimodal.sampleFramesBatch(1)(
+        Iterator(Multimodal.VideoRow(1L, Array[Byte](9, 9, 9)))).toSeq
+    }
+  }
+
   test("image codec: real PNG round trip, dims, metadata/EXIF strip") {
     import graft.pipeline.Multimodal
     val img = Multimodal.syntheticPngBatch(16, 16)(Iterator(7L)).next()
