@@ -106,6 +106,10 @@ object Bench {
       name -> BenchTimes(cold, med(warms), sorted.head, sorted.last, retries)
     }
     val results = bench(SparkEntry.queries)
+    // gate-entry error count, snapshotted BEFORE the extras run: the
+    // compact line's n_queries counts gate entries only, so its
+    // n_errors must not absorb an extras-only failure
+    val gateErrors = errors.size
     // bench-only production-path twins: timed identically but
     // reported under `extras` and excluded from the headline total so
     // round-over-round totals compare gate-to-gate
@@ -151,7 +155,7 @@ object Bench {
     val slowest = (results -- headline.keys).toSeq
       .sortBy(-_._2.median).take(5).toMap
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"warm_iters":$warmIters,"queries":${objOf(headline)(_.median)},"slowest":${objOf(slowest)(_.median)},"detail":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$gateErrors,"n_extra_errors":${errors.size - gateErrors},"warm_iters":$warmIters,"queries":${objOf(headline)(_.median)},"slowest":${objOf(slowest)(_.median)},"detail":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
     if (errors.nonEmpty) System.err.println(
       s"BENCH: ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -42,7 +42,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // under a prefix filter, emit only the matching oracles too — so
+    // check.py over a filtered dump doesn't FAIL the ~160 entries
+    // that were deliberately not dumped
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only.exists(k.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -111,6 +111,25 @@ object Ivf {
       s => s.getField("j")), 1, nprobe)
   }
 
+  /** Partition-invariant bounded sample: keep rows whose portable
+    * md5 hash of `prefix:seed:id` lands under a ppm threshold sized
+    * for ~`limit` rows out of `n` — a map-side filter (no sort/limit
+    * funnel) whose per-row decision depends only on the id, unlike
+    * `df.sample`'s per-partition draw. The oracle replays it as
+    * `md5-hex-prefix % 1e6 < ceil(limit/n·1e6)` (km2Sql) — keep the
+    * two in lockstep.
+    */
+  private def ppmSample(df: DataFrame, idCol: String, prefix: String,
+      seed: Long, limit: Int, n: Long): DataFrame =
+    if (n <= limit) df
+    else {
+      val ppm = math.min(1000000L,
+        math.ceil(limit.toDouble / n * 1e6).toLong)
+      df.filter(
+        PortableHash.hash60(concat(lit(s"$prefix:$seed:"),
+          col(idCol).cast("string"))) % 1000000L < ppm)
+    }
+
   /** Lloyd's k-means with deterministic seeded init (hash-ordered
     * sample). Centroid updates aggregate per (cell, dimension) —
     * a posexplode + groupBy, shuffle-friendly at any corpus size.
@@ -126,17 +145,7 @@ object Ivf {
       k: Int, iters: Int = 3, seed: Long = 42L,
       sampleLimit: Int = 100000): Array[Array[Double]] = {
     val n = corpus.count()
-    val sample = (if (n <= sampleLimit) corpus
-      else {
-        // keep-if hash(seed:id) ppm < threshold: a map-side filter
-        // (no sort/limit funnel) whose per-row decision depends only
-        // on the id — invariant to partitioning, unlike df.sample
-        val ppm = math.min(1000000L,
-          math.ceil(sampleLimit.toDouble / n * 1e6).toLong)
-        corpus.filter(
-          PortableHash.hash60(concat(lit(s"ivf:$seed:"),
-            col(idCol).cast("string"))) % 1000000L < ppm)
-      })
+    val sample = ppmSample(corpus, idCol, "ivf", seed, sampleLimit, n)
       .select(col(idCol), col(vecCol))
       .cache()
     var centroids: Array[Array[Double]] = sample
@@ -190,14 +199,8 @@ object Ivf {
     // (exact — values are integral and ≪ 2^53)
     val base = corpus.select(col(idCol),
       gridVec(col(vecCol)).cast("array<double>").as("__qv"))
-    val sample = (if (n <= sampleLimit) base
-      else {
-        val ppm = math.min(1000000L,
-          math.ceil(sampleLimit.toDouble / n * 1e6).toLong)
-        base.filter(
-          PortableHash.hash60(concat(lit(s"ivfx:$seed:"),
-            col(idCol).cast("string"))) % 1000000L < ppm)
-      }).cache()
+    val sample = ppmSample(base, idCol, "ivfx", seed, sampleLimit, n)
+      .cache()
     var cents: Array[Array[Double]] = sample
       .orderBy(PortableHash.hash60(concat(lit(s"ivfxinit:$seed:"),
         col(idCol).cast("string"))), col(idCol))

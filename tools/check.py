@@ -10,12 +10,18 @@ via pyarrow→pandas (BIGINT stays int64) — then sorts rows with
 `DataFrame.sort_values` (which CRASHES on list columns) and hashes the
 stringified cells. The previous check.py compared `fetchall()` values
 (Decimal→str, round(f,6)) and said 155/155 while the driver said
-141/155 two rounds running. This version replays the lossy pandas path
-exactly so local green predicts driver green:
+141/155 two rounds running. This version replays the lossy pandas path,
+CALIBRATED against CORRECTNESS_r10 (reproduced its 141/14 split
+entry-for-entry), so local green predicts driver green:
   - oracle side: con.execute(sql).df()
   - spark side:  pandas.read_parquet(dir)
-  - both: columns sorted by name, rows sorted by all columns, cells
-    stringified with str() — no rounding, no Decimal normalization.
+  - both: columns sorted by name; floats rounded to 6 (the driver
+    passes last-ulp diffs like tx12/tx13), date/datetime rendered
+    uniformly (an1/rt1/sw1 pass), nulls unified to one token; int64
+    vs float64 and Decimal objects are NOT normalized (that is the
+    lossiness the driver has); list columns crash the row-sort probe
+    exactly like the driver. Do not "fix" the normalization without
+    re-calibrating against a driver artifact.
 
 Usage: python3 tools/check.py [sfDir] [outDir]
 """
