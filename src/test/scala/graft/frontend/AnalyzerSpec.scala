@@ -508,6 +508,33 @@ class AnalyzerSpec extends AnyFunSuite {
       .contains("no such scope"))
   }
 
+  test("ascription: every inferred row self-ascribes; any core-type perturbation fails") {
+    val queries = List(
+      "select id, name from users",
+      "select id as user_id, created_at from users where id = 1",
+      "select u.id as uid, p.settings as st " +
+        "from users as u join profiles as p on u.id = p.user_id",
+      "select name, info from users order by id limit 3",
+      "select id, count(1) as cnt from users group by id")
+    queries.foreach { q =>
+      val info = analyze(q)
+      val asc = info.row.map { case (n, t) => s"$n ${t.show}" }
+        .mkString("(", ", ", ")")
+      analyze(s"$q :- $asc") // the inferred row always self-ascribes
+      info.row.indices.foreach { i =>
+        val bad = info.row.zipWithIndex.map { case ((n2, t2), j) =>
+          val shown =
+            if (i == j) Ty(if (t2.core == STRING) INT else STRING,
+              t2.nullable).show
+            else t2.show
+          s"$n2 $shown"
+        }.mkString("(", ", ", ")")
+        assert(err(s"$q :- $bad").contains("ascription mismatch"),
+          s"perturbing field $i of: $q")
+      }
+    }
+  }
+
   test("ascription: structural `from (...) as n` checks the named scope's row (README.md:180-186)") {
     analyze(
       """select u.id as id
