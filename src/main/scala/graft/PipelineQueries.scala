@@ -1363,6 +1363,34 @@ object PipelineQueries {
       |       CAST(sum(v * v) AS BIGINT) AS sum_sq
       |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // REAL raster resize round trip: 16x16 test-cards decoded, nearest-
+  // neighbor downscaled to 8x8 through the actual raster (source
+  // pixel (x*16/8, y*16/8) = (2x, 2y) — exact integer arithmetic),
+  // PNG re-encoded, decoded again; the oracle replays the resized
+  // channel sums from the closed-form pixel function at the sampled
+  // coordinates. Complements mm2 (whose resize is the byte-level
+  // plumbing fake) with the codec-true path.
+  val mm6ImageResize: Q = (s, dir) =>
+    Multimodal.imageResizeStats(s, docs(s, dir).select("doc_id"), "doc_id",
+      srcW = 16, srcH = 16, dstW = 8, dstH = 8, partitions = 32)
+      .orderBy("media_id")
+
+  val mm6Sql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, xs.x * 2 AS sx, ys.y * 2 AS sy
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys)
+      |SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
+      |       CAST(8 AS INT) AS height,
+      |       CAST(sum((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT)
+      |         AS r_sum,
+      |       CAST(sum((doc_id * 17 + sx * 11 + sy * 3) % 256) AS BIGINT)
+      |         AS g_sum,
+      |       CAST(sum((doc_id * 29 + sx * 5 + sy * 19) % 256) AS BIGINT)
+      |         AS b_sum
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   // REAL multi-frame (video-container) codec round trip: each doc_id
   // becomes a 6-frame animation over an explicit 8-gray palette,
   // GIF-ENCODED then frame-sampled (every 2nd frame) by the actual
@@ -4404,6 +4432,7 @@ object PipelineQueries {
     "mm3_image_codec" -> mm3ImageCodec,
     "mm4_audio_codec" -> mm4AudioCodec,
     "mm5_video_codec" -> mm5VideoCodec,
+    "mm6_image_resize" -> mm6ImageResize,
     "sj1_salted_join" -> sj1SaltedJoin,
     "hk1_hot_keys" -> hk1HotKeys,
     "pf4_z_outliers" -> pf4Outliers,
@@ -4548,5 +4577,6 @@ object PipelineQueries {
     "mm3_image_codec" -> mm3Sql,
     "mm4_audio_codec" -> mm4Sql,
     "mm5_video_codec" -> mm5Sql,
+    "mm6_image_resize" -> mm6Sql,
   )
 }

@@ -249,6 +249,54 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL raster resize: decode → nearest-neighbor downscale → PNG
+    * re-encode, all through the actual codec. NN (source pixel
+    * (x·sw/tw, y·sh/th), integer floor division) rather than an
+    * interpolating scaler because it is EXACT — the resized raster is
+    * a closed-form function of the source, so the oracle can replay
+    * the resized pixel sums; a production pipeline would swap in
+    * bilinear inside the same batch (the plumbing — decode, raster
+    * walk, re-encode, batch shape — is identical).
+    */
+  def resizeImageBatch(tw: Int, th: Int)(
+      rows: Iterator[ImageRow]): Iterator[ImageRow] =
+    rows.map { r =>
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(src != null, s"media ${r.media_id}: undecodable image payload")
+      val sw = src.getWidth
+      val sh = src.getHeight
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, src.getRGB(x * sw / tw, y * sh / th))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      r.copy(payload = bos.toByteArray)
+    }
+
+  /** ids → PNG encode → REAL decode+NN-resize+re-encode → decode →
+    * per-image raster stats of the RESIZED image, every stage a batch
+    * inside ONE mapPartitions pass.
+    */
+  def imageResizeStats(spark: SparkSession, ids: DataFrame, idCol: String,
+      srcW: Int, srcH: Int, dstW: Int, dstH: Int,
+      partitions: Int): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(partitions)
+      .mapPartitions(it => decodeImageBatch(
+        resizeImageBatch(dstW, dstH)(syntheticPngBatch(srcW, srcH)(it))))
+      .toDF()
+  }
+
   // ------------- real audio codec (javax.sound.sampled) -------------
   //
   // The JDK also ships a WAV (RIFF/PCM) reader+writer, so audio

@@ -1414,6 +1414,30 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("image resize: real decode -> exact NN raster scale -> re-encode") {
+    import graft.pipeline.Multimodal
+    val img = Multimodal.syntheticPngBatch(16, 16)(Iterator(9L)).next()
+    val small = Multimodal.resizeImageBatch(8, 8)(Iterator(img)).next()
+    // the resized payload is itself a decodable PNG of the target dims
+    val st = Multimodal.decodeImageBatch(Iterator(small)).next()
+    assert(st.width == 8 && st.height == 8)
+    // NN sampling hits source pixels (2x, 2y): sums replay exactly
+    def sums(id: Long): (Long, Long, Long) = {
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        rs += (id * 31 + 2 * x * 7 + 2 * y * 13) % 256
+        gs += (id * 17 + 2 * x * 11 + 2 * y * 3) % 256
+        bs += (id * 29 + 2 * x * 5 + 2 * y * 19) % 256
+      }
+      (rs, gs, bs)
+    }
+    assert((st.r_sum, st.g_sum, st.b_sum) == sums(9L))
+    intercept[Exception] {
+      Multimodal.resizeImageBatch(8, 8)(
+        Iterator(Multimodal.ImageRow(1L, Array[Byte](1, 2)))).next()
+    }
+  }
+
   test("video codec: real multi-frame GIF container, frame directory, Nth sampling") {
     import graft.pipeline.Multimodal
     val clip = Multimodal.syntheticGifBatch(16, 16, nFrames = 6)(
