@@ -688,6 +688,32 @@ object PipelineQueries {
       |QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // Hard-negative mining (contrastive-training data step): per query,
+  // top-10 by cosine INSIDE the band [0.05, 0.95) — harder than
+  // random negatives, below the dup/positive threshold. The cosines
+  // are the dd5/ss1 bit-exact doubles, so the band comparisons and
+  // ranks replay identically in the oracle.
+  val ss4HardNegatives: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    Similarity.hardNegatives(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", lo = 0.05, hi = 0.95, k = 10)
+      .orderBy("query_id", "rank")
+  }
+  val ss4Sql: String =
+    """WITH sc AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS cosine
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 5)
+      |SELECT query_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |FROM sc WHERE cosine >= 0.05 AND cosine < 0.95
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // Banded sign-LSH ANN. The Rademacher planes are md5-parity-derived,
   // so the oracle re-derives the identical planes in SQL and attests
   // bucketing + candidate set + exact cosine rerank end to end.
@@ -4437,6 +4463,7 @@ object PipelineQueries {
     "hk1_hot_keys" -> hk1HotKeys,
     "pf4_z_outliers" -> pf4Outliers,
     "ss1_cosine_topk_brute" -> ss1BruteTopK,
+    "ss4_hard_negatives" -> ss4HardNegatives,
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
     "km1_cluster_profile" -> km1ClusterProfile,
@@ -4562,6 +4589,7 @@ object PipelineQueries {
     "hk1_hot_keys" -> hk1Sql,
     "pf4_z_outliers" -> pf4Sql,
     "ss1_cosine_topk_brute" -> ss1Sql,
+    "ss4_hard_negatives" -> ss4Sql,
     "ss2_cosine_topk_lsh" -> ss2Sql,
     "ss3_cosine_topk_ivf" -> ss3Sql,
     "km1_cluster_profile" -> km1Sql,

@@ -91,6 +91,29 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k candidates by cosine INSIDE the band [lo, hi) — similar
+    * enough to be hard negatives, capped below the near-duplicate
+    * threshold so positives and dups never leak into the negative
+    * set (the standard retrieval-training data step; e.g. DPR-style
+    * pipelines mine exactly this band). Same broadcast shape as
+    * [[bruteForceTopK]] — the exact baseline; at billion scale,
+    * compose the band filter with IVF/LSH candidate generation
+    * instead of the full scan.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, lo: Double, hi: Double, k: Int): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic ±1 (Rademacher) hyperplanes derived from md5 hex
     * parity: `planes(seed)(j)(d)` = +1 iff the first hex digit of
     * md5("lsh:seed:j:d") is even. Sign-LSH with Rademacher planes has

@@ -65,7 +65,10 @@ object PlanAudit {
     "hl1_hll_distinct" ->
       "64-bucket register grid cross-joined with the distinct types",
     "ss1_cosine_topk_brute" ->
-      "brute baseline: bounded query set broadcast against the corpus")
+      "brute baseline: bounded query set broadcast against the corpus",
+    "ss4_hard_negatives" ->
+      ("exact baseline: bounded query set broadcast; compose with " +
+        "IVF/LSH candidates at billion scale"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -101,6 +101,23 @@ class PipelineSpec extends SparkTestBase {
     assert(ivf.size <= 200)
   }
 
+  test("hardNegatives: band excludes dups and randoms, ranks inside the band") {
+    import spark.implicits._
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cos 1.0  — dup, above hi, excluded
+      (2L, Array(0.8f, 0.6f)),   // cos 0.8  — hard negative, kept
+      (3L, Array(0.6f, 0.8f)),   // cos 0.6  — hard negative, kept
+      (4L, Array(0.0f, 1.0f)),   // cos 0.0  — below lo, excluded
+      (5L, Array(-1.0f, 0.0f))   // cos -1.0 — excluded
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(q, c, "vec_id", "embedding",
+      lo = 0.05, hi = 0.95, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((2L, 1), (3L, 2)))
+  }
+
   test("IVF centroid training is deterministic") {
     import graft.pipeline.Ivf
     val c1 = Ivf.trainCentroids(embs, "vec_id", "embedding", k = 8, iters = 2)
