@@ -210,6 +210,79 @@ object EventStreams {
       }
   }
 
+  // ---------------- SCD2 version stream ----------------
+
+  final case class Scd2Row(user_id: Long, value: String,
+      valid_from: java.sql.Timestamp, version: Int)
+
+  final case class PendingChange(ts: Long, value: String)
+
+  final case class Scd2State(lastValue: Option[String], version: Int,
+      pending: List[PendingChange])
+
+  /** Streaming twin of [[graft.pipeline.Temporal.scd2Build]]: emits
+    * one row per SEALED dimension version — same-timestamp collisions
+    * collapse to the greatest value (the batch LWW rule), consecutive
+    * re-assertions of an unchanged value are compacted away, versions
+    * number 1..n per key in event-time order. A version seals when
+    * the watermark passes its timestamp (no earlier event can arrive
+    * to reorder it); `valid_to` is deliberately NOT emitted — append
+    * mode cannot retro-close an already-emitted row, so interval
+    * materialization stays the batch build's job and the stream's
+    * contract is the versioned change feed (StreamingSpec proves
+    * sealed rows equal the batch twin's (key, value, valid_from,
+    * version) columns).
+    *
+    * State per key is bounded: the last sealed value + version
+    * counter, plus only the changes still inside the watermark
+    * horizon. The sealed scalars persist without expiry — a key
+    * silent for months still compacts correctly on return — O(keys)
+    * state, the gapFillStream class.
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[Scd2State]) =>
+          val st = state.getOption.getOrElse(Scd2State(None, 0, Nil))
+          // fold new rows into per-ts LWW (max value) buckets
+          val merged = scala.collection.mutable.Map[Long, String]()
+          st.pending.foreach(p => merged(p.ts) = p.value)
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            merged(t) = merged.get(t) match {
+              case Some(v) if v >= e.event_type => v
+              case _ => e.event_type
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // strict <: an event AT the watermark can still legally
+          // arrive; only strictly-older timestamps are final
+          val (closing, open) = merged.toSeq.sortBy(_._1)
+            .partition { case (t, _) => t < wm }
+          var last = st.lastValue
+          var version = st.version
+          val out = List.newBuilder[Scd2Row]
+          closing.foreach { case (t, v) =>
+            if (!last.contains(v)) { // value change → new version
+              version += 1
+              out += Scd2Row(userId, v, new java.sql.Timestamp(t), version)
+              last = Some(v)
+            }
+          }
+          val pend = open.map { case (t, v) => PendingChange(t, v) }.toList
+          state.update(Scd2State(last, version, pend))
+          if (pend.nonEmpty)
+            state.setTimeoutTimestamp(pend.map(_.ts).min + 1)
+          out.result().iterator
+      }
+  }
+
   // ---------------- dedup ----------------
 
   /** Streaming event dedup by event_id with bounded state: duplicates

@@ -314,6 +314,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming SCD2: sealed versions equal the batch build's change feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${d}%02d $h%02d:00:00")
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode("append").start()
+    try {
+      // user 7: a, re-asserted a (compacted), same-ts b vs a (LWW ->
+      // b), back to a (new version)
+      mem.addData(
+        EventStreams.Event(1, t(1, 9), 7, "a", 0.0),
+        EventStreams.Event(2, t(1, 12), 7, "a", 0.0),
+        EventStreams.Event(3, t(2, 9), 7, "b", 0.0),
+        EventStreams.Event(4, t(2, 9), 7, "a", 0.0),
+        EventStreams.Event(5, t(3, 9), 7, "a", 0.0))
+      q.processAllAvailable()
+      // sentinel key pushes the watermark past every user-7 change
+      mem.addData(EventStreams.Event(6, t(20, 0), 9, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("scd2s").filter(col("user_id") === 7)
+        .orderBy("version")
+        .select("value", "valid_from", "version").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2)))
+      val batch = graft.pipeline.Temporal.scd2Build(
+        Seq((7L, t(1, 9), "a"), (7L, t(1, 12), "a"), (7L, t(2, 9), "b"),
+          (7L, t(2, 9), "a"), (7L, t(3, 9), "a"))
+          .toDF("user_id", "ts", "state"),
+        "user_id", "ts", "state")
+        .orderBy("version")
+        .select("value", "valid_from", "version").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2)))
+      assert(got.toSeq == batch.toSeq)
+      assert(got.map(_._1).toSeq == Seq("a", "b", "a"))
+      // user 9's own change is unsealed -> nothing emitted for it yet
+      assert(spark.table("scd2s").filter(col("user_id") === 9).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming gap-fill: sealed days match the batch spine, gaps carry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
