@@ -2653,6 +2653,57 @@ object PipelineQueries {
       |       CAST(score_micro AS BIGINT) AS score_micro, n_terms
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // Learned-sparse (uniCOIL-style) retrieval over rr1's query set:
+  // the per-term impact model is a deterministic md5-derived milli
+  // weight table (a REAL deployment broadcasts trained encoder
+  // weights; the formulaic stand-in exists so the oracle re-derives
+  // the model — the ql1 discipline), and scoring is exact long
+  // arithmetic, so tf, weights, sums and ranks all replay.
+  val rr5LearnedSparse: Q = (s, dir) => {
+    val terms = rr1Queries.flatMap(_._2.split(" ")).distinct
+    val weights = s.createDataFrame(
+      s.sparkContext.parallelize(terms.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
+      .withColumn("w_milli",
+        pmod(pipeline.PortableHash.hash60(
+          concat(lit("w:"), col("term"))), lit(1000L)))
+    pipeline.Retrieval.learnedSparseTopK(
+      docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+      rr1Queries, weights, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val rr5Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |  (0, 'spark'), (0, 'join'),
+      |  (1, 'hash'), (1, 'table'), (1, 'scan'),
+      |  (2, 'window'), (2, 'agg'),
+      |  (3, 'customer'), (3, 'query'),
+      |  (4, 'fast'), (4, 'filter')),
+      |wt AS (
+      |  SELECT term,
+      |         CAST('0x' || substr(md5('w:' || term), 1, 15) AS BIGINT)
+      |           % 1000 AS w_milli
+      |  FROM (SELECT DISTINCT term FROM q)),
+      |wd AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      |       FROM documents),
+      |t AS (SELECT doc_id, unnest(w) AS term FROM wd),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         CAST(sum(tf.tf * wt.w_milli) AS BIGINT) AS score_milli,
+      |         count(*) AS n_terms
+      |  FROM tf JOIN q USING (term) JOIN wt USING (term)
+      |  GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |       CAST(row_number() OVER (
+      |         PARTITION BY query_id
+      |         ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank,
+      |       doc_id, score_milli, n_terms
+      |FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // N-gram novelty of the src5..src9 half of the corpus against the
   // src0..src4 half as the reference — exact integer counts and one
   // IEEE division, fully replayed by the oracle.
@@ -4405,6 +4456,7 @@ object PipelineQueries {
     "ir1_dsir_weights" -> ir1DsirWeights,
     "rr2_phrase_search" -> rr2PhraseSearch,
     "rr1_bm25_topk" -> rr1Bm25,
+    "rr5_learned_sparse" -> rr5LearnedSparse,
     "nv1_ngram_novelty" -> nv1Novelty,
     "qp1_quality_percentile" -> qp1Percentile,
     "ca1_source_keyness" -> ca1Keyness,
@@ -4527,6 +4579,7 @@ object PipelineQueries {
     "ir1_dsir_weights" -> ir1Sql,
     "rr2_phrase_search" -> rr2Sql,
     "rr1_bm25_topk" -> rr1Sql,
+    "rr5_learned_sparse" -> rr5Sql,
     "nv1_ngram_novelty" -> nv1Sql,
     "qp1_quality_percentile" -> qp1Sql,
     "ca1_source_keyness" -> ca1Sql,

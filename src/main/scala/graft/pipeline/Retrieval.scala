@@ -110,6 +110,50 @@ object Retrieval {
         col("score_micro"), col("n_terms"))
   }
 
+  /** Learned-sparse retrieval (the uniCOIL/DeepImpact family — Lin &
+    * Ma, arXiv:2106.14807): score(q, d) = Σ_{t ∈ q ∩ d} tf(t, d) ·
+    * w(t), where `weights` is the TRAINED per-term impact model
+    * carried as a (term, w_milli) DataFrame — the deployment shape
+    * where an encoder's term weights are data, not a formula (vs
+    * BM25's closed-form idf). Weights broadcast (vocabulary-sized);
+    * scoring is exact long arithmetic on the milli grid, so the
+    * oracle replays it bit-for-bit.
+    *
+    * Scale shape: identical to [[bm25TopK]] — ONE shuffle builds the
+    * (doc, term) tf index, query terms AND the weight model broadcast
+    * against it, per-(query, doc) partial-agged sum, per-query top-k
+    * window. A real deployment materializes tf once (ii1) and reuses
+    * it across models.
+    */
+  def learnedSparseTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], weights: DataFrame,
+      topK: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "learnedSparseTopK needs at least one query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = col("__words")
+    val tf = Dedup.spread(docs)
+      .withColumn("__words", split(col(textCol), " +"))
+      .select(col(idCol), explode(words).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qterms = queries
+      .flatMap { case (qid, q) => q.split(" ").distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(weights), "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("tf") * col("w_milli")).as("score_milli"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_milli").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("score_milli"), col("n_terms"))
+  }
+
   /** Exact phrase search via a positional inverted index: for each
     * (phrase_id, phrase), every document containing the phrase's
     * words consecutively, with the occurrence count and first match

@@ -71,6 +71,28 @@ class Wave3OpsSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("learnedSparseTopK: tf x weight scoring, broadcast model, equi-join plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark join"),  // spark tf=2, join tf=1
+      (2L, "join filter"),
+      (3L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    val weights = Seq(("spark", 100L), ("join", 10L))
+      .toDF("term", "w_milli")
+    val got = Retrieval.learnedSparseTopK(docs, "doc_id", "text",
+      Seq(0L -> "spark join"), weights, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc1: 2*100 + 1*10 = 210 over 2 terms; doc2: 1*10; doc3 absent
+    assert(got.toSeq == Seq((1L, 210L, 2L), (2L, 10L, 1L)))
+    val p = Retrieval.learnedSparseTopK(docs, "doc_id", "text",
+      Seq(0L -> "spark"), weights, topK = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("dpCountRelease: seeded noise is pinned, bounded, never leaks the count") {
     import spark.implicits._
     val df = (Seq.fill(40)("A") ++ Seq.fill(7)("B") ++ Seq("C"))
