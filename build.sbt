@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to stdout UNPREFIXED: the
+// bench driver captures a tail of stdout and parses the compact JSON
+// line out of it — sbt's default logger strategy prepends "[info] "
+// to every forked line, which defeats that parser. Unscoped so both
+// `run` and `runMain` (and test forks) inherit it.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

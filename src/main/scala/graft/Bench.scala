@@ -41,7 +41,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the WindowExec "No Partition Defined" advisory
+    // fires once per window-global entry per iteration (~hundreds of
+    // lines/run) and the driver parses the compact JSON line out of a
+    // ~2000-char stdout tail — a WARN flood between the line and EOF
+    // would push it out of the window. Real failures still surface:
+    // query exceptions are caught and reported in the `errors` field.
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the session once (parquet footers, codegen, shuffle infra)
     // so the first timed query isn't charged for one-time init
     Tables.names.foreach { t =>
@@ -65,6 +71,27 @@ object Bench {
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "1").toInt
     require(maxRetries >= 0,
       s"SPARK_GRAFT_BENCH_RETRIES must be >= 0, got $maxRetries")
+    // Prior-round reference medians (bench_ref.json, flat
+    // {"entry":sec,...}, committed each round from the previous
+    // bench_out.json "queries" object): an entry whose warm median
+    // exceeds 2x its OWN prior-round median is re-sampled like a
+    // warm_max outlier. The within-run trigger (median > 2x warm min)
+    // only fires when one iteration disagrees with its siblings; a
+    // contended WINDOW slows all three iterations together (r11's
+    // gr2/pf1a/tx10/sj1/dd8 band sat at 1.4-1.9x with agreeing
+    // samples), and only a cross-round reference can see that.
+    // Missing/unparseable file or entry -> no reference, no retry.
+    val refMedians: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json"))
+      if (!java.nio.file.Files.isReadable(p)) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def bench(entries: Map[String, (SparkSession, String) => DataFrame])
         : Map[String, BenchTimes] = entries.map { case (name, fn) =>
@@ -98,7 +125,10 @@ object Bench {
       // entry is visible rather than silently smoothed.
       var warms = warmPass()
       var retries = 0
-      while (retries < maxRetries && med(warms) > 2.0 * warms.min) {
+      def contended(ws: Seq[Double]): Boolean =
+        med(ws) > 2.0 * ws.min ||
+          refMedians.get(name).exists(ref => med(ws) > 2.0 * ref)
+      while (retries < maxRetries && contended(warms)) {
         retries += 1
         warms = warms ++ warmPass()
       }

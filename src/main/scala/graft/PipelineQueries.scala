@@ -150,9 +150,16 @@ object PipelineQueries {
       "vec_id", "embedding", centroids, cbs, k = 10, nprobe = 6)
   }
 
-  private[graft] val benchExtras: Map[String, Q] = Map(
+  // lazy: the map is declared above the entry vals it references —
+  // eager init would capture a null fn for any later-defined builder
+  // (bit qp1x in r12's first bench run)
+  private[graft] lazy val benchExtras: Map[String, Q] = Map(
     "dd2x_minhash_prod_hash" -> dd2xProdMinhash,
     "pq2x_ivfadc_trained" -> pq2xTrainedIvfAdc,
+    // gate-retired r12 (redundant with qp2 — oracle-proven identical
+    // keep set through r11, equivalence still spec-pinned); benched
+    // so the window-form's perf stays visible round over round
+    "qp1x_quality_percentile" -> qp1Percentile,
   )
 
   /** Shared oracle-SQL fragment: portable MinHash signatures, LSH
@@ -761,6 +768,64 @@ object PipelineQueries {
       |       CAST(row_number() OVER (
       |         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
       |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // Hard negatives COMPOSED with IVF candidate generation — ss4's
+  // documented billion-scale form, gate-attested: probe 6 of 16 cells
+  // per query (cell equi-join, no broadcast NLJ), exact-cosine band
+  // [0.05, 0.95) + top-10 rerank inside probed cells. The oracle
+  // replays cells, probe order, band comparisons and ranks; ss4 is
+  // the exact recall yardstick (PipelineSpec pins recall on this
+  // fixture, the ss2-vs-ss1 pattern).
+  val ss5HardNegativesIvf: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val centroids = pipeline.Ivf.staticCentroids(e, "vec_id", "embedding",
+      nlist = 16)
+    pipeline.Ivf.ivfHardNegatives(centroids, e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", lo = 0.05, hi = 0.95, k = 10, nprobe = 6)
+      .orderBy("query_id", "rank")
+  }
+
+  val ss5Sql: String =
+    """WITH st AS (
+      |  SELECT greatest(count(*) // 16, 1) AS step FROM embeddings),
+      |cent AS (
+      |  SELECT CAST(e.vec_id // st.step AS INT) AS j,
+      |         CAST(e.embedding AS DOUBLE[]) AS c
+      |  FROM embeddings e, st
+      |  WHERE e.vec_id % st.step = 0 AND e.vec_id < st.step * 16),
+      |dist AS (
+      |  SELECT e.vec_id, cent.j,
+      |         ((list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                            CAST(e.embedding AS DOUBLE[]))
+      |           - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), cent.c))
+      |          + list_dot_product(cent.c, cent.c)) AS d
+      |  FROM embeddings e CROSS JOIN cent),
+      |cell AS (
+      |  SELECT vec_id AS neighbor_id, j AS cell FROM (
+      |    SELECT vec_id, j,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, j AS cell FROM (
+      |    SELECT vec_id, j,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+      |    FROM dist WHERE vec_id < 5) WHERE rn <= 6),
+      |cand AS (
+      |  SELECT p.query_id, c.neighbor_id
+      |  FROM probe p JOIN cell c USING (cell)
+      |  WHERE c.neighbor_id != p.query_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+      |                                CAST(ce.embedding AS DOUBLE[])) AS cosine
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = query_id
+      |  JOIN embeddings ce ON ce.vec_id = neighbor_id)
+      |SELECT query_id, neighbor_id, cosine,
+      |       CAST(row_number() OVER (
+      |         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |FROM scored WHERE cosine >= 0.05 AND cosine < 0.95
+      |QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // IVF ANN with the deterministic evenly-spaced quantizer (the
   // k-means-trained path stays in Ivf.ivfTopK, recall-asserted in
@@ -2742,6 +2807,12 @@ object PipelineQueries {
   // Per-source quality-percentile cut: keep the top stopword-ratio
   // quartile of EACH source. percent_rank over a unique (score, id)
   // ordering is a single exact division — deterministic both sides.
+  // SPEC-ONLY since r12: qp2 (the window-free scalable form) carries
+  // the gate; qp1 ≡ qp2 was oracle-proven through r11 (both
+  // hash-green against the SAME window-form oracle) and stays pinned
+  // by PipelineSpec's "identical keep set to the window form" tests —
+  // retiring the redundant entry keeps the per-round gate wall time
+  // flat (r11 verdict item 7).
   val qp1Percentile: Q = (s, dir) =>
     pipeline.Curation.qualityPercentileFilter(
       docs(s, dir).select("doc_id", "source", "text"),
@@ -4300,8 +4371,11 @@ object PipelineQueries {
   val an2Rollup: Q = (s, dir) =>
     Tables.load(s, dir, "orders")
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(grouping(col("o_orderpriority")).as("g_pri"),
-        grouping(col("o_orderstatus")).as("g_st"),
+      // grouping() is TINYINT in Spark; the gate's output-type lint
+      // (Verify.lintSchema) pins entries to the oracle-safe scalar
+      // set, so cast to INT like the ranks elsewhere
+      .agg(grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"),
         count(lit(1)).as("n_orders"),
         sum(round(col("o_totalprice") * 100.0, 0).cast("long"))
           .as("price_cents"))
@@ -4458,7 +4532,6 @@ object PipelineQueries {
     "rr1_bm25_topk" -> rr1Bm25,
     "rr5_learned_sparse" -> rr5LearnedSparse,
     "nv1_ngram_novelty" -> nv1Novelty,
-    "qp1_quality_percentile" -> qp1Percentile,
     "ca1_source_keyness" -> ca1Keyness,
     "gr1_pagerank" -> gr1PageRank,
     "gr2_pagerank_dangling" -> gr2PageRankDangling,
@@ -4516,6 +4589,7 @@ object PipelineQueries {
     "pf4_z_outliers" -> pf4Outliers,
     "ss1_cosine_topk_brute" -> ss1BruteTopK,
     "ss4_hard_negatives" -> ss4HardNegatives,
+    "ss5_hard_negatives_ivf" -> ss5HardNegativesIvf,
     "ss2_cosine_topk_lsh" -> ss2LshTopK,
     "ss3_cosine_topk_ivf" -> ss3IvfTopK,
     "km1_cluster_profile" -> km1ClusterProfile,
@@ -4581,7 +4655,6 @@ object PipelineQueries {
     "rr1_bm25_topk" -> rr1Sql,
     "rr5_learned_sparse" -> rr5Sql,
     "nv1_ngram_novelty" -> nv1Sql,
-    "qp1_quality_percentile" -> qp1Sql,
     "ca1_source_keyness" -> ca1Sql,
     "gr1_pagerank" -> gr1Sql,
     "gr2_pagerank_dangling" -> gr2Sql,
@@ -4643,6 +4716,7 @@ object PipelineQueries {
     "pf4_z_outliers" -> pf4Sql,
     "ss1_cosine_topk_brute" -> ss1Sql,
     "ss4_hard_negatives" -> ss4Sql,
+    "ss5_hard_negatives_ivf" -> ss5Sql,
     "ss2_cosine_topk_lsh" -> ss2Sql,
     "ss3_cosine_topk_ivf" -> ss3Sql,
     "km1_cluster_profile" -> km1Sql,

@@ -113,28 +113,37 @@ object StreamQueries {
       |SELECT event_id, user_id, ts, last_view_ts
       |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
-  // SCD Type-2 dimension build from the event change log: per user,
-  // the event_type history compacted into versioned [valid_from,
-  // valid_to) rows — consecutive re-assertions of the same value are
-  // compacted away, same-ts changes collapse last-write-wins. The
-  // oracle replays the dedupe agg, the change-detection lag and the
-  // interval lead.
+  // SCD Type-2 dimension build from the event change log — upgraded
+  // r12 to the MULTI-ATTRIBUTE form real dimensions need: per user,
+  // the (event_type, value, props) payload history compacted into
+  // versioned [valid_from, valid_to) rows. Consecutive re-assertions
+  // of the same payload are compacted away (null-SAFE struct compare
+  // — `IS DISTINCT FROM` both sides), same-ts changes collapse to the
+  // struct-greatest payload (lexicographic LWW, total over the
+  // tuple). The oracle replays the dedupe struct-max agg, the
+  // change-detection lag and the interval lead; the `value` doubles
+  // are raw fixture values (no arithmetic), so the hash gate covers
+  // the whole build.
   val sc1Scd2: Q = (s, dir) =>
     graft.pipeline.Temporal.scd2Build(
-      Tables.load(s, dir, "events"), "user_id", "ts", "event_type")
+      Tables.load(s, dir, "events"), "user_id", "ts",
+      Seq("event_type", "value", "props"))
       .orderBy("user_id", "valid_from")
 
   val sc1Sql: String =
     """WITH latest AS (
-      |  SELECT user_id, ts, max(event_type) AS v
+      |  SELECT user_id, ts,
+      |         max(struct_pack(event_type := event_type,
+      |                         value := value, props := props)) AS v
       |  FROM events GROUP BY user_id, ts),
       |chg AS (
       |  SELECT user_id, ts, v,
       |         lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv
       |  FROM latest),
       |keep AS (
-      |  SELECT user_id, ts, v FROM chg WHERE pv IS NULL OR v <> pv)
-      |SELECT user_id, v AS value, ts AS valid_from,
+      |  SELECT user_id, ts, v FROM chg WHERE v IS DISTINCT FROM pv)
+      |SELECT user_id, v.event_type AS event_type, v.value AS value,
+      |       v.props AS props, ts AS valid_from,
       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
       |         AS valid_to,
       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

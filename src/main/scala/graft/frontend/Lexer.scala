@@ -134,7 +134,16 @@ object Lexer {
         case ')' => out += TRParen; i += 1
         case ',' => out += TComma; i += 1
         case ';' => out += TSemi; i += 1
-        case ':' if peek(1) == '-' => out += TAscribe; i += 2
+        // `:-` is TAscribe ONLY when what follows can start an STY
+        // (whitespace, `(`, or an identifier — parseSty's first set).
+        // A digit or `.` after the `-` means a negative numeric
+        // literal, so `x:-1` stays TColon TOp("-") TNum — the
+        // expression-level EAscribe path that an unconditional `:-`
+        // token regressed (an STY can never start with a digit, so
+        // the guard loses nothing).
+        case ':' if peek(1) == '-' &&
+            !(Character.isDigit(peek(2)) || peek(2) == '.') =>
+          out += TAscribe; i += 2
         case ':' => out += TColon; i += 1
         case '|' => out += TBar; i += 1
         case '=' => out += TOp("="); i += 1

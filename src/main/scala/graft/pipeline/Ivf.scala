@@ -277,6 +277,40 @@ object Ivf {
     Similarity.topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining at scale: IVF candidate generation feeding
+    * the [lo, hi) cosine band + top-k rerank of
+    * [[Similarity.hardNegatives]] — the composed form that replaces
+    * ss4's exact O(|Q|·N) broadcast scan at billion-vector scale.
+    * Candidates meet ONLY inside a probed-cell equi-join (a broadcast
+    * HASH join on cell id — never a nested-loop scan), so per-query
+    * work is the nprobe probed cells, not the corpus. Recall against
+    * the exact baseline is what you tune nprobe with (the ss2-vs-ss1
+    * pattern; PipelineSpec pins it on the gate fixture).
+    *
+    * A mined set can only MISS a hard negative whose cell was not
+    * probed — a candidate inside the band is reranked by the same
+    * exact cosine as the baseline, so precision is 1 by construction
+    * and the k results per query are exact within the probed cells.
+    */
+  def ivfHardNegatives(centroids: Array[Array[Double]], queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      lo: Double, hi: Double, k: Int, nprobe: Int): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("neighbor_vec"),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"),
+      explode(probeCells(col(vecCol), centroids, nprobe)).as("cell")))
+    val scored = qb.join(cb, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("query_vec"), col("neighbor_vec"))
+          .as("cosine"))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** IVF top-k with a freshly trained k-means quantizer. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,

@@ -97,11 +97,18 @@ object Privacy {
     * matter how often or where the job reruns (re-running a fresh
     * draw per execution would let an observer average the noise
     * away; the hash pins the draw, the same way a production release
-    * pins per-release RNG state). The formal ε guarantee holds
-    * against observers who don't know the seed — treat the seed like
-    * a key and rotate it per release. The hash-seeded form is what
-    * makes the release attestable: the oracle replays u and the
-    * inverse CDF exactly.
+    * pins per-release RNG state). The hash-seeded form is what makes
+    * the release attestable: the oracle replays u and the inverse CDF
+    * exactly.
+    *
+    * DEPLOYMENT PRECONDITION: the seeded draw exists FOR ORACLE
+    * REPLAY. The formal ε guarantee holds only against observers who
+    * do not know the seed — anyone holding (seed, stratum) can
+    * recompute u, hence the exact noise value, and SUBTRACT it to
+    * recover the true count. A real release must draw its seed fresh
+    * per release and keep it secret (treat it like a key: never in
+    * code, config repos, or logs); the gate's fixed `seed = 7` is a
+    * test-fixture convention, not a release posture.
     *
     * Scale shape: ONE partial-aggregated groupBy (the count), then a
     * map-only noise column over |strata| rows. Nothing else.

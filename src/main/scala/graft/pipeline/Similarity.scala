@@ -97,9 +97,10 @@ object Similarity {
     * threshold so positives and dups never leak into the negative
     * set (the standard retrieval-training data step; e.g. DPR-style
     * pipelines mine exactly this band). Same broadcast shape as
-    * [[bruteForceTopK]] — the exact baseline; at billion scale,
-    * compose the band filter with IVF/LSH candidate generation
-    * instead of the full scan.
+    * [[bruteForceTopK]] — the exact baseline; at billion scale use
+    * [[Ivf.ivfHardNegatives]] (the ss5 gate entry), which feeds the
+    * same band + top-k from an IVF probed-cell equi-join instead of
+    * the full scan — this exact form is its recall yardstick.
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, lo: Double, hi: Double, k: Int): DataFrame = {

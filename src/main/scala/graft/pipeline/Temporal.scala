@@ -106,23 +106,32 @@ object Temporal {
   }
 
   /** SCD Type-2 dimension build from a change log (Kimball's slowly
-    * changing dimension): per key, the value history compacted into
-    * versioned rows with `[valid_from, valid_to)` intervals —
-    * `valid_to` is NULL on the current version. Consecutive changes
-    * carrying the SAME value are compacted away first (a CDC feed
-    * re-asserts unchanged state all the time; re-emitting it as new
-    * versions would bloat the dimension and break as-of joins on
-    * version count), and same-timestamp changes collapse to the
-    * greatest value (the ev5 last-write-wins tie rule).
+    * changing dimension): per key, the MULTI-ATTRIBUTE payload history
+    * compacted into versioned rows with `[valid_from, valid_to)`
+    * intervals — `valid_to` is NULL on the current version. Real
+    * dimensions version a tuple of attributes, so the payload columns
+    * are packed into ONE struct: change detection is a single
+    * null-SAFE struct comparison (`<=>` — a NULL attribute value is a
+    * real dimension state, so NULL→x and x→NULL both open versions,
+    * and a NULL re-assertion is compacted like any other; the `=!=`
+    * form silently dropped NULL states), and same-timestamp changes
+    * collapse to the struct-greatest payload (lexicographic by
+    * attribute order — the ev5 last-write-wins tie rule, now total
+    * over the whole payload). Consecutive re-assertions of an
+    * unchanged payload are compacted away (a CDC feed re-asserts
+    * unchanged state all the time; re-emitting would bloat the
+    * dimension and break as-of joins on version count).
     *
     * Scale shape: ONE shuffle on the key — the dedupe agg, the
     * change-detection lag() and the interval lead() all run on the
     * same (key) partitioning and (ts) order, so Catalyst plans a
-    * single Exchange feeding one agg and one Window. Key-skew bounded:
-    * windows are per key, state is one row.
+    * single Exchange feeding one agg and one Window, regardless of
+    * attribute count (the struct rides the same exchange). Key-skew
+    * bounded: windows are per key, state is one row.
     */
   def scd2Build(changes: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String): DataFrame = {
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "scd2Build needs at least one value column")
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     // partition by the KEY up front: hashpartitioning(key) satisfies
     // the (key, ts) agg's clustering AND both window passes, so the
@@ -133,15 +142,30 @@ object Temporal {
     val latest = changes
       .repartition(col(keyCol))
       .groupBy(col(keyCol), col(tsCol))
-      .agg(max(col(valueCol)).as("__v"))
+      .agg(max(struct(valueCols.map(col): _*)).as("__v"))
     latest
       .withColumn("__prev", lag(col("__v"), 1).over(byKey))
-      // keep the first row per key and every actual value change
-      .filter(col("__prev").isNull || col("__v") =!= col("__prev"))
+      // keep the first row per key (lag NULL: `x <=> NULL` is false,
+      // so the negation keeps it) and every actual payload change —
+      // null-safe, so NULL-valued attributes version correctly
+      .filter(!(col("__v") <=> col("__prev")))
       .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
-      .select(col(keyCol), col("__v").as("value"),
+      .select(col(keyCol) +:
+        valueCols.map(c => col(s"__v.`$c`").as(c)) ++: Seq(
         col(tsCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"),
-        (row_number().over(byKey)).cast("int").as("version"))
+        (row_number().over(byKey)).cast("int").as("version")): _*)
   }
+
+  /** Single-attribute SCD2 (the original r11 form): the payload
+    * column comes back named `value`. Same-ts LWW is `max` over the
+    * lone attribute — identical to the struct-max over a 1-field
+    * struct except when every colliding value is NULL (struct-max
+    * then yields the NULL state as a trackable version, which is the
+    * correct SCD2 reading; plain max() would skip it).
+    */
+  def scd2Build(changes: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    scd2Build(changes, keyCol, tsCol, Seq(valueCol))
+      .withColumnRenamed(valueCol, "value")
 }

@@ -38,7 +38,7 @@ object EventStreams {
 
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
-      event_type: String, value: Double)
+      event_type: String, value: Double, props: String = "")
 
   final case class SessionState(
       sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
@@ -212,28 +212,49 @@ object EventStreams {
 
   // ---------------- SCD2 version stream ----------------
 
-  final case class Scd2Row(user_id: Long, value: String,
+  /** The streamed dimension payload: the SAME attribute tuple the
+    * batch build packs into its struct, in the SAME field order —
+    * `Ordering.by` over the tuple is lexicographic by field exactly
+    * like Spark's struct comparison (for non-null attributes; the
+    * typed feed's fields are non-null by construction), so the
+    * stream's LWW winner is the batch's struct-max winner.
+    */
+  final case class Scd2Val(event_type: String, value: Double, props: String)
+
+  object Scd2Val {
+    // Double via TotalOrdering: NaN sorts greatest, matching Spark's
+    // ordering for double struct fields
+    implicit val ord: Ordering[Scd2Val] = {
+      implicit val d: Ordering[Double] = Ordering.Double.TotalOrdering
+      Ordering.by((v: Scd2Val) => (v.event_type, v.value, v.props))
+    }
+  }
+
+  final case class Scd2Row(user_id: Long, event_type: String,
+      value: Double, props: String,
       valid_from: java.sql.Timestamp, version: Int)
 
-  final case class PendingChange(ts: Long, value: String)
+  final case class PendingChange(ts: Long, v: Scd2Val)
 
-  final case class Scd2State(lastValue: Option[String], version: Int,
+  final case class Scd2State(lastValue: Option[Scd2Val], version: Int,
       pending: List[PendingChange])
 
-  /** Streaming twin of [[graft.pipeline.Temporal.scd2Build]]: emits
-    * one row per SEALED dimension version — same-timestamp collisions
-    * collapse to the greatest value (the batch LWW rule), consecutive
-    * re-assertions of an unchanged value are compacted away, versions
-    * number 1..n per key in event-time order. A version seals when
-    * the watermark passes its timestamp (no earlier event can arrive
-    * to reorder it); `valid_to` is deliberately NOT emitted — append
-    * mode cannot retro-close an already-emitted row, so interval
-    * materialization stays the batch build's job and the stream's
-    * contract is the versioned change feed (StreamingSpec proves
-    * sealed rows equal the batch twin's (key, value, valid_from,
-    * version) columns).
+  /** Streaming twin of [[graft.pipeline.Temporal.scd2Build]] over the
+    * 3-attribute (event_type, value, props) payload: emits one row
+    * per SEALED dimension version — same-timestamp collisions
+    * collapse to the tuple-greatest payload (the batch struct-max LWW
+    * rule; [[Scd2Val.ord]] pins the equivalence), consecutive
+    * re-assertions of an unchanged payload are compacted away,
+    * versions number 1..n per key in event-time order. A version
+    * seals when the watermark passes its timestamp (no earlier event
+    * can arrive to reorder it); `valid_to` is deliberately NOT
+    * emitted — append mode cannot retro-close an already-emitted row,
+    * so interval materialization stays the batch build's job and the
+    * stream's contract is the versioned change feed (StreamingSpec
+    * proves sealed rows equal the batch twin's (key, attrs...,
+    * valid_from, version) columns on a 3-attribute dimension).
     *
-    * State per key is bounded: the last sealed value + version
+    * State per key is bounded: the last sealed payload + version
     * counter, plus only the changes still inside the watermark
     * horizon. The sealed scalars persist without expiry — a key
     * silent for months still compacts correctly on return — O(keys)
@@ -242,6 +263,7 @@ object EventStreams {
   def scd2Stream(events: Dataset[Event]): Dataset[Scd2Row] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val ord = Scd2Val.ord
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
@@ -250,14 +272,15 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event],
             state: GroupState[Scd2State]) =>
           val st = state.getOption.getOrElse(Scd2State(None, 0, Nil))
-          // fold new rows into per-ts LWW (max value) buckets
-          val merged = scala.collection.mutable.Map[Long, String]()
-          st.pending.foreach(p => merged(p.ts) = p.value)
+          // fold new rows into per-ts LWW (tuple-max payload) buckets
+          val merged = scala.collection.mutable.Map[Long, Scd2Val]()
+          st.pending.foreach(p => merged(p.ts) = p.v)
           rows.foreach { e =>
             val t = e.ts.getTime
+            val v = Scd2Val(e.event_type, e.value, e.props)
             merged(t) = merged.get(t) match {
-              case Some(v) if v >= e.event_type => v
-              case _ => e.event_type
+              case Some(prev) if ord.gteq(prev, v) => prev
+              case _ => v
             }
           }
           val wm = state.getCurrentWatermarkMs()
@@ -269,9 +292,10 @@ object EventStreams {
           var version = st.version
           val out = List.newBuilder[Scd2Row]
           closing.foreach { case (t, v) =>
-            if (!last.contains(v)) { // value change → new version
+            if (!last.contains(v)) { // payload change → new version
               version += 1
-              out += Scd2Row(userId, v, new java.sql.Timestamp(t), version)
+              out += Scd2Row(userId, v.event_type, v.value, v.props,
+                new java.sql.Timestamp(t), version)
               last = Some(v)
             }
           }

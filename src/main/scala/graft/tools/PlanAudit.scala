@@ -67,8 +67,9 @@ object PlanAudit {
     "ss1_cosine_topk_brute" ->
       "brute baseline: bounded query set broadcast against the corpus",
     "ss4_hard_negatives" ->
-      ("exact baseline: bounded query set broadcast; compose with " +
-        "IVF/LSH candidates at billion scale"))
+      ("exact baseline and ss5's recall yardstick: bounded query set " +
+        "broadcast; the scale path is ss5 (IVF probed-cell equi-join, " +
+        "NOT allowlisted — a BNLJ there fails this audit)"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -83,10 +84,17 @@ object PlanAudit {
     val cartesian = List.newBuilder[String]
     val unexpected = List.newBuilder[String]
     val allowlisted = List.newBuilder[String]
+    val badTypes = List.newBuilder[String]
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val df = fn(spark, sfDir)
+        // same-sweep output-type lint (Verify refuses these at dump
+        // time; flagging them here too makes the audit a one-stop
+        // pre-ship check)
+        val bad = graft.Verify.lintSchema(df.schema)
+        if (bad.nonEmpty) badTypes += s"$name(${bad.mkString("; ")})"
+        val plan = df.queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct")) cartesian += name
         if (plan.contains("BroadcastNestedLoopJoin")) {
           if (bnljAllowlist.contains(name)) allowlisted += name
@@ -104,8 +112,9 @@ object PlanAudit {
     }.mkString("{", ",", "}")
     val cart = cartesian.result()
     val unexp = unexpected.result()
-    val pass = cart.isEmpty && unexp.isEmpty && errors.isEmpty
-    println(s"""{"pass":$pass,"cartesian":${arr(cart)},"unexpected_bnlj":${arr(unexp)},"allowlisted_bnlj":${arr(allowlisted.result())},"errors":$errObj}""")
+    val badT = badTypes.result()
+    val pass = cart.isEmpty && unexp.isEmpty && badT.isEmpty && errors.isEmpty
+    println(s"""{"pass":$pass,"cartesian":${arr(cart)},"unexpected_bnlj":${arr(unexp)},"allowlisted_bnlj":${arr(allowlisted.result())},"bad_types":${arr(badT)},"errors":$errObj}""")
     spark.stop()
     if (!pass) sys.exit(1)
   }

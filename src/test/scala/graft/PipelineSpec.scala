@@ -118,6 +118,36 @@ class PipelineSpec extends SparkTestBase {
     assert(got.toSeq == Seq((2L, 1), (3L, 2)))
   }
 
+  test("ivfHardNegatives: recall vs the ss4 exact yardstick, no BNLJ, band respected") {
+    import graft.pipeline.Ivf
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Similarity.hardNegatives(queries, embs, "vec_id",
+      "embedding", lo = 0.05, hi = 0.95, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = Ivf.staticCentroids(embs, "vec_id", "embedding",
+      nlist = 16)
+    val mined = Ivf.ivfHardNegatives(centroids, queries, embs, "vec_id",
+      "embedding", lo = 0.05, hi = 0.95, k = 10, nprobe = 6)
+    val got = mined.collect()
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the composed path can only MISS un-probed cells; inside probed
+    // cells it reranks with the same exact cosine — probing 6/16
+    // cells on the clustered fixture keeps most of the exact band
+    val recall = (exact & gotSet).size.toDouble / exact.size
+    assert(recall >= 0.6, s"composed hard-negative recall@10 = $recall")
+    // every mined cosine is inside the band (precision 1 on the band
+    // predicate by construction — candidates are exact-reranked)
+    assert(got.forall { r =>
+      val c = r.getDouble(2); c >= 0.05 && c < 0.95 })
+    // the no-BNLJ pin: candidates meet in a broadcast HASH join on
+    // cell id — the allowlist entry ss4 carries is exactly what this
+    // composed form retires at scale
+    val plan = mined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("partial_topkbyscore"), plan.take(600))
+  }
+
   test("IVF centroid training is deterministic") {
     import graft.pipeline.Ivf
     val c1 = Ivf.trainCentroids(embs, "vec_id", "embedding", k = 8, iters = 2)

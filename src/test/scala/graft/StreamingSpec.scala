@@ -314,7 +314,7 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("streaming SCD2: sealed versions equal the batch build's change feed") {
+  test("streaming SCD2: sealed versions equal the batch build on a 3-attribute dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def t(d: Int, h: Int) =
@@ -324,32 +324,39 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("scd2s")
       .outputMode("append").start()
     try {
-      // user 7: a, re-asserted a (compacted), same-ts b vs a (LWW ->
-      // b), back to a (new version)
+      // user 7's payload history exercises every rule on the full
+      // (event_type, value, props) tuple:
+      //  v1 (a,1.0,p) — then re-asserted identically (compacted)
+      //  same-ts collision (b,1.0,p) vs (a,9.0,p): tuple LWW picks b
+      //    (first attribute dominates, even against a larger value)
+      //  v3 (a,1.0,q): SAME event_type+value, props changed — a
+      //    change the single-attribute form would have compacted away
       mem.addData(
-        EventStreams.Event(1, t(1, 9), 7, "a", 0.0),
-        EventStreams.Event(2, t(1, 12), 7, "a", 0.0),
-        EventStreams.Event(3, t(2, 9), 7, "b", 0.0),
-        EventStreams.Event(4, t(2, 9), 7, "a", 0.0),
-        EventStreams.Event(5, t(3, 9), 7, "a", 0.0))
+        EventStreams.Event(1, t(1, 9), 7, "a", 1.0, "p"),
+        EventStreams.Event(2, t(1, 12), 7, "a", 1.0, "p"),
+        EventStreams.Event(3, t(2, 9), 7, "b", 1.0, "p"),
+        EventStreams.Event(4, t(2, 9), 7, "a", 9.0, "p"),
+        EventStreams.Event(5, t(3, 9), 7, "a", 1.0, "q"))
       q.processAllAvailable()
       // sentinel key pushes the watermark past every user-7 change
-      mem.addData(EventStreams.Event(6, t(20, 0), 9, "x", 0.0))
+      mem.addData(EventStreams.Event(6, t(20, 0), 9, "x", 0.0, "z"))
       q.processAllAvailable()
-      val got = spark.table("scd2s").filter(col("user_id") === 7)
+      def feed(df: org.apache.spark.sql.DataFrame) = df
         .orderBy("version")
-        .select("value", "valid_from", "version").collect()
-        .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2)))
-      val batch = graft.pipeline.Temporal.scd2Build(
-        Seq((7L, t(1, 9), "a"), (7L, t(1, 12), "a"), (7L, t(2, 9), "b"),
-          (7L, t(2, 9), "a"), (7L, t(3, 9), "a"))
-          .toDF("user_id", "ts", "state"),
-        "user_id", "ts", "state")
-        .orderBy("version")
-        .select("value", "valid_from", "version").collect()
-        .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2)))
+        .select("event_type", "value", "props", "valid_from", "version")
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2),
+          r.getTimestamp(3), r.getInt(4)))
+      val got = feed(spark.table("scd2s").filter(col("user_id") === 7))
+      val batch = feed(graft.pipeline.Temporal.scd2Build(
+        Seq((7L, t(1, 9), "a", 1.0, "p"), (7L, t(1, 12), "a", 1.0, "p"),
+          (7L, t(2, 9), "b", 1.0, "p"), (7L, t(2, 9), "a", 9.0, "p"),
+          (7L, t(3, 9), "a", 1.0, "q"))
+          .toDF("user_id", "ts", "event_type", "value", "props"),
+        "user_id", "ts", Seq("event_type", "value", "props")))
       assert(got.toSeq == batch.toSeq)
       assert(got.map(_._1).toSeq == Seq("a", "b", "a"))
+      assert(got.map(_._3).toSeq == Seq("p", "p", "q"))
       // user 9's own change is unsealed -> nothing emitted for it yet
       assert(spark.table("scd2s").filter(col("user_id") === 9).count() == 0)
     } finally q.stop()

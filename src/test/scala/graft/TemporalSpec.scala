@@ -62,6 +62,51 @@ class TemporalSpec extends SparkTestBase {
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(1200))
   }
 
+  test("scd2Build: NULL attribute states version null-safely (ADVICE r11)") {
+    import spark.implicits._
+    // x → NULL → x: the null-unsafe =!= form dropped the NULL state
+    // (never a version) AND compacted the revert (x "unchanged"),
+    // collapsing three real states into one row
+    val changes = Seq(
+      (1L, ts(1), Some("x")),
+      (1L, ts(5), None),
+      (1L, ts(9), Some("x"))
+    ).toDF("user_id", "ts", "state")
+    val got = Temporal.scd2Build(changes, "user_id", "ts", "state")
+      .orderBy("valid_from").collect()
+      .map(r => (Option(r.getString(1)), r.getInt(5)))
+    assert(got.toSeq == Seq((Some("x"), 1), (None, 2), (Some("x"), 3)))
+    // and a NULL re-assertion compacts like any other value
+    val reassert = Seq((1L, ts(1), None: Option[String]),
+      (1L, ts(5), None)).toDF("user_id", "ts", "state")
+    assert(Temporal.scd2Build(reassert, "user_id", "ts", "state")
+      .count() == 1)
+  }
+
+  test("scd2Build multi-attribute: struct change detection, tuple LWW, one exchange") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, ts(1), "a", 1.0, "p"),
+      (1L, ts(3), "a", 1.0, "p"), // identical payload — compacted
+      (1L, ts(5), "b", 1.0, "p"), // same-ts LWW: first attr dominates
+      (1L, ts(5), "a", 9.0, "p"),
+      (1L, ts(9), "a", 1.0, "q")  // only props changed — NEW version
+    ).toDF("user_id", "ts", "event_type", "value", "props")
+    val dim = Temporal.scd2Build(changes, "user_id", "ts",
+      Seq("event_type", "value", "props"))
+    val got = dim.orderBy("valid_from").collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getString(3),
+        r.getBoolean(6), r.getInt(7)))
+    assert(got.toSeq == Seq(
+      ("a", 1.0, "p", false, 1),
+      ("b", 1.0, "p", false, 2),
+      ("a", 1.0, "q", true, 3)))
+    // attribute count doesn't change the scale shape: still ONE
+    // exchange serving the dedupe agg and both windows
+    val p = dim.queryExecution.executedPlan.toString
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(1200))
+  }
+
   test("binned range join matches a plain range predicate, incl. boundaries") {
     import spark.implicits._
     val points = Seq((1L, 0.0), (2L, 1.5), (3L, 1.499), (4L, 7.999),

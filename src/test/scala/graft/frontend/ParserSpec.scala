@@ -56,6 +56,25 @@ class ParserSpec extends AnyFunSuite {
       EAscribe(ENull, TyVal(Ty(TyName("INT"), nullable = false))))
   }
 
+  test("`:-` before a digit is colon + minus, not ascription (r11 lexer regression)") {
+    // `x:-1` is an expression-level colon ascription followed by a
+    // negative literal: the `:-` must NOT lex as TAscribe there (an
+    // STY can never start with a digit). Both lexings end in a parse
+    // error (parseTy wants a type name), but the guarded lexer fails
+    // inside the type — proving TColon was emitted — instead of
+    // failing earlier on an unexpected ascription token.
+    val toks = Lexer.tokenize("x:-1")
+    assert(toks.take(4) == Vector(
+      Lexer.TIdent("x"), Lexer.TColon, Lexer.TOp("-"),
+      Lexer.TLit(LitInt(1))))
+    // ...while `:-` before an STY head (identifier / paren / space)
+    // still lexes as the ascription token the select suffix consumes
+    val toks2 = Lexer.tokenize("x :- (a int)")
+    assert(toks2.take(2) == Vector(Lexer.TIdent("x"), Lexer.TAscribe))
+    val toks3 = Lexer.tokenize("x:-sty")
+    assert(toks3.take(2) == Vector(Lexer.TIdent("x"), Lexer.TAscribe))
+  }
+
   test("IN subquery, single and multi column") {
     val q1 = Parser.parseExpr("x IN (SELECT a FROM t)")
     assert(q1.isInstanceOf[EIn] && q1.asInstanceOf[EIn].exprs.length == 1)
