@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
 
@@ -19,6 +19,22 @@ object PipelineQueries {
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+
+  /** DECIMAL(38,0) → BIGINT for the driver's pandas harness, GUARDED:
+    * Spark's non-ANSI cast silently NULLs on overflow while the
+    * DuckDB oracle's CAST(... AS BIGINT) raises — at extreme scale
+    * the two sides would fail differently and Spark's failure would
+    * be silent (r11 ADVICE). The documented ~1e5x int64 headroom on
+    * the km1/km2/pq1/pc1 moment sums is now CHECKED in-plan: an
+    * overflowing sum raises with the offending value instead of
+    * hash-mismatching as a NULL.
+    */
+  private[graft] def checkedLong(c: Column): Column =
+    when(abs(c) > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(concat(
+        lit("gate cast overflow: |"), c.cast("string"),
+        lit("| exceeds int64 — rescale the entry's grid"))))
+      .otherwise(c.cast("long"))
 
   // ---------------- dedup ----------------
 
@@ -892,7 +908,7 @@ object PipelineQueries {
     val cbs = pipeline.Quantize.pqCodebooks(e, "vec_id", "embedding",
       m = 4, k = 16)
     pipeline.Quantize.pqProfile(e, "vec_id", "embedding", cbs)
-      .withColumn("sum_d12", col("sum_d12").cast("long")) // km1 budget doc
+      .withColumn("sum_d12", checkedLong(col("sum_d12"))) // km1 budget doc
       .orderBy("subspace", "code")
   }
 
@@ -1022,7 +1038,7 @@ object PipelineQueries {
     // pandas harness, which renders DECIMAL as float64. Budget: max
     // |sum_d12| at sf0.01 is 6.8e13 — 1e5x int64 headroom.
     pipeline.Ivf.clusterProfile(e, "vec_id", "embedding", centroids)
-      .withColumn("sum_d12", col("sum_d12").cast("long"))
+      .withColumn("sum_d12", checkedLong(col("sum_d12")))
       .orderBy("cell")
   }
 
@@ -1065,7 +1081,7 @@ object PipelineQueries {
       k = 8, iters = 2, seed = 42L, sampleLimit = 256)
     pipeline.Ivf.clusterProfile(e, "vec_id", "embedding",
       cents.map(_.map(_ / 1e6)))
-      .withColumn("sum_d12", col("sum_d12").cast("long")) // km1 budget doc
+      .withColumn("sum_d12", checkedLong(col("sum_d12"))) // km1 budget doc
       .orderBy("cell")
   }
 
@@ -3292,9 +3308,9 @@ object PipelineQueries {
       // DECIMAL(38,0) moment sums cast to BIGINT for the driver's
       // pandas harness (km1 budget doc); |s_ij| max ~8e12 at sf0.01
       .select(col("i"), col("j"), col("n").cast("long").as("n"),
-        col("s_i").cast("long").as("s_i"),
-        col("s_j").cast("long").as("s_j"),
-        col("s_ij").cast("long").as("s_ij"))
+        checkedLong(col("s_i")).as("s_i"),
+        checkedLong(col("s_j")).as("s_j"),
+        checkedLong(col("s_ij")).as("s_ij"))
 
   val pc1Sql: String =
     """WITH eq AS MATERIALIZED (

@@ -34,6 +34,28 @@ class VerifyLintSpec extends SparkTestBase {
     assert(Verify.lintSchema(fixed.schema).isEmpty)
   }
 
+  test("checkedLong: in-range DECIMAL casts, overflow raises instead of NULLing") {
+    import spark.implicits._
+    val ok = Seq("123", "-9223372036854775807").toDF("s")
+      .select(PipelineQueries.checkedLong(
+        col("s").cast("decimal(38,0)")).as("v"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ok.toSeq == Seq(-9223372036854775807L, 123L))
+    // one over int64 max: the plain cast would silently NULL (the
+    // silent-divergence ADVICE r11 flagged); the guard raises
+    val boom = intercept[Exception] {
+      Seq("9223372036854775808").toDF("s")
+        .select(PipelineQueries.checkedLong(
+          col("s").cast("decimal(38,0)")).as("v"))
+        .collect()
+    }
+    assert(boom.getMessage != null)
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert((boom.getMessage + root(boom).getMessage)
+      .contains("gate cast overflow"))
+  }
+
   test("the full oracle-safe scalar set passes") {
     val df = spark.range(1).select(
       lit(true).as("b"), lit(1).as("i"), lit(1L).as("l"),
