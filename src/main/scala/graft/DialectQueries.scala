@@ -272,6 +272,31 @@ object DialectQueries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  // `LEFT OPTIONAL JOIN` — the reference README's "(todo) optional
+  // joins" heading (README.md:193), implemented r12 with the
+  // join-elimination semantics BI dialects attach to it: the join is
+  // author-asserted row-preserving and is ELIMINATED when nothing
+  // beyond its own ON condition uses the right scope. One entry
+  // attests both arms end to end: the nation join is KEPT (the outer
+  // query reads the lazy `nm` field, so elimination must not fire and
+  // the result must equal a plain LEFT JOIN — the oracle), while the
+  // orders join is PRUNED (its lazy `ok` field is never read; orders
+  // would DUPLICATE customers, so the hash only matches if the join
+  // truly vanished — the oracle simply doesn't join orders).
+  val sq17: Q = (s, dir) => e(s, dir).sql(
+    """select ck, nm from (
+      |  select c_custkey as ck,
+      |         with n_name as nm,
+      |         with o_orderkey as ok
+      |  from customer
+      |  left optional join nation on n_nationkey = c_nationkey
+      |  left optional join orders on o_custkey = c_custkey) as s
+      |order by ck""".stripMargin)
+  val sq17Sql: String =
+    """SELECT c_custkey AS ck, n_name AS nm
+      |FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey
+      |ORDER BY ck""".stripMargin
+
   // JDBC-backed engine path (the reference's pg/mariadb backend role,
   // sqlpp_postgresql.ml:77-219): the fixture's nation/region are
   // loaded into embedded Derby, then the SAME dialect stack runs with
@@ -314,6 +339,7 @@ object DialectQueries {
   val queries: Map[String, Q] = Map(
     "jd1_jdbc_engine" -> jd1,
     "sq16_dialect_multicol_in_3vl" -> sq16,
+    "sq17_dialect_optional_join" -> sq17,
     "sq15_dialect_left_join_on_subquery" -> sq15,
     "sq14_dialect_having_subquery" -> sq14,
     "sq11_dialect_argmax" -> sq11,
@@ -334,6 +360,7 @@ object DialectQueries {
   val oracleSql: Map[String, String] = Map(
     "jd1_jdbc_engine" -> jd1Sql,
     "sq16_dialect_multicol_in_3vl" -> sq16Sql,
+    "sq17_dialect_optional_join" -> sq17Sql,
     "sq15_dialect_left_join_on_subquery" -> sq15Sql,
     "sq14_dialect_having_subquery" -> sq14Sql,
     "sq11_dialect_argmax" -> sq11Sql,

@@ -166,16 +166,35 @@ object PipelineQueries {
       "vec_id", "embedding", centroids, cbs, k = 10, nprobe = 6)
   }
 
+  // ss5's production twin: the SAME composed band + top-k rerank but
+  // with a TRAINED (km2 grid-Lloyd) quantizer supplying the cells —
+  // the form a real corpus runs, where nlist tracks corpus size and
+  // per-cell occupancy stays constant (SOAK_r12's ss5 note). Bench-
+  // only: Lloyd's driver loop isn't oracle-replayable per query run
+  // cheaply; recall vs the exact baseline is spec-pinned instead.
+  private val ss5xTrainedHardNegatives: Q = (s, dir) => {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    val cents = pipeline.Ivf.trainCentroidsGrid(e, "vec_id", "embedding",
+      k = 16, iters = 2, seed = 42L, sampleLimit = 256)
+      .map(_.map(_ / 1e6))
+    pipeline.Ivf.ivfHardNegatives(cents, e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", lo = 0.05, hi = 0.95, k = 10, nprobe = 6)
+  }
+
   // lazy: the map is declared above the entry vals it references —
   // eager init would capture a null fn for any later-defined builder
   // (bit qp1x in r12's first bench run)
   private[graft] lazy val benchExtras: Map[String, Q] = Map(
     "dd2x_minhash_prod_hash" -> dd2xProdMinhash,
     "pq2x_ivfadc_trained" -> pq2xTrainedIvfAdc,
+    "ss5x_hard_negatives_trained" -> ss5xTrainedHardNegatives,
     // gate-retired r12 (redundant with qp2 — oracle-proven identical
     // keep set through r11, equivalence still spec-pinned); benched
     // so the window-form's perf stays visible round over round
     "qp1x_quality_percentile" -> qp1Percentile,
+    // gate-retired r12 (oracle was ct1Sql verbatim — proven
+    // ct1-equivalent); benched so the Bloom path's perf stays visible
+    "ct2x_contamination_bloom" -> ct2BloomContamination,
   )
 
   /** Shared oracle-SQL fragment: portable MinHash signatures, LSH
@@ -1321,6 +1340,10 @@ object PipelineQueries {
   // benchmark side's shingles become a broadcast Bloom filter applied
   // map-side to the train scan before any shuffle. Results are exact
   // (false positives die in the equi-join), so the oracle is ct1's.
+  // GATE-RETIRED r13-note/r12: its oracle was ct1Sql VERBATIM — the
+  // hash match proved ct1-equivalence, the same redundancy qp1/qp2
+  // had. Benched as ct2x extra; the Bloom plan shape and exactness
+  // stay pinned in PipelineSpec/PlanSpec.
   val ct2BloomContamination: Q = (s, dir) => {
     val d = docs(s, dir).select("doc_id", "text")
     val evalDocs = d.filter(col("doc_id") < 50)
@@ -4621,7 +4644,6 @@ object PipelineQueries {
     "tx7_vocab_topk" -> tx7Vocab,
     "tx8_tfidf_keywords" -> tx8Tfidf,
     "ct1_contamination" -> ct1Contamination,
-    "ct2_contamination_bloom" -> ct2BloomContamination,
     "pf1_numeric_profile" -> pf1Profile,
     "pf1a_numeric_profile_approx" -> pf1aApprox,
     "pf2_corr_matrix" -> pf2Corr,
@@ -4684,7 +4706,6 @@ object PipelineQueries {
     "tx7_vocab_topk" -> tx7Sql,
     "tx8_tfidf_keywords" -> tx8Sql,
     "ct1_contamination" -> ct1Sql,
-    "ct2_contamination_bloom" -> ct1Sql,
     "pf1_numeric_profile" -> pf1Sql,
     "pf1a_numeric_profile_approx" -> pf1aSql,
     "pf2_corr_matrix" -> pf2Sql,

@@ -268,7 +268,7 @@ object Analyzer {
   private def lookupFieldByExpr(scope: Scope, e: Expr): Option[Field] =
     scope.fields.values.find(f => f.expr == e)
 
-  private def resolveFieldDependency(scope: Scope,
+  private[frontend] def resolveFieldDependency(scope: Scope,
       dep: (Option[String], String)): (Scope, Field) = {
     val (scopeName, name) = dep
     val scope2 = scopeName match {
@@ -284,7 +284,7 @@ object Analyzer {
     }
   }
 
-  private def markFieldUsedRec(scope: Scope, f: Field): Unit =
+  private[frontend] def markFieldUsedRec(scope: Scope, f: Field): Unit =
     if (!f.isUsed) {
       f.isUsed = true
       f.dependencies.foreach { p =>
@@ -776,15 +776,27 @@ object Analyzer {
       val (rscope, rname, right2) = inferFromOne(ctx, right)
       val condScope = Scope.create(
         scopes = (rname -> SElem(rscope, nullable = false)) :: bindings)
-      val (_, cond2) = checkExpr(
-        new ExprCtx(condScope, isUsed = true, ctx), nullT(BOOL), cond)
-      val bindings2 = kind match {
+      // An OPTIONAL join's ON condition type-checks normally but its
+      // field uses are DEFERRED (isUsed = false): "is the right scope
+      // used" must mean "used by anything other than this condition".
+      // The recorded deps travel on the kind; lowering either drops
+      // the join (right scope untouched anywhere) or replays the
+      // marks so scan pruning keeps the join keys.
+      val isOpt = kind match {
+        case JoinLeftOpt(_) => true
+        case _              => false
+      }
+      val condCtx = new ExprCtx(condScope, isUsed = !isOpt, ctx)
+      val (_, cond2) = checkExpr(condCtx, nullT(BOOL), cond)
+      val kind2 =
+        if (isOpt) JoinLeftOpt(condCtx.dependencies) else kind
+      val bindings2 = kind2 match {
         case JoinInner =>
           (rname -> SElem(rscope, nullable = false)) :: bindings
-        case JoinLeft =>
+        case JoinLeft | JoinLeftOpt(_) =>
           (rname -> SElem(rscope, nullable = true)) :: bindings
       }
-      (bindings2, FromJoin(left2, right2, kind, cond2))
+      (bindings2, FromJoin(left2, right2, kind2, cond2))
   }
 
   def inferFromOne(ctx: QueryCtx,

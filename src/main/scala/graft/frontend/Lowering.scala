@@ -166,12 +166,36 @@ object Lowering {
   private def lowerFrom(ctx: Ctx, scope: Scope, from: From): DataFrame =
     from match {
       case FromSingle(one) => lowerFromOne(ctx, scope, one)
+      case FromJoin(left, right, JoinLeftOpt(condDeps), cond) =>
+        // optional-join elimination (Syntax.JoinLeftOpt): the ON
+        // condition's field uses were deferred at analysis, so ANY
+        // used field in the right scope here means something besides
+        // the condition needs the join. isUsed state is final by
+        // lowering time (all composition/outer-query marking happened
+        // during analysis), so the decision is sound for named-query
+        // inlining and lazy WITH fields alike — the same guarantee
+        // scan pruning relies on.
+        val rname = aliasOf(right)
+        val rsub = Scope.subscope(scope, rname).getOrElse(
+          fail(s"lowerFrom: no scope for optional join $rname"))
+        if (!rsub.fields.values.exists(_.isUsed)) lowerFrom(ctx, scope, left)
+        else {
+          // join survives: replay the deferred ON marks so the right
+          // (and left) scans keep the join keys, then lower as a
+          // plain LEFT JOIN
+          condDeps.foreach { dep =>
+            val (s2, f2) = Analyzer.resolveFieldDependency(scope, dep)
+            Analyzer.markFieldUsedRec(s2, f2)
+          }
+          lowerFrom(ctx, scope, FromJoin(left, right, JoinLeft, cond))
+        }
       case FromJoin(left, right, kind, cond) =>
         val l = lowerFrom(ctx, scope, left)
         val r = lowerFromOne(ctx, scope, right)
         val joinType = kind match {
-          case JoinInner => "inner"
-          case JoinLeft  => "left_outer"
+          case JoinInner      => "inner"
+          case JoinLeft       => "left_outer"
+          case JoinLeftOpt(_) => "left_outer" // rewritten above; defensive
         }
         if (!containsSubquery(cond)) l.join(r, compile(ctx, cond), joinType)
         else {
@@ -224,7 +248,7 @@ object Lowering {
               dropSubqueryFlags(withPred.filter(coalesce(c, lit(false))))
             kind match {
               case JoinInner => matched
-              case JoinLeft =>
+              case JoinLeft | JoinLeftOpt(_) =>
                 // Restore unmatched left rows. The left side is scanned
                 // twice (pair join + anti restore) — the cost of the one
                 // ON shape with no single carrier side; both scans keep

@@ -333,8 +333,20 @@ final class Parser(tokens: Vector[Token],
     while (!done) {
       val kind: Option[JoinKind] =
         if (at("JOIN")) { next(); Some(JoinInner) }
-        else if (at("LEFT")) { next(); expectKw("JOIN"); Some(JoinLeft) }
-        else None
+        else if (at("LEFT")) {
+          next()
+          // OPTIONAL is contextual (a plain identifier here, not a
+          // reserved word — tables/columns named `optional` stay
+          // legal): after LEFT only JOIN can follow, so claiming the
+          // identifier is unambiguous
+          val opt = peek match {
+            case TIdent(w) if w.equalsIgnoreCase("OPTIONAL") =>
+              next(); true
+            case _ => false
+          }
+          expectKw("JOIN")
+          Some(if (opt) JoinLeftOpt() else JoinLeft)
+        } else None
       kind match {
         case Some(k) =>
           val right = parseFromOne()

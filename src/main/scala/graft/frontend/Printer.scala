@@ -108,8 +108,9 @@ object Printer {
     case FromSingle(one) => fromOne(one)
     case FromJoin(l, r, k, cond) =>
       val kw = k match {
-        case JoinInner => "JOIN"
-        case JoinLeft  => "LEFT JOIN"
+        case JoinInner      => "JOIN"
+        case JoinLeft       => "LEFT JOIN"
+        case JoinLeftOpt(_) => "LEFT OPTIONAL JOIN"
       }
       s"${from(l)} $kw ${fromOne(r)} ON ${expr(cond)}"
   }
@@ -220,8 +221,9 @@ object Printer {
       case FromSingle(one) => fromOneElaborated(env, scope, one)
       case FromJoin(l, r, k, cond) =>
         val kw = k match {
-          case JoinInner => "INNER JOIN"
-          case JoinLeft  => "LEFT JOIN"
+          case JoinInner      => "INNER JOIN"
+          case JoinLeft       => "LEFT JOIN"
+          case JoinLeftOpt(_) => "LEFT OPTIONAL JOIN"
         }
         s"${fromElaborated(env, scope, l)} $kw ${fromOneElaborated(env, scope, r)} ON ${expr(cond)}"
     }

@@ -208,6 +208,26 @@ object Syntax {
   sealed trait JoinKind
   case object JoinInner extends JoinKind
   case object JoinLeft extends JoinKind
+  /** `LEFT OPTIONAL JOIN` — the reference README's "(todo) optional
+    * joins" heading (README.md:193, a bare heading with no content or
+    * implementation in the reference; semantics defined here): the
+    * author asserts the join is row-preserving (left rows are never
+    * duplicated — in practice, the ON condition hits a unique key of
+    * the right side), so when NOTHING outside the join's own ON
+    * condition uses the right scope, the join is eliminated at
+    * lowering and the right source is never scanned. This is the
+    * join-elimination contract BI dialects build on LEFT JOIN +
+    * uniqueness; making it author-asserted keeps analysis local.
+    *
+    * `condDeps` is analyzer output (empty when freshly parsed): the
+    * ON condition's field dependencies, recorded WITHOUT marking them
+    * used — the analyzer defers those marks so "is the right scope
+    * used" means "used by anything except the ON condition itself".
+    * When the join survives, lowering applies the deferred marks so
+    * scan pruning still sees the join keys.
+    */
+  final case class JoinLeftOpt(
+      condDeps: List[(Option[String], String)] = Nil) extends JoinKind
 
   sealed trait FromOne
   final case class FromTable(table: String, alias: Option[String])

@@ -148,6 +148,25 @@ class PipelineSpec extends SparkTestBase {
     assert(plan.contains("partial_topkbyscore"), plan.take(600))
   }
 
+  test("ivfHardNegatives with the TRAINED grid-Lloyd quantizer: recall holds") {
+    import graft.pipeline.Ivf
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Similarity.hardNegatives(queries, embs, "vec_id",
+      "embedding", lo = 0.05, hi = 0.95, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Ivf.trainCentroidsGrid(embs, "vec_id", "embedding",
+      k = 16, iters = 2, seed = 42L, sampleLimit = 256)
+      .map(_.map(_ / 1e6))
+    val mined = Ivf.ivfHardNegatives(cents, queries, embs, "vec_id",
+      "embedding", lo = 0.05, hi = 0.95, k = 10, nprobe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the trained quantizer adapts cells to the data, so its probed
+    // cells should cover the exact band at least as well as the
+    // evenly-spaced static pick (ss5's gate form)
+    val recall = (exact & mined).size.toDouble / exact.size
+    assert(recall >= 0.6, s"trained composed hard-negative recall = $recall")
+  }
+
   test("IVF centroid training is deterministic") {
     import graft.pipeline.Ivf
     val c1 = Ivf.trainCentroids(embs, "vec_id", "embedding", k = 8, iters = 2)

@@ -77,6 +77,75 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("LEFT OPTIONAL JOIN: unused right side is eliminated — no join, no right scan") {
+    val df = engine.sql(
+      """select c_custkey from customer
+        |left optional join orders on o_custkey = c_custkey""".stripMargin)
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("join"), p.take(800))
+    assert(!p.contains("orders"), p.take(800))
+    // row-preserving by construction when eliminated: exactly the
+    // un-joined left rows
+    assert(df.count() ==
+      engine.sql("select c_custkey from customer").count())
+  }
+
+  test("LEFT OPTIONAL JOIN: projected right field keeps the join with pruned-scan keys") {
+    val df = engine.sql(
+      """select c_custkey, o_orderkey from customer
+        |left optional join orders on o_custkey = c_custkey""".stripMargin)
+    val p = plan(df)
+    assert(p.contains("Join") && p.contains("LeftOuter"), p.take(800))
+    // identical rows to the plain LEFT JOIN form
+    val plain = engine.sql(
+      """select c_custkey, o_orderkey from customer
+        |left join orders on o_custkey = c_custkey""".stripMargin)
+    assert(df.count() == plain.count())
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
+  }
+
+  test("LEFT OPTIONAL JOIN: a WHERE reference to the right side keeps the join") {
+    val df = engine.sql(
+      """select c_custkey from customer
+        |left optional join orders on o_custkey = c_custkey
+        |where o_totalprice > 100.0""".stripMargin)
+    // the join survives (Catalyst legally inner-izes it: the WHERE
+    // filters the null-extended rows away) and the right scan keeps
+    // both the filter column and the pruned join key
+    val p = plan(df)
+    assert(p.contains("Join"), p.take(800))
+    assert(p.contains("orders") && p.contains("o_custkey"), p.take(800))
+    assert(df.count() > 0)
+  }
+
+  test("LEFT OPTIONAL JOIN inside a subselect: lazy WITH field decides it") {
+    // the right side is only reachable through a LAZY field (WITH):
+    // outer query skips it -> the optional join is eliminated
+    val pruned = engine.sql(
+      """select ck from (
+        |  select c_custkey as ck, with o_orderkey as ok from customer
+        |  left optional join orders on o_custkey = c_custkey) as s""".stripMargin)
+    assert(!plan(pruned).toLowerCase.contains("join"), plan(pruned).take(800))
+    // outer query uses the lazy field -> the use cascades through the
+    // field's dependencies and the join survives end to end
+    val kept = engine.sql(
+      """select ok from (
+        |  select c_custkey as ck, with o_orderkey as ok from customer
+        |  left optional join orders on o_custkey = c_custkey) as s""".stripMargin)
+    assert(plan(kept).contains("LeftOuter"), plan(kept).take(800))
+  }
+
+  test("LEFT OPTIONAL JOIN: eager projection of a right field always keeps it") {
+    // a plain (non-WITH) projection field is materialized whether or
+    // not an outer query reads it — so it keeps the join even when
+    // the outer projection skips the field
+    val p = plan(engine.sql(
+      """select ck from (
+        |  select c_custkey as ck, o_orderkey as ok from customer
+        |  left optional join orders on o_custkey = c_custkey) as s""".stripMargin))
+    assert(p.contains("LeftOuter"), p.take(800))
+  }
+
   test("n-gram Jaccard mining plans equi joins, never a cartesian") {
     val d = Tables.load(spark, sf, "documents")
       .select("doc_id", "text").filter(col("doc_id") < 50)

@@ -75,6 +75,24 @@ class ParserSpec extends AnyFunSuite {
     assert(toks3.take(2) == Vector(Lexer.TIdent("x"), Lexer.TAscribe))
   }
 
+  test("LEFT OPTIONAL JOIN parses; OPTIONAL stays a contextual identifier") {
+    val QSelect(s) = Parser.parseQuery(
+      "SELECT a FROM t LEFT OPTIONAL JOIN u ON a = b"): @unchecked
+    val Some(FromJoin(_, _, kind, _)) = s.from: @unchecked
+    assert(kind == JoinLeftOpt(Nil))
+    // `optional` is NOT reserved: legal as a column or table name
+    assert(Parser.parseExpr("optional") == EName("optional"))
+    val QSelect(s2) = Parser.parseQuery(
+      "SELECT optional FROM optional AS o"): @unchecked
+    assert(s2.from == Some(FromSingle(FromTable("optional", Some("o")))))
+    // print/parse round trip keeps the marker
+    val printed = Printer.query(QSelect(s))
+    assert(printed.contains("LEFT OPTIONAL JOIN"), printed)
+    val QSelect(s3) = Parser.parseQuery(printed): @unchecked
+    val Some(FromJoin(_, _, kind3, _)) = s3.from: @unchecked
+    assert(kind3 == JoinLeftOpt(Nil))
+  }
+
   test("IN subquery, single and multi column") {
     val q1 = Parser.parseExpr("x IN (SELECT a FROM t)")
     assert(q1.isInstanceOf[EIn] && q1.asInstanceOf[EIn].exprs.length == 1)
