@@ -83,7 +83,7 @@ class FuzzSpec extends SparkTestBase {
 
   val genQuery: Gen[Q] = for {
     t <- Gen.oneOf(orders, customer, lineitem)
-    kind <- Gen.chooseNum(0, 7)
+    kind <- Gen.chooseNum(0, 8)
     q <- kind match {
       case 0 => plainQuery(t)
       case 1 => groupedQuery(t)
@@ -92,6 +92,7 @@ class FuzzSpec extends SparkTestBase {
       case 4 => joinOnSubQuery
       case 5 => groupedProjInQuery(t)
       case 6 => combinedSubqueryQuery(t)
+      case 7 => optionalJoinQuery
       case _ => inQuery(t)
     }
   } yield q
@@ -337,6 +338,34 @@ class FuzzSpec extends SparkTestBase {
         Q(s"select $keyCol, ($pd) as f from ${t.name} order by $keyCol limit 80",
           s"SELECT $keyCol, ($ps) AS f FROM ${t.name} ORDER BY $keyCol LIMIT 80")
     }
+  }
+
+  /** LEFT OPTIONAL JOIN differential: nation is UNIQUE on
+    * n_nationkey, so the optional join is genuinely row-preserving
+    * and the Spark SQL twin is always a PLAIN LEFT JOIN — whether the
+    * engine eliminates the join (right side unreferenced: projRight
+    * and whereRight both false) or keeps it, results must be
+    * identical. This is the semantic contract the author asserts when
+    * writing OPTIONAL, fuzzed across random filters and projections.
+    */
+  def optionalJoinQuery: Gen[Q] = for {
+    projRight <- Gen.oneOf(true, false)
+    whereRight <- Gen.oneOf(true, false)
+    wc <- Gen.option(boolExpr(customer))
+    rk <- Gen.chooseNum(0, 4)
+    lim <- Gen.chooseNum(5, 60)
+  } yield {
+    val proj = if (projRight) ", n_name" else ""
+    // a right-side WHERE keeps the join AND filters null-extended
+    // rows — both engines must agree on that interaction too
+    val condsD = wc.map(_.dialect).toList ++
+      (if (whereRight) List(s"n_regionkey >= $rk") else Nil)
+    val condsS = wc.map(_.sql).toList ++
+      (if (whereRight) List(s"n_regionkey >= $rk") else Nil)
+    val wD = if (condsD.isEmpty) "" else " where " + condsD.mkString(" and ")
+    val wS = if (condsS.isEmpty) "" else " WHERE " + condsS.mkString(" AND ")
+    Q(s"select c_custkey$proj from customer left optional join nation on n_nationkey = c_nationkey$wD order by c_custkey limit $lim",
+      s"SELECT c_custkey$proj FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey$wS ORDER BY c_custkey LIMIT $lim")
   }
 
   def plainQuery(t: Tbl): Gen[Q] = for {
