@@ -135,6 +135,62 @@ class PlanSpec extends SparkTestBase {
     assert(plan(kept).contains("LeftOuter"), plan(kept).take(800))
   }
 
+  test("chained LEFT OPTIONAL JOINs: a kept join resurrects the one its ON depends on") {
+    // region is only reachable through nation; using r_name keeps the
+    // region join, whose ON references nation — the deferred-marks
+    // replay must cascade inward (outer join decided first) so the
+    // nation join is kept too, with its keys in the scan
+    val kept = engine.sql(
+      """select c_custkey, r_name from customer
+        |left optional join nation on n_nationkey = c_nationkey
+        |left optional join region on r_regionkey = n_regionkey
+        |order by c_custkey""".stripMargin)
+    val p = plan(kept)
+    assert(p.contains("nation") && p.contains("region"), p.take(1200))
+    assert(p.contains("n_regionkey"), p.take(1200)) // nation's key survived pruning
+    val oracle = engine.sql(
+      """select c_custkey, r_name from customer
+        |left join nation on n_nationkey = c_nationkey
+        |left join region on r_regionkey = n_regionkey
+        |order by c_custkey""".stripMargin)
+    assert(kept.exceptAll(oracle).isEmpty && oracle.exceptAll(kept).isEmpty)
+    // ...and with neither right side referenced, BOTH joins vanish
+    val pruned = engine.sql(
+      """select c_custkey from customer
+        |left optional join nation on n_nationkey = c_nationkey
+        |left optional join region on r_regionkey = n_regionkey
+        |order by c_custkey""".stripMargin)
+    assert(!plan(pruned).toLowerCase.contains("join"), plan(pruned).take(800))
+  }
+
+  test("LEFT OPTIONAL JOIN with an IN-subquery ON conjunct: prunes clean, keeps correct") {
+    // pruned: the subquery must vanish with the join (no scan of
+    // orders OR lineitem)
+    val pruned = engine.sql(
+      """select c_custkey from customer
+        |left optional join orders
+        |on o_custkey = c_custkey
+        |  and o_orderkey in (select l_orderkey from lineitem where l_quantity > 45.0)
+        |order by c_custkey""".stripMargin)
+    val pp = plan(pruned)
+    assert(!pp.toLowerCase.contains("join"), pp.take(800))
+    assert(!pp.contains("orders") && !pp.contains("lineitem"), pp.take(800))
+    // kept: equals the plain LEFT JOIN form with the same ON
+    val kept = engine.sql(
+      """select c_custkey, o_orderkey from customer
+        |left optional join orders
+        |on o_custkey = c_custkey
+        |  and o_orderkey in (select l_orderkey from lineitem where l_quantity > 45.0)
+        |order by c_custkey""".stripMargin)
+    val plain = engine.sql(
+      """select c_custkey, o_orderkey from customer
+        |left join orders
+        |on o_custkey = c_custkey
+        |  and o_orderkey in (select l_orderkey from lineitem where l_quantity > 45.0)
+        |order by c_custkey""".stripMargin)
+    assert(kept.exceptAll(plain).isEmpty && plain.exceptAll(kept).isEmpty)
+  }
+
   test("LEFT OPTIONAL JOIN: eager projection of a right field always keeps it") {
     // a plain (non-WITH) projection field is materialized whether or
     // not an outer query reads it — so it keeps the join even when
