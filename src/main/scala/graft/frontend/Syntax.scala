@@ -225,6 +225,15 @@ object Syntax {
     * used" means "used by anything except the ON condition itself".
     * When the join survives, lowering applies the deferred marks so
     * scan pruning still sees the join keys.
+    *
+    * Conservative edges (all spec-pinned in PlanSpec): an eager
+    * (non-WITH) projection field referencing the right side keeps the
+    * join even if no outer query reads the field (eager projection IS
+    * demand); a subselect right side keeps the join unless ALL its
+    * fields are lazy `WITH` fields (a plain subselect projection is
+    * born used); a kept join whose ON references another optional
+    * join's right scope resurrects that join too (outer joins decide
+    * first, so the deferred-mark replay cascades inward).
     */
   final case class JoinLeftOpt(
       condDeps: List[(Option[String], String)] = Nil) extends JoinKind

@@ -191,6 +191,28 @@ class PlanSpec extends SparkTestBase {
     assert(kept.exceptAll(plain).isEmpty && plain.exceptAll(kept).isEmpty)
   }
 
+  test("LEFT OPTIONAL JOIN over a subselect right side: eager fields pin it, all-lazy prunes") {
+    // a subselect's plain projection fields are born used (they are
+    // the subselect's output demand), so an optional join over one is
+    // CONSERVATIVELY kept even when the outer query ignores it...
+    val kept = engine.sql(
+      """select c_custkey from customer
+        |left optional join (select o_custkey as k from orders) as s
+        |on s.k = c_custkey
+        |order by c_custkey limit 10""".stripMargin)
+    assert(plan(kept).toLowerCase.contains("join"), plan(kept).take(800))
+    // ...but a subselect whose fields are ALL lazy (WITH) carries no
+    // demand of its own — unused from outside, the join is eliminated
+    // and the subselect is never lowered
+    val pruned = engine.sql(
+      """select c_custkey from customer
+        |left optional join (select with o_custkey as k, ... from orders) as s
+        |on s.k = c_custkey
+        |order by c_custkey limit 10""".stripMargin)
+    assert(!plan(pruned).toLowerCase.contains("join"), plan(pruned).take(800))
+    assert(!plan(pruned).contains("orders"), plan(pruned).take(800))
+  }
+
   test("LEFT OPTIONAL JOIN: eager projection of a right field always keeps it") {
     // a plain (non-WITH) projection field is materialized whether or
     // not an outer query reads it — so it keeps the join even when
