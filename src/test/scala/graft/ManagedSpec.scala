@@ -150,6 +150,31 @@ class ManagedSpec extends SparkTestBase {
     assert(r.getDouble(1) == 10.0 && r.getString(2) == "boost")
   }
 
+  test("UPDATE ... FROM with a LEFT OPTIONAL JOIN (pruned and kept)") {
+    val (_, managed, runner) = freshManaged()
+    runner.apply(migrations)
+    managed.exec("insert into todos(text, created, completed) values ('x', 1.0, false)")
+    managed.exec("insert into projects(name, created) values ('boost', 10.0)")
+    // pruned: the optional self-join of projects is unreferenced —
+    // the update must behave exactly as FROM projects alone
+    val ret = managed.exec(
+      """update todos set created = p.created
+        |from projects as p left optional join projects as q on q.name = p.name
+        |where p.name = 'boost' and todos.text = 'x'
+        |returning id, todos.created""".stripMargin)
+    assert(ret.collect()(0).getDouble(1) == 10.0)
+    // kept: the SET references the optional side — which types
+    // NULLABLE (the LEFT-joined scope), so a NOT NULL column needs
+    // the coalesce; the analyzer enforcing that through an optional
+    // join is itself part of what this pins
+    val ret2 = managed.exec(
+      """update todos set created = coalesce(q.created + 5.0, 0.0)
+        |from projects as p left optional join projects as q on q.name = p.name
+        |where p.name = 'boost' and todos.text = 'x'
+        |returning id, todos.created""".stripMargin)
+    assert(ret2.collect()(0).getDouble(1) == 15.0)
+  }
+
   test("DELETE with IN-subquery WHERE and RETURNING") {
     val (_, managed, runner) = freshManaged()
     runner.apply(migrations)

@@ -213,6 +213,24 @@ class PlanSpec extends SparkTestBase {
     assert(!plan(pruned).contains("orders"), plan(pruned).take(800))
   }
 
+  test("LEFT OPTIONAL JOIN under GROUP BY: elimination is the author's multiplicity assertion") {
+    // THE semantic contract, pinned: count(1) over customer with an
+    // unused optional orders join counts CUSTOMERS (the join is
+    // asserted row-preserving and eliminated), while a plain LEFT
+    // JOIN would count customer×orders match rows. Writing OPTIONAL
+    // on a non-unique key changes aggregates — deliberately: that is
+    // what the author asserts away.
+    val opt = engine.sql(
+      """select c_nationkey, count(1) as n from customer
+        |left optional join orders on o_custkey = c_custkey
+        |group by c_nationkey order by c_nationkey""".stripMargin)
+    val base = engine.sql(
+      """select c_nationkey, count(1) as n from customer
+        |group by c_nationkey order by c_nationkey""".stripMargin)
+    assert(opt.collect().toSeq == base.collect().toSeq)
+    assert(!plan(opt).toLowerCase.contains("join"), plan(opt).take(800))
+  }
+
   test("LEFT OPTIONAL JOIN: eager projection of a right field always keeps it") {
     // a plain (non-WITH) projection field is materialized whether or
     // not an outer query reads it — so it keeps the join even when
