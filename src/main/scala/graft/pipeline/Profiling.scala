@@ -12,46 +12,59 @@ object Profiling {
   /** Per-column numeric profile — row count, null count, exact
     * distinct count, min/max, quartiles — as one row per column.
     *
-    * Scale shape: ONE wide aggregation over a single scan (the
-    * multiple DISTINCT aggregates plan through Expand), then a
-    * driver-free unpivot of the single result row via explode. With
-    * `approx = false` the quartiles use Spark's exact `percentile` so
-    * an external oracle matches bit-for-bit — a deliberate choice for
-    * attestable profiling of bounded corpora, at O(distinct values)
-    * aggregation memory. `approx = true` is the 100 TB path: ONE
-    * `approx_percentile` sketch per column (all three quantiles read
-    * from the same bounded-memory digest, error <= 1/accuracy in
-    * rank) and a HyperLogLog++ distinct count (default ~5% relative
-    * error) — every aggregation buffer bounded, identical output
-    * schema.
+    * Scale shape, `approx = true` (the 100 TB path): ONE wide
+    * aggregation over a single scan — one `approx_percentile` sketch
+    * per column (all three quantiles read from the same
+    * bounded-memory digest, error <= 1/accuracy in rank) and a
+    * HyperLogLog++ distinct count (default ~5% relative error) —
+    * every aggregation buffer bounded, then a driver-free unpivot of
+    * the single result row via explode.
+    *
+    * Scale shape, `approx = false` (exact mode, rewritten in the r12
+    * optimization round): rows collapse to per-column (value, count)
+    * frames via ONE partial (map-side combined) aggregation per
+    * column — the quartiles, distinct count, min/max and null count
+    * are all derived from those value counts, so no row-scale data
+    * ever sits in an aggregation buffer. The old shape planned the
+    * multi-column countDistinct through Expand (k+1 copies of every
+    * row) and buffered each column's FULL value-count map inside a
+    * single-row `percentile` aggregate whose final merge was one
+    * thread; the value-count shape shuffles only distinct values,
+    * sorts them per column inside a keyed window (guide §2.3
+    * "aggregate before you shuffle"), and reproduces Spark's
+    * `percentile` interpolation arithmetic exactly — bit-for-bit the
+    * same output, pinned by spec against `percentile` itself. State
+    * is O(distinct values per column) — the same bound the old exact
+    * mode had, now spread across the cluster instead of concentrated
+    * in one merge. Exact mode remains the attestable-profiling choice
+    * for bounded corpora; `approx` remains the unbounded-cardinality
+    * path.
     */
   def numericProfile(df: DataFrame, cols: Seq[String],
       approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
     val qs = Seq(0.25, 0.5, 0.75)
+    if (!approx) return exactProfileFromValueCounts(df, cols, qs)
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
         count(col(c)).as(s"${c}__nn"),
-        // approx mode must sketch the distinct count too: exact
-        // countDistinct keeps O(distinct) aggregation state per
-        // column, the one unbounded buffer on the 100 TB path
-        (if (approx) approx_count_distinct(col(c))
-         else countDistinct(col(c))).as(s"${c}__nd"),
+        // the distinct count is sketched: exact countDistinct keeps
+        // O(distinct) aggregation state per column, the one unbounded
+        // buffer this path exists to avoid
+        approx_count_distinct(col(c)).as(s"${c}__nd"),
         min(col(c).cast("double")).as(s"${c}__min"),
         max(col(c).cast("double")).as(s"${c}__max"),
         // ONE quantile aggregate per column taking the percentage
-        // ARRAY: three scalar percentile(q) calls each buffer the
-        // full column independently — 3x the aggregation memory and
-        // CPU for identical values
-        if (approx)
-          approx_percentile(col(c).cast("double"),
-            array(qs.map(lit): _*), lit(accuracy)).as(s"${c}__pq")
-        else percentile(col(c), array(qs.map(lit): _*)).as(s"${c}__pq"))
+        // ARRAY: three scalar calls each buffer the column's digest
+        // independently — 3x the aggregation memory and CPU for
+        // identical values
+        approx_percentile(col(c).cast("double"),
+          array(qs.map(lit): _*), lit(accuracy)).as(s"${c}__pq"))
     }
     // the partial aggregation is CPU-heavy per row (per-column
-    // distinct/percentile buffers); lift a low-parallelism local scan
-    // to cluster parallelism first (no-op on multi-split inputs)
+    // sketch buffers); lift a low-parallelism local scan to cluster
+    // parallelism first (no-op on multi-split inputs)
     val wide = Dedup.spread(df).agg(aggs.head, aggs.tail: _*)
     def quant(c: String, i: Int) = element_at(col(s"${c}__pq"), i + 1)
     val structs = array(cols.map { c =>
@@ -67,6 +80,87 @@ object Profiling {
         quant(c, 2).as("p75"))
     }: _*)
     wide.select(explode(structs).as("s")).select("s.*")
+  }
+
+  /** Exact [[numericProfile]] from per-column value counts (see the
+    * scale-shape doc there). Grouping is on the ORIGINAL column value
+    * — identical distinct semantics to `countDistinct(col)` — with
+    * the double cast applied only for ordering, output and
+    * interpolation, exactly where Spark's `percentile` applies it.
+    * Each column is its own branch (a single-column parquet scan
+    * reads the same bytes as its slice of a combined scan), and the
+    * three downstream aggregates over a branch share its shuffle via
+    * exchange reuse.
+    *
+    * Quantile arithmetic replicates `Percentile.getPercentile`:
+    * position p = q·(nn−1); with `lo = ⌊p⌋`, `hi = ⌈p⌉` and loV/hiV
+    * the values at those 0-based row positions of the sorted non-null
+    * column, the result is loV when loV = hiV (Spark returns the key
+    * directly — no float round-trip), else (hi−p)·loV + (p−lo)·hiV.
+    */
+  private def exactProfileFromValueCounts(df: DataFrame,
+      cols: Seq[String], qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val base = Dedup.spread(df)
+    // one (value, count) branch per column; union tags rows by name
+    val vc = cols.map { c =>
+      base.groupBy(col(c).as("__ov")).agg(count(lit(1)).as("__c"))
+        .select(lit(c).as("col_name"),
+          col("__ov").cast("double").as("__v"), col("__c"))
+    }.reduce(_ unionByName _)
+    val nulls = vc.filter(col("__v").isNull)
+      .groupBy("col_name").agg(sum("__c").as("__nulls"))
+    val nonNull = vc.filter(col("__v").isNotNull)
+    val stats = nonNull.groupBy("col_name").agg(
+      sum("__c").as("__nn"), count(lit(1)).as("__nd"),
+      min("__v").as("__min"), max("__v").as("__max"))
+    // running row count over the sorted distinct values, per column —
+    // value at 0-based row position r is the unique row with
+    // __lt <= r < __cum
+    val wcum = Window.partitionBy("col_name").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = nonNull.withColumn("__cum", sum("__c").over(wcum))
+      .withColumn("__lt", col("__cum") - col("__c"))
+    val withN = cum.join(
+      broadcast(stats.select(col("col_name"), col("__nn"))), "col_name")
+    def posOf(q: Double) = lit(q) * (col("__nn") - 1L).cast("double")
+    val pickAggs = qs.zipWithIndex.flatMap { case (q, i) =>
+      val loP = floor(posOf(q))
+      val hiP = ceil(posOf(q))
+      Seq( // exactly one row matches each position; max() selects it
+        max(when(col("__lt") <= loP && col("__cum") > loP, col("__v")))
+          .as(s"__lo$i"),
+        max(when(col("__lt") <= hiP && col("__cum") > hiP, col("__v")))
+          .as(s"__hi$i"))
+    }
+    val picked = withN.groupBy("col_name")
+      .agg(pickAggs.head, pickAggs.tail: _*)
+    // every requested column emits a row even when all-null or empty
+    val seed = spark.createDataset(cols)(
+      org.apache.spark.sql.Encoders.STRING).toDF("col_name")
+    val joined = seed
+      .join(broadcast(nulls), Seq("col_name"), "left")
+      .join(broadcast(stats), Seq("col_name"), "left")
+      .join(broadcast(picked), Seq("col_name"), "left")
+    def quantile(i: Int) = {
+      val p = posOf(qs(i))
+      val loP = floor(p).cast("double")
+      val hiP = ceil(p).cast("double")
+      val (loV, hiV) = (col(s"__lo$i"), col(s"__hi$i"))
+      when(coalesce(col("__nn"), lit(0L)) === 0L,
+        lit(null).cast("double"))
+        .when(loV === hiV, loV)
+        .otherwise((hiP - p) * loV + (p - loP) * hiV)
+    }
+    joined.select(col("col_name"),
+      (coalesce(col("__nn"), lit(0L)) + coalesce(col("__nulls"), lit(0L)))
+        .as("n_rows"),
+      coalesce(col("__nulls"), lit(0L)).as("n_nulls"),
+      coalesce(col("__nd"), lit(0L)).as("n_distinct"),
+      col("__min").as("min_v"), col("__max").as("max_v"),
+      quantile(0).as("p25"), quantile(1).as("median"),
+      quantile(2).as("p75"))
   }
 
   /** The approx profile (`numericProfile(approx = true)`) with an

@@ -28,6 +28,37 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    if (variant == "ckpt") {
+      // Truncation-strategy probe (r12 optimization round): which
+      // lineage-truncation mechanism preserves the frame's hash
+      // partitioning into downstream plans? Prints the captured
+      // output partitioning and the exchange/sort count of a keyed
+      // self-join for (a) localCheckpoint under AQE, (b) persist,
+      // (c) localCheckpoint with AQE disabled around the checkpoint.
+      val df = spark.range(200000)
+        .select((col("id") % 1000).as("k"), col("id").as("v"))
+      def probe(name: String, d: DataFrame): Unit = {
+        val agg = d.groupBy("k").agg(sum("v").as("s"))
+        val j = d.join(agg, "k")
+        val plan = j.queryExecution.executedPlan.toString
+        val ex = plan.split("Exchange").length - 1
+        val so = plan.split("\\bSort\\b").length - 1
+        println(s"$name: part=${d.queryExecution.executedPlan.outputPartitioning}" +
+          s" joinExchanges=$ex joinSorts=$so")
+      }
+      probe("localCkpt+AQE",
+        df.repartition(8, col("k")).localCheckpoint(true))
+      val p = df.repartition(8, col("k")).persist()
+      p.count()
+      probe("persist", p)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val c = df.repartition(8, col("k")).localCheckpoint(true)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      probe("localCkpt-noAQE", c)
+      spark.stop()
+      return
+    }
+
     if (variant == "gr2") {
       // Dangling-redistribution double-reference probe: with
       // redistributeDangling the round function reads `ranks` TWICE

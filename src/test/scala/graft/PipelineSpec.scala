@@ -2369,4 +2369,55 @@ class PipelineSpec extends SparkTestBase {
     assert(!psPlan.contains("BroadcastNestedLoopJoin"), psPlan.take(800))
     assert(!psPlan.contains("Expand"), "countDistinct Expand in phrase plan")
   }
+
+  test("exact numeric profile: value-count rewrite equals percentile/countDistinct bit-for-bit") {
+    // The r12 optimization rewrote exact-mode numericProfile from the
+    // Expand + single-row `percentile` shape into per-column value
+    // counts with the interpolation arithmetic of
+    // Percentile.getPercentile replicated in the projection. Pin the
+    // rewrite to Spark's own aggregates on adversarial fixtures:
+    // heavy ties (interpolation endpoints share a value), nulls, an
+    // all-null column, a single-row frame, and real data.
+    import spark.implicits._
+    import graft.pipeline.Profiling
+    def reference(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      cols.map { c =>
+        val r = df.agg(
+          count(lit(1)), count(col(c)), countDistinct(col(c)),
+          min(col(c).cast("double")), max(col(c).cast("double")),
+          percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75))))
+          .head()
+        val pq = Option(r.get(5))
+          .map(_.asInstanceOf[scala.collection.Seq[Double]])
+        c -> ((c, r.getLong(0), r.getLong(0) - r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)),
+          pq.map(_(0)), pq.map(_(1)), pq.map(_(2))))
+      }.toMap
+    def got(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      Profiling.numericProfile(df, cols).collect().map { r =>
+        r.getString(0) -> ((r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)), Option(r.get(7)), Option(r.get(8))))
+      }.toMap
+    def check(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Unit = {
+      val (g, e) = (got(df, cols), reference(df, cols))
+      assert(g.keySet == cols.toSet)
+      cols.foreach { c =>
+        // == on Option[Any] of doubles: bit-identical or both absent
+        assert(g(c) == e(c), s"$c: got ${g(c)} expected ${e(c)}")
+      }
+    }
+    // ties + nulls + an all-null column
+    val tied = (Seq.fill(7)(Some(1.0)) ++ Seq.fill(2)(Some(5.0)) ++
+      Seq.fill(3)(Some(9.0)) ++ Seq(None, None))
+      .map(v => (v, None: Option[Double]))
+      .toDF("x", "allnull")
+    check(tied, Seq("x", "allnull"))
+    // single row; interpolation across distinct values
+    check(Seq((3.5, 10L)).toDF("a", "b"), Seq("a", "b"))
+    check(Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0).toDF("v"), Seq("v"))
+    // real decimals (lineitem) — the gate entry's own columns
+    check(Tables.load(spark, "/root/testdata/sf0.01", "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+  }
 }
