@@ -59,11 +59,15 @@ object Communities {
     val spark = pairs.sparkSession
     val shufflePartitions =
       spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sym = pairs
+    // symmetrized edge set materialized ONCE (r12 optimization): it
+    // feeds three derivations (both arms of the self-loop union and
+    // the initial label frame), which as separate truncate actions
+    // each recomputed the caller's pair build + distinct
+    val sym = truncate(pairs
       .select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
       .unionByName(pairs.select(col(id2).cast("long").as("src"),
         col(id1).cast("long").as("dst")))
-      .distinct()
+      .distinct())
     // the self-vote is baked in as a self-loop edge: each round then
     // reads the label frame ONCE (edges ⋈ labels), instead of the
     // obvious neighbor-votes ∪ self-votes shape whose double reference
@@ -220,16 +224,27 @@ object Communities {
     * both orientations collapse; self-loops are dropped.
     */
   def triangleStats(pairs: DataFrame, id1: String = "id1",
-      id2: String = "id2"): DataFrame = {
-    // canonical undirected edge set: (a < b), deduped, no self-loops
-    val e = pairs
+      id2: String = "id2",
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      Lineage.truncate(df, reliableCheckpoints)
+    // canonical undirected edge set: (a < b), deduped, no self-loops.
+    // e, deg and oriented are each referenced 2-3 times downstream
+    // (deg twice in the orientation join and once in the output join;
+    // oriented by both wedge arms and the closure); materialize them
+    // once (r12 optimization) — without the cut the caller's whole
+    // upstream pair build replicates into every reference (the tr1
+    // gate entry's initial plan carried 564 parquet scans), leaving
+    // dedup to runtime stage reuse and paying plan/optimizer cost
+    // proportional to the replication either way.
+    val e = truncate(pairs
       .select(least(col(id1).cast("long"), col(id2).cast("long")).as("a"),
         greatest(col(id1).cast("long"), col(id2).cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-    val deg = e.select(col("a").as("node"))
+      .distinct())
+    val deg = truncate(e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("node").agg(count(lit(1)).as("deg")))
     // orient each edge from the lower (deg, node) endpoint to the
     // higher: out-degrees are then <= O(sqrt(|E|)) on any graph
     val withDeg = e
@@ -237,11 +252,11 @@ object Communities {
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
+    val oriented = truncate(withDeg.select(
       when(lowFirst, col("a")).otherwise(col("b")).as("u"),
       when(lowFirst, col("b")).otherwise(col("a")).as("v"),
       when(lowFirst, col("da")).otherwise(col("db")).as("du"),
-      when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
+      when(lowFirst, col("db")).otherwise(col("da")).as("dv")))
     // wedges at apex u: out-neighbor pairs (v, w) with rank(v) <
     // rank(w) in the same (deg, id) order — each unordered pair once
     val o1 = oriented.select(col("u"), col("v"), col("dv"))
@@ -253,11 +268,13 @@ object Communities {
     // closure: the (v, w) edge is oriented v->w because rank(v) <
     // rank(w) — one equi-join against the oriented edge set
     val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    // each triangle credits its three corners: ONE explode pass over
+    // the (possibly O(|E|^1.5)-row) triangle frame instead of a
+    // 3-way union that evaluates the wedge-closure join three times
     val tris = wedges.join(closing, Seq("v", "w"))
       .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
-    val perNode = tris.select(col("x").as("node"))
-      .unionByName(tris.select(col("y").as("node")))
-      .unionByName(tris.select(col("z").as("node")))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),

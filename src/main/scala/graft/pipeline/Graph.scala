@@ -350,6 +350,12 @@ object Graph {
       .distinct().withColumn("a", lit(1000000L)))
     var hub: DataFrame = null
     (1 to iters).foreach { _ =>
+      // the raw half-step frame appears twice inside one truncate
+      // action (the one-row max broadcast and the outer cross-join);
+      // AQE's in-query stage reuse dedupes the shared subplan, so one
+      // action per half-step is the cheap shape (measured in the r12
+      // optimization round: truncating hRaw separately and normalizing
+      // lazily doubled the per-half-step job count and ran 33% slower)
       val hRaw = e.join(auth, e("dst") === auth("node"))
         .groupBy(e("src").as("node")).agg(sum("a").as("h"))
       hub = truncate(normalized(hRaw, "h"))
