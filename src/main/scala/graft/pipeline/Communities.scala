@@ -161,9 +161,14 @@ object Communities {
     * informative when the k-core itself is empty. Rounds past the
     * fixpoint repeat the converged counts (or 0/0 once empty), so a
     * fixed budget attests idempotence in-band. Same per-round shape
-    * and truncation policy as [[kCore]]; the counts are lazy one-row
-    * aggregates unioned into a `rounds + 1`-row frame — one job for
-    * the whole trajectory.
+    * as [[kCore]], but every round's survivor frame is materialized
+    * (r12 optimization): unlike kCore, the trajectory output reads
+    * EVERY generation, so an un-truncated generation is recomputed by
+    * each later stats row — the kc1 entry's final job carried 92
+    * sort-merge joins from that replication; per-round truncation
+    * (one cheap action on a shrinking frame) makes the final union a
+    * flat read of `rounds + 1` one-row aggregates. `checkpointEvery`
+    * is kept for signature compatibility and bounds nothing here.
     */
   def kCoreProfile(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", k: Int = 3, rounds: Int = 6,
@@ -192,11 +197,10 @@ object Communities {
     for (r <- 1 to rounds) {
       val keep = live.groupBy("src").agg(count(lit(1)).as("__c"))
         .filter(col("__c") >= k).select(col("src").as("__keep"))
-      live = live
+      live = truncate(live
         .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-      if (r % checkpointEvery == 0 && r < rounds) live = truncate(live)
+        .select("src", "dst"))
       out = out.unionByName(stats(r, live))
     }
     out

@@ -271,11 +271,21 @@ object Graph {
       Seq("node"), "left_anti"))
 
     def round(ranks: DataFrame): DataFrame = {
+      // shuffled-hash hints on the |V|-row sides (r12 optimization):
+      // the checkpointed frames carry no runtime stats, so AQE never
+      // converts these joins and sort-merge re-SORTS the |E| frame
+      // every round; building a per-partition hash table over the
+      // small side skips both sorts at any scale (|V| << |E|)
       val inMass = edgesWithDeg
-        .join(ranks, edgesWithDeg("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"),
+          edgesWithDeg("src") === ranks("node"))
         .select(col("dst"),
           expr(s"($dampNum * (rank DIV outdeg)) DIV $dampDen").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("in_mass"))
+      // inMass is NOT hinted: it sits on top of a shuffle stage, so
+      // AQE has runtime stats there and converts the teleport join to
+      // a broadcast when |V| is small — a hint would pin it to
+      // shuffled-hash and force an extra Exchange of the node frame
       val base = seeded match {
         case Some(ntp) =>
           ntp.join(inMass, ntp("node") === inMass("dst"), "left")

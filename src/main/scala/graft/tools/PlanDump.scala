@@ -22,6 +22,10 @@ object PlanDump {
     val suffix = args.lift(2).getOrElse("before")
     val wanted: Option[Seq[String]] =
       args.lift(3).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    // "exec" as a 5th arg: materialize the frame first so the dump
+    // shows the FINAL adaptive plan (runtime join conversions, AQE
+    // shuffle reads) instead of the initial isFinalPlan=false one
+    val exec = args.lift(4).contains("exec")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,6 +42,11 @@ object PlanDump {
     entries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        // collect() drives THIS Dataset's own query execution (the
+        // Bench materializer wraps df in a new plan, which would leave
+        // df's AdaptiveSparkPlan un-finalized); entry outputs are
+        // bounded, so the driver-side result is small
+        if (exec) df.collect()
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(
