@@ -56,9 +56,6 @@ object Communities {
     require(iters >= 1, s"labelPropagation needs >= 1 round, got $iters")
     def truncate(df: DataFrame): DataFrame =
       Lineage.truncate(df, reliableCheckpoints)
-    val spark = pairs.sparkSession
-    val shufflePartitions =
-      spark.conf.get("spark.sql.shuffle.partitions").toInt
     // symmetrized edge set materialized ONCE (r12 optimization): it
     // feeds three derivations (both arms of the self-loop union and
     // the initial label frame), which as separate truncate actions
@@ -76,7 +73,7 @@ object Communities {
     val edges = truncate(sym
       .unionByName(sym.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
-      .repartition(shufflePartitions, col("src")))
+      .repartition(col("src")))
     var labels = truncate(
       sym.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
@@ -130,9 +127,6 @@ object Communities {
     require(rounds >= 1, s"kCore needs rounds >= 1, got $rounds")
     def truncate(df: DataFrame): DataFrame =
       Lineage.truncate(df, reliableCheckpoints)
-    val spark = pairs.sparkSession
-    val shufflePartitions =
-      spark.conf.get("spark.sql.shuffle.partitions").toInt
     var live = truncate(pairs
       .select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -140,7 +134,7 @@ object Communities {
         col(id1).cast("long").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(shufflePartitions, col("src")))
+      .repartition(col("src")))
     for (r <- 1 to rounds) {
       val keep = live.groupBy("src").agg(count(lit(1)).as("__c"))
         .filter(col("__c") >= k).select(col("src").as("__keep"))
@@ -178,9 +172,6 @@ object Communities {
     require(rounds >= 1, s"kCoreProfile needs rounds >= 1, got $rounds")
     def truncate(df: DataFrame): DataFrame =
       Lineage.truncate(df, reliableCheckpoints)
-    val spark = pairs.sparkSession
-    val shufflePartitions =
-      spark.conf.get("spark.sql.shuffle.partitions").toInt
     def stats(round: Int, live: DataFrame): DataFrame =
       live.agg(expr("count(DISTINCT src)").as("nodes"),
         expr("count(1) DIV 2").as("edges"))
@@ -192,7 +183,7 @@ object Communities {
         col(id1).cast("long").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(shufflePartitions, col("src")))
+      .repartition(col("src")))
     var out = stats(0, live)
     for (r <- 1 to rounds) {
       val keep = live.groupBy("src").agg(count(lit(1)).as("__c"))

@@ -222,15 +222,13 @@ object Graph {
     def truncate(df: DataFrame): DataFrame =
       Lineage.truncate(df, reliableCheckpoints)
 
-    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // The |E|-row frame, partitioned on the join key once and pinned:
     // the per-round join against ranks reuses this exchange.
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edgesWithDeg = truncate(
-      e.join(outdeg, "src").repartition(shufflePartitions, col("src")))
+      e.join(outdeg, "src").repartition(col("src")))
     val nodes = truncate(
       edgesWithDeg.select(col("src").as("node"))
         .union(edgesWithDeg.select(col("dst").as("node"))).distinct())
@@ -342,14 +340,11 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     def truncate(df: DataFrame): DataFrame =
       Lineage.truncate(df, reliableCheckpoints)
-    val spark = edges.sparkSession
-    val shufflePartitions =
-      spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = truncate(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .repartition(shufflePartitions, col("src")))
+      .repartition(col("src")))
     def normalized(raw: DataFrame, score: String): DataFrame = {
       val mx = raw.agg(max(col(score)).as("__mx"))
       raw.crossJoin(broadcast(mx))
