@@ -177,15 +177,36 @@ object Bench {
     // "parsed": null. The compact line carries the headline total,
     // the q1..q10 reference queries, the 5 slowest pipeline entries,
     // and error count — and must stay well under the tail window.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    // Also keep a per-core-count copy: the r12 driver session ran c32
+    // then c8 in one directory and the c8 detail overwrote the c32
+    // detail, leaving a contended 2x total with no per-entry forensics
+    // (r12 verdict item 2). bench_out.json stays the "latest run" file
+    // every existing tool reads; bench_out_c<cpus>.json survives a
+    // later run at a different core count.
+    for (p <- Seq("bench_out.json", s"bench_out_c$cpus.json"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => }
     val headline = results.filter(_._1.matches("q[0-9]+_.*"))
     val slowest = (results -- headline.keys).toSeq
       .sortBy(-_._2.median).take(5).toMap
+    // Contention indicator (r12 verdict item 2): median ratio of the
+    // q1..q10 reference medians vs bench_ref.json (prior-round driver
+    // medians). These ten relational entries have been untouched since
+    // round 1, so ref_drift ~1 means a comparable host window and
+    // ref_drift >> 1 (r12's contended c32 run would have read ~2)
+    // flags a bad window — letting the driver/judge tell a 2x host
+    // stall from a 2x regression without re-running. null when no
+    // reference file/entries are available.
+    val refDrift: Option[Double] = {
+      val ratios = headline.toSeq.flatMap { case (k, v) =>
+        refMedians.get(k).filter(_ > 0).map(v.median / _)
+      }.sorted
+      if (ratios.isEmpty) None else Some(ratios(ratios.length / 2))
+    }
+    val refDriftJson = refDrift.map(d => f"$d%.3f").getOrElse("null")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$gateErrors,"n_extra_errors":${errors.size - gateErrors},"warm_iters":$warmIters,"queries":${objOf(headline)(_.median)},"slowest":${objOf(slowest)(_.median)},"detail":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$gateErrors,"n_extra_errors":${errors.size - gateErrors},"warm_iters":$warmIters,"ref_drift":$refDriftJson,"queries":${objOf(headline)(_.median)},"slowest":${objOf(slowest)(_.median)},"detail":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
     if (errors.nonEmpty) System.err.println(
       s"BENCH: ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

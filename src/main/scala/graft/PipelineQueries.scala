@@ -188,12 +188,12 @@ object PipelineQueries {
     "dd2x_minhash_prod_hash" -> dd2xProdMinhash,
     "pq2x_ivfadc_trained" -> pq2xTrainedIvfAdc,
     "ss5x_hard_negatives_trained" -> ss5xTrainedHardNegatives,
-    // gate-retired r12 (redundant with qp2 — oracle-proven identical
-    // keep set through r11, equivalence still spec-pinned); benched
-    // so the window-form's perf stays visible round over round
+    // r12 retired these two from the gate as redundant; the r12
+    // verdict ruled the retirement a gate regression, so r13 restored
+    // them to the gate + oracle maps. The x-twins stay because bench
+    // entries are never removed once published (extras are excluded
+    // from the headline total, so the duplication costs nothing there).
     "qp1x_quality_percentile" -> qp1Percentile,
-    // gate-retired r12 (oracle was ct1Sql verbatim — proven
-    // ct1-equivalent); benched so the Bloom path's perf stays visible
     "ct2x_contamination_bloom" -> ct2BloomContamination,
   )
 
@@ -4571,6 +4571,7 @@ object PipelineQueries {
     "rr1_bm25_topk" -> rr1Bm25,
     "rr5_learned_sparse" -> rr5LearnedSparse,
     "nv1_ngram_novelty" -> nv1Novelty,
+    "qp1_quality_percentile" -> qp1Percentile,
     "ca1_source_keyness" -> ca1Keyness,
     "gr1_pagerank" -> gr1PageRank,
     "gr2_pagerank_dangling" -> gr2PageRankDangling,
@@ -4644,6 +4645,7 @@ object PipelineQueries {
     "tx7_vocab_topk" -> tx7Vocab,
     "tx8_tfidf_keywords" -> tx8Tfidf,
     "ct1_contamination" -> ct1Contamination,
+    "ct2_contamination_bloom" -> ct2BloomContamination,
     "pf1_numeric_profile" -> pf1Profile,
     "pf1a_numeric_profile_approx" -> pf1aApprox,
     "pf2_corr_matrix" -> pf2Corr,
@@ -4693,6 +4695,7 @@ object PipelineQueries {
     "rr1_bm25_topk" -> rr1Sql,
     "rr5_learned_sparse" -> rr5Sql,
     "nv1_ngram_novelty" -> nv1Sql,
+    "qp1_quality_percentile" -> qp1Sql,
     "ca1_source_keyness" -> ca1Sql,
     "gr1_pagerank" -> gr1Sql,
     "gr2_pagerank_dangling" -> gr2Sql,
@@ -4706,6 +4709,7 @@ object PipelineQueries {
     "tx7_vocab_topk" -> tx7Sql,
     "tx8_tfidf_keywords" -> tx8Sql,
     "ct1_contamination" -> ct1Sql,
+    "ct2_contamination_bloom" -> ct1Sql, // Bloom path ≡ ct1 by construction
     "pf1_numeric_profile" -> pf1Sql,
     "pf1a_numeric_profile_approx" -> pf1aSql,
     "pf2_corr_matrix" -> pf2Sql,

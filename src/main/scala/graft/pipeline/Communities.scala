@@ -161,12 +161,17 @@ object Communities {
     * each later stats row — the kc1 entry's final job carried 92
     * sort-merge joins from that replication; per-round truncation
     * (one cheap action on a shrinking frame) makes the final union a
-    * flat read of `rounds + 1` one-row aggregates. `checkpointEvery`
-    * is kept for signature compatibility and bounds nothing here.
+    * flat read of `rounds + 1` one-row aggregates. Note this makes
+    * construction EAGER: rounds+1 materialization jobs run before the
+    * returned frame is acted on, and with the default
+    * `reliableCheckpoints = false` the round frames are pinned to
+    * executor storage with no recomputation path on executor loss —
+    * pass `true` on a real cluster. (A `checkpointEvery` parameter
+    * existed through r12 but bounded nothing once every round
+    * truncates; it was removed rather than left as a dead knob.)
     */
   def kCoreProfile(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", k: Int = 3, rounds: Int = 6,
-      checkpointEvery: Int = 3,
       reliableCheckpoints: Boolean = false): DataFrame = {
     require(k >= 1, s"kCoreProfile needs k >= 1, got $k")
     require(rounds >= 1, s"kCoreProfile needs rounds >= 1, got $rounds")
@@ -217,6 +222,15 @@ object Communities {
     *
     * `pairs` rows are treated as undirected edges; duplicates and
     * both orientations collapse; self-loops are dropped.
+    *
+    * Since the r12 optimization this operator runs eager Spark jobs at
+    * CONSTRUCTION (the edge/degree/oriented frames are materialized to
+    * truncate the caller's upstream plan out of every reference), and
+    * with the default `reliableCheckpoints = false` those O(|E|)
+    * frames are pinned to executor storage with no recomputation path
+    * on executor loss — the same trade its iterative siblings make,
+    * but new for a one-shot operator. Pass `reliableCheckpoints =
+    * true` on a cluster where executors can be lost mid-job.
     */
   def triangleStats(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2",

@@ -273,7 +273,12 @@ object Graph {
       // the checkpointed frames carry no runtime stats, so AQE never
       // converts these joins and sort-merge re-SORTS the |E| frame
       // every round; building a per-partition hash table over the
-      // small side skips both sorts at any scale (|V| << |E|)
+      // small side skips both sorts at any scale (|V| << |E|).
+      // Caveat (r12 ADVICE): the hint pins a build-side hash table
+      // that cannot fall back to sort-merge, and AQE may coalesce the
+      // rank exchange to few partitions — on an extremely hub-skewed
+      // node set where one partition holds a large |V| slice, drop the
+      // hint (or pin partitions) and let SMJ degrade gracefully.
       val inMass = edgesWithDeg
         .join(ranks.hint("shuffle_hash"),
           edgesWithDeg("src") === ranks("node"))

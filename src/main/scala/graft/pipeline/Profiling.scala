@@ -43,6 +43,12 @@ object Profiling {
   def numericProfile(df: DataFrame, cols: Seq[String],
       approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
+    // a duplicated name would silently double every count in exact
+    // mode (the per-column branches union into one frame keyed only
+    // by col_name), where the wide-agg shape failed fast on ambiguous
+    // aliases — reject it up front in both modes (r12 ADVICE)
+    require(cols.distinct.size == cols.size,
+      s"numericProfile got duplicate columns: ${cols.mkString(", ")}")
     val qs = Seq(0.25, 0.5, 0.75)
     if (!approx) return exactProfileFromValueCounts(df, cols, qs)
     val aggs = cols.flatMap { c =>
@@ -97,6 +103,17 @@ object Profiling {
     * the values at those 0-based row positions of the sorted non-null
     * column, the result is loV when loV = hiV (Spark returns the key
     * directly — no float round-trip), else (hi−p)·loV + (p−lo)·hiV.
+    *
+    * Known divergence at the precision edge (r12 ADVICE): the
+    * loV = hiV short-circuit here compares the post-cast DOUBLES,
+    * while Spark's `percentile` compares the ORIGINAL keys. Two
+    * distinct originals that collapse to one double — adjacent longs
+    * beyond 2^53, or decimals past double precision — are interpolated
+    * by Spark ((hi−p)·d + (p−lo)·d, which can land 1 ulp off d) but
+    * returned directly here. Columns whose values exceed double's
+    * exact-integer range lose the bit-for-bit guarantee by that 1 ulp;
+    * every gate fixture (and any column that survives a double cast
+    * losslessly) is unaffected.
     */
   private def exactProfileFromValueCounts(df: DataFrame,
       cols: Seq[String], qs: Seq[Double]): DataFrame = {
